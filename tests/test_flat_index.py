@@ -1,0 +1,167 @@
+"""FlatIndex: exact device flat scan vs a NumPy oracle
+(parity with reference src/flat_index.rs:76-115 tests plus oracle checks)."""
+
+import numpy as np
+import pytest
+
+from vectordb_tpu import (DimensionMismatchError, DistanceMetric, FlatIndex,
+                          InvalidVectorError, Vector)
+from vectordb_tpu.distance import pairwise_distances
+
+
+def test_add_and_search():
+    idx = FlatIndex(DistanceMetric.EUCLIDEAN)
+    idx.add(0, Vector([0.0, 0.0]))
+    idx.add(1, Vector([1.0, 0.0]))
+    idx.add(2, Vector([5.0, 5.0]))
+    results = idx.search(Vector([0.9, 0.0]), 2)
+    assert [r[0] for r in results] == [1, 0]
+    assert results[0][1] == pytest.approx(0.1, abs=1e-5)
+
+
+def test_remove():
+    idx = FlatIndex(DistanceMetric.EUCLIDEAN)
+    idx.add(0, Vector([0.0, 0.0]))
+    idx.add(1, Vector([1.0, 0.0]))
+    idx.remove(0)
+    assert len(idx) == 1
+    assert idx.get_vector(0) is None
+    results = idx.search(Vector([0.0, 0.0]), 5)
+    assert [r[0] for r in results] == [1]
+
+
+def test_remove_unknown_is_noop():
+    idx = FlatIndex(DistanceMetric.EUCLIDEAN)
+    idx.add(0, Vector([1.0]))
+    idx.remove(123)
+    assert len(idx) == 1
+
+
+def test_k_larger_than_len():
+    idx = FlatIndex(DistanceMetric.EUCLIDEAN)
+    idx.add(0, Vector([0.0]))
+    idx.add(1, Vector([1.0]))
+    assert len(idx.search(Vector([0.5]), 10)) == 2
+
+
+def test_empty_search():
+    idx = FlatIndex(DistanceMetric.EUCLIDEAN)
+    assert idx.search(Vector([1.0]), 5) == []
+    assert idx.is_empty()
+
+
+def test_dimension_enforced():
+    idx = FlatIndex(DistanceMetric.EUCLIDEAN)
+    idx.add(0, Vector([1.0, 2.0]))
+    with pytest.raises(DimensionMismatchError):
+        idx.add(1, Vector([1.0, 2.0, 3.0]))
+    with pytest.raises(DimensionMismatchError):
+        idx.search(Vector([1.0]), 1)
+
+
+def test_add_overwrites_same_internal_id():
+    idx = FlatIndex(DistanceMetric.EUCLIDEAN)
+    idx.add(7, Vector([0.0, 0.0]))
+    idx.add(7, Vector([9.0, 9.0]))
+    assert len(idx) == 1
+    assert idx.get_vector(7) == Vector([9.0, 9.0])
+
+
+def test_cosine_zero_vector_in_db_errors_search():
+    idx = FlatIndex(DistanceMetric.COSINE)
+    idx.add(0, Vector([1.0, 0.0]))
+    idx.add(1, Vector([0.0, 0.0]))
+    with pytest.raises(InvalidVectorError):
+        idx.search(Vector([1.0, 1.0]), 2)
+
+
+def test_cosine_zero_query_errors():
+    idx = FlatIndex(DistanceMetric.COSINE)
+    idx.add(0, Vector([1.0, 0.0]))
+    with pytest.raises(InvalidVectorError):
+        idx.search(Vector([0.0, 0.0]), 1)
+
+
+def test_zero_vector_ok_after_removal():
+    idx = FlatIndex(DistanceMetric.COSINE)
+    idx.add(0, Vector([1.0, 0.0]))
+    idx.add(1, Vector([0.0, 0.0]))
+    idx.remove(1)
+    assert len(idx.search(Vector([1.0, 1.0]), 2)) == 1
+
+
+@pytest.mark.parametrize("metric", list(DistanceMetric))
+def test_oracle_parity_10k(metric, rng):
+    """Gate from SURVEY §7 phase 2: exact-match parity with a NumPy oracle.
+
+    Uses abs(values) for cosine-safety and checks the top-10 ids and
+    distances against a full numpy scan.
+    """
+    n, d, k = 2048, 64, 10
+    db = (rng.standard_normal((n, d)).astype(np.float32) + 3.0)
+    queries = (rng.standard_normal((8, d)).astype(np.float32) + 3.0)
+
+    idx = FlatIndex(metric)
+    idx.add_batch([(i, db[i]) for i in range(n)])
+
+    oracle = pairwise_distances(np, queries, db, metric)
+    results = idx.search_batch(queries, k)
+    for qi in range(queries.shape[0]):
+        expect_order = np.argsort(oracle[qi], kind="stable")[:k]
+        got_ids = [r[0] for r in results[qi]]
+        got_dists = np.array([r[1] for r in results[qi]])
+        np.testing.assert_allclose(
+            got_dists, np.sort(oracle[qi])[:k], rtol=1e-4, atol=1e-4)
+        # ids must agree wherever distances are not tied
+        expected_dists = oracle[qi][expect_order]
+        for pos in range(k):
+            ties = np.isclose(expected_dists, expected_dists[pos],
+                              rtol=1e-6, atol=1e-6)
+            candidates = set(int(expect_order[t])
+                             for t in np.nonzero(ties)[0])
+            assert got_ids[pos] in candidates
+
+
+def test_capacity_growth_and_many_deletes(rng):
+    idx = FlatIndex(DistanceMetric.EUCLIDEAN)
+    d = 8
+    data = rng.standard_normal((3000, d)).astype(np.float32)
+    for i in range(3000):
+        idx.add(i, Vector(data[i]))
+    assert len(idx) == 3000
+    for i in range(0, 3000, 2):
+        idx.remove(i)
+    assert len(idx) == 1500
+    # search touches only live rows
+    results = idx.search(Vector(data[1]), 3)
+    assert results[0][0] == 1
+    assert all(r[0] % 2 == 1 for r in results)
+    # slots get reused
+    idx.add(9001, Vector(data[0]))
+    assert len(idx) == 1501
+    assert idx.search(Vector(data[0]), 1)[0][0] == 9001
+
+
+def test_interleaved_updates_keep_device_in_sync(rng):
+    """Insert/search interleaving exercises the scatter-update path."""
+    idx = FlatIndex(DistanceMetric.EUCLIDEAN)
+    d = 4
+    for i in range(50):
+        v = np.zeros(d, dtype=np.float32)
+        v[0] = i
+        idx.add(i, Vector(v))
+        best = idx.search(Vector(v), 1)
+        assert best[0][0] == i
+        assert best[0][1] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_masked_search():
+    idx = FlatIndex(DistanceMetric.EUCLIDEAN)
+    for i in range(10):
+        idx.add(i, Vector([float(i), 0.0]))
+    mask = np.zeros(idx.capacity, dtype=bool)
+    # only allow the slots currently holding ids 5..9
+    for iid in range(5, 10):
+        mask[idx.slot_of(iid)] = True
+    results = idx.search_masked(Vector([0.0, 0.0]), 3, mask)
+    assert [r[0] for r in results] == [5, 6, 7]

@@ -1,0 +1,175 @@
+"""VectorStore semantics (parity with reference src/storage.rs:350-756 tests)."""
+
+import numpy as np
+import pytest
+
+from vectordb_tpu import (BatchInsertItem, DimensionMismatchError,
+                          DistanceMetric, HnswIndex, Metadata, MetadataFilter,
+                          Vector, VectorNotFoundError, VectorStore)
+
+
+@pytest.fixture
+def store():
+    return VectorStore.with_flat_index(DistanceMetric.EUCLIDEAN)
+
+
+def test_insert_and_get(store):
+    store.insert("a", Vector([1.0, 2.0]))
+    assert store.get("a") == Vector([1.0, 2.0])
+    assert store.get("missing") is None
+    assert len(store) == 1
+
+
+def test_first_insert_fixes_dimension(store):
+    store.insert("a", Vector([1.0, 2.0]))
+    assert store.dimension == 2
+    with pytest.raises(DimensionMismatchError):
+        store.insert("b", Vector([1.0, 2.0, 3.0]))
+
+
+def test_dimension_persists_after_total_delete(store):
+    store.insert("a", Vector([1.0, 2.0]))
+    store.delete("a")
+    assert store.dimension == 2
+    with pytest.raises(DimensionMismatchError):
+        store.insert("b", Vector([1.0]))
+
+
+def test_upsert_assigns_fresh_internal_id(store):
+    store.insert("a", Vector([1.0, 0.0]))
+    first_internal = dict(store.internal_to_string_ids())
+    store.insert("a", Vector([0.0, 1.0]))
+    second_internal = dict(store.internal_to_string_ids())
+    assert len(store) == 1
+    assert store.get("a") == Vector([0.0, 1.0])
+    assert list(first_internal.keys()) != list(second_internal.keys())
+
+
+def test_delete_returns_vector(store):
+    store.insert("a", Vector([1.0, 2.0]))
+    removed = store.delete("a")
+    assert removed == Vector([1.0, 2.0])
+    assert len(store) == 0
+
+
+def test_delete_missing_raises(store):
+    with pytest.raises(VectorNotFoundError):
+        store.delete("nope")
+
+
+def test_search_empty_returns_empty_even_with_bad_dim(store):
+    # empty-store check precedes the dimension check (storage.rs:218-220)
+    store.insert("a", Vector([1.0, 2.0]))
+    store.delete("a")
+    assert store.search(Vector([1.0]), 5) == []
+
+
+def test_search_dim_mismatch(store):
+    store.insert("a", Vector([1.0, 2.0]))
+    with pytest.raises(DimensionMismatchError):
+        store.search(Vector([1.0]), 5)
+
+
+def test_search_returns_string_ids(store):
+    store.insert("origin", Vector([0.0, 0.0]))
+    store.insert("far", Vector([10.0, 10.0]))
+    results = store.search(Vector([0.1, 0.0]), 1)
+    assert results[0].id == "origin"
+
+
+def test_search_sorted_ascending(store, rng):
+    data = rng.standard_normal((100, 8)).astype(np.float32)
+    for i in range(100):
+        store.insert(f"v{i}", Vector(data[i]))
+    results = store.search(Vector(data[0]), 10)
+    dists = [r.distance for r in results]
+    assert dists == sorted(dists)
+    assert results[0].id == "v0"
+
+
+def test_metadata_roundtrip(store):
+    meta = Metadata({"category": "books", "author": "x"})
+    store.insert_with_metadata("a", Vector([1.0]), meta)
+    got = store.get_metadata("a")
+    assert got.get("category") == "books"
+    assert store.get_metadata("missing") is None
+
+
+def test_insert_batch_applies_prefix_on_error(store):
+    items = [
+        BatchInsertItem("a", Vector([1.0, 0.0])),
+        BatchInsertItem("b", Vector([2.0, 0.0])),
+        BatchInsertItem("bad", Vector([1.0, 2.0, 3.0])),  # wrong dim
+        BatchInsertItem("c", Vector([3.0, 0.0])),
+    ]
+    with pytest.raises(DimensionMismatchError):
+        store.insert_batch(items)
+    # earlier inserts stay applied (storage.rs:656-677 semantics)
+    assert len(store) == 2
+    assert store.get("a") is not None
+    assert store.get("b") is not None
+    assert store.get("c") is None
+
+
+def test_insert_batch_upserts(store):
+    store.insert("a", Vector([0.0, 0.0]))
+    store.insert_batch([
+        BatchInsertItem("a", Vector([5.0, 5.0])),
+        BatchInsertItem("b", Vector([1.0, 1.0])),
+    ])
+    assert len(store) == 2
+    assert store.get("a") == Vector([5.0, 5.0])
+
+
+def test_search_batch(store, rng):
+    data = rng.standard_normal((64, 8)).astype(np.float32)
+    for i in range(64):
+        store.insert(f"v{i}", Vector(data[i]))
+    queries = [(Vector(data[3]), 2), (Vector(data[10]), 5)]
+    results = store.search_batch(queries)
+    assert len(results) == 2
+    assert results[0][0].id == "v3"
+    assert len(results[0]) == 2
+    assert results[1][0].id == "v10"
+    assert len(results[1]) == 5
+
+
+def test_search_batch_empty_store(store):
+    assert store.search_batch([(Vector([1.0]), 3)]) == [[]]
+
+
+def test_list_ids(store):
+    store.insert("x", Vector([1.0]))
+    store.insert("y", Vector([2.0]))
+    assert sorted(store.list_ids()) == ["x", "y"]
+
+
+def test_metric_property(store):
+    assert store.metric is DistanceMetric.EUCLIDEAN
+
+
+def test_all_metrics_end_to_end(rng):
+    # integration sweep over all three metrics (tests/integration_test.rs:29-47)
+    for metric in DistanceMetric:
+        s = VectorStore.with_flat_index(metric)
+        s.insert("a", Vector([1.0, 0.1]))
+        s.insert("b", Vector([0.1, 1.0]))
+        s.insert("c", Vector([0.9, 0.2]))
+        results = s.search(Vector([1.0, 0.0]), 3)
+        assert len(results) == 3
+        dists = [r.distance for r in results]
+        assert dists == sorted(dists)
+
+
+def test_store_with_hnsw_index(rng):
+    from vectordb_tpu import HnswParams
+    idx = HnswIndex(DistanceMetric.EUCLIDEAN, HnswParams(seed=1))
+    s = VectorStore.with_index(idx)
+    data = rng.standard_normal((50, 16)).astype(np.float32)
+    for i in range(50):
+        s.insert(f"v{i}", Vector(data[i]))
+    results = s.search(Vector(data[7]), 1)
+    assert results[0].id == "v7"
+    s.delete("v7")
+    results = s.search(Vector(data[7]), 1)
+    assert results[0].id != "v7"

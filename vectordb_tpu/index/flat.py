@@ -1,0 +1,290 @@
+"""Exact brute-force k-NN over a packed device matrix.
+
+Capability parity with reference src/flat_index.rs:12-74 (add/remove/search/
+get_vector/len/iter), redesigned TPU-first:
+
+  * rows live in a packed ``f32[capacity, d]`` host matrix mirrored to HBM,
+    with a ``bool[capacity]`` validity mask and precomputed row norms —
+    not a HashMap of boxed vectors;
+  * search is one fused XLA program (MXU matmul + masked top-k, see
+    ops/topk.py) instead of a per-row scalar loop + full sort;
+  * insert/delete patch the device mirror in place with donated scatter
+    updates; capacity grows by powers of two (amortized recompilation);
+  * ``search_masked`` applies a precompiled metadata mask *before* top-k,
+    making filtered search exact (reference over-fetches 3x and
+    post-filters, src/storage.rs:268-287).
+"""
+
+from __future__ import annotations
+
+import math
+import threading
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..distance import DistanceMetric, metric_needs_norms, validate_cosine_operands
+from ..errors import DimensionMismatchError, InvalidVectorError
+from ..ops.topk import flat_search_batched, next_pow2
+from ..ops.update import scatter_rows, scatter_values
+from ..vector import Vector, as_f32_array
+from .base import Index
+
+_MIN_CAPACITY = 1024
+# If more than this fraction of slots is dirty, re-upload wholesale instead
+# of scattering.
+_FULL_SYNC_FRACTION = 8
+
+
+class FlatIndex(Index):
+    """Exact k-NN via fused device flat scan."""
+
+    def __init__(self, metric: DistanceMetric):
+        self._metric = metric
+        self._dim: Optional[int] = None
+        self._capacity = 0
+        self._len = 0
+        # host-side packed storage (source of truth)
+        self._vectors: Optional[np.ndarray] = None   # f32[capacity, d]
+        self._valid: Optional[np.ndarray] = None     # bool[capacity]
+        self._sq_norms: Optional[np.ndarray] = None  # f32[capacity]
+        self._norms: Optional[np.ndarray] = None     # f32[capacity]
+        self._id_of_slot: Optional[np.ndarray] = None  # int64[capacity], -1 free
+        self._slot_of_id: dict[int, int] = {}
+        self._free_slots: list[int] = []
+        self._zero_norm_live = 0  # live rows with zero norm (cosine validation)
+        # device mirror + dirty tracking
+        self._device: Optional[dict] = None
+        self._dirty_slots: set[int] = set()
+        self._lock = threading.RLock()
+
+    # -- basic properties ---------------------------------------------------
+
+    @property
+    def metric(self) -> DistanceMetric:
+        return self._metric
+
+    @property
+    def dimension(self) -> Optional[int]:
+        return self._dim
+
+    @property
+    def capacity(self) -> int:
+        return self._capacity
+
+    def __len__(self) -> int:
+        return self._len
+
+    def slot_of(self, internal_id: int) -> Optional[int]:
+        return self._slot_of_id.get(internal_id)
+
+    # -- storage management -------------------------------------------------
+
+    def _ensure_storage(self, dim: int, want_rows: int) -> None:
+        """Allocate or grow packed storage to hold ``want_rows`` live rows."""
+        if self._dim is None:
+            self._dim = dim
+        needed = max(want_rows, _MIN_CAPACITY)
+        if self._capacity >= needed:
+            return
+        new_cap = next_pow2(needed, floor=_MIN_CAPACITY)
+        new_vectors = np.zeros((new_cap, self._dim), dtype=np.float32)
+        new_valid = np.zeros(new_cap, dtype=bool)
+        new_sq = np.zeros(new_cap, dtype=np.float32)
+        new_norms = np.zeros(new_cap, dtype=np.float32)
+        new_ids = np.full(new_cap, -1, dtype=np.int64)
+        if self._capacity:
+            new_vectors[: self._capacity] = self._vectors
+            new_valid[: self._capacity] = self._valid
+            new_sq[: self._capacity] = self._sq_norms
+            new_norms[: self._capacity] = self._norms
+            new_ids[: self._capacity] = self._id_of_slot
+        self._free_slots.extend(range(new_cap - 1, self._capacity - 1, -1))
+        self._vectors, self._valid = new_vectors, new_valid
+        self._sq_norms, self._norms, self._id_of_slot = new_sq, new_norms, new_ids
+        self._capacity = new_cap
+        self._device = None  # full re-upload on next search
+        self._dirty_slots.clear()
+
+    def _take_slot(self) -> int:
+        if not self._free_slots:
+            self._ensure_storage(self._dim, self._capacity * 2 if self._capacity else 1)
+        return self._free_slots.pop()
+
+    # -- mutation -----------------------------------------------------------
+
+    def add(self, internal_id: int, vector: Vector) -> None:
+        with self._lock:
+            arr = as_f32_array(vector)
+            dim = arr.shape[0]
+            if self._dim is not None and dim != self._dim:
+                raise DimensionMismatchError(self._dim, dim)
+            self._ensure_storage(dim, self._len + 1)
+            old_slot = self._slot_of_id.get(internal_id)
+            if old_slot is not None:
+                self._clear_slot(old_slot)
+            slot = self._take_slot()
+            self._write_slot(slot, internal_id, arr)
+
+    def add_batch(self, items: Sequence[Tuple[int, "Vector | np.ndarray"]]) -> None:
+        """Amortized bulk add: one host pass, one device sync on next search."""
+        with self._lock:
+            if not items:
+                return
+            first = as_f32_array(items[0][1])
+            dim = first.shape[0]
+            if self._dim is not None and dim != self._dim:
+                raise DimensionMismatchError(self._dim, dim)
+            self._ensure_storage(dim, self._len + len(items))
+            for internal_id, vector in items:
+                arr = as_f32_array(vector)
+                if arr.shape[0] != self._dim:
+                    raise DimensionMismatchError(self._dim, arr.shape[0])
+                old_slot = self._slot_of_id.get(internal_id)
+                if old_slot is not None:
+                    self._clear_slot(old_slot)
+                slot = self._take_slot()
+                self._write_slot(slot, internal_id, arr)
+
+    def _write_slot(self, slot: int, internal_id: int, arr: np.ndarray) -> None:
+        self._vectors[slot] = arr
+        sq = float(np.dot(arr, arr))
+        self._sq_norms[slot] = sq
+        self._norms[slot] = math.sqrt(sq)
+        self._valid[slot] = True
+        self._id_of_slot[slot] = internal_id
+        self._slot_of_id[internal_id] = slot
+        self._len += 1
+        if sq == 0.0:
+            self._zero_norm_live += 1
+        self._dirty_slots.add(slot)
+
+    def _clear_slot(self, slot: int) -> None:
+        internal_id = int(self._id_of_slot[slot])
+        if self._sq_norms[slot] == 0.0 and self._valid[slot]:
+            self._zero_norm_live -= 1
+        self._valid[slot] = False
+        self._id_of_slot[slot] = -1
+        self._slot_of_id.pop(internal_id, None)
+        self._free_slots.append(slot)
+        self._len -= 1
+        self._dirty_slots.add(slot)
+
+    def remove(self, internal_id: int) -> None:
+        with self._lock:
+            slot = self._slot_of_id.get(internal_id)
+            if slot is None:
+                return  # unknown IDs are a no-op, like the reference HashMap remove
+            self._clear_slot(slot)
+
+    # -- lookup -------------------------------------------------------------
+
+    def get_vector(self, internal_id: int) -> Optional[Vector]:
+        with self._lock:
+            slot = self._slot_of_id.get(internal_id)
+            if slot is None:
+                return None
+            return Vector(self._vectors[slot].copy())
+
+    def iter_items(self) -> Iterator[Tuple[int, Vector]]:
+        with self._lock:
+            slots = np.nonzero(self._valid)[0] if self._valid is not None else []
+            pairs = [(int(self._id_of_slot[s]), Vector(self._vectors[s].copy()))
+                     for s in slots]
+        return iter(pairs)
+
+    # -- device mirror ------------------------------------------------------
+
+    def _sync_device(self) -> dict:
+        """Bring the HBM mirror up to date. Called with the lock held."""
+        if self._device is None:
+            self._device = {
+                "db": jnp.asarray(self._vectors),
+                "sq_norms": jnp.asarray(self._sq_norms),
+                "norms": jnp.asarray(self._norms),
+                "valid": jnp.asarray(self._valid),
+            }
+            self._dirty_slots.clear()
+            return self._device
+        if self._dirty_slots:
+            if len(self._dirty_slots) * _FULL_SYNC_FRACTION > self._capacity:
+                self._device = None
+                return self._sync_device()
+            idx = np.fromiter(self._dirty_slots, dtype=np.int32)
+            dev = self._device
+            dev["db"] = scatter_rows(dev["db"], idx, self._vectors[idx])
+            dev["sq_norms"] = scatter_values(dev["sq_norms"], idx, self._sq_norms[idx])
+            dev["norms"] = scatter_values(dev["norms"], idx, self._norms[idx])
+            dev["valid"] = scatter_values(dev["valid"], idx, self._valid[idx])
+            self._dirty_slots.clear()
+        return self._device
+
+    # -- search -------------------------------------------------------------
+
+    def search(self, query: Vector, k: int) -> List[Tuple[int, float]]:
+        results = self.search_batch(as_f32_array(query).reshape(1, -1), k)
+        return results[0]
+
+    def search_batch(self, queries: np.ndarray, k: int,
+                     slot_mask: Optional[np.ndarray] = None
+                     ) -> List[List[Tuple[int, float]]]:
+        """Q queries in one fused device call; optional pre-top-k slot mask."""
+        queries = np.asarray(queries, dtype=np.float32)
+        if queries.ndim != 2:
+            raise InvalidVectorError("queries must be a (Q, d) array")
+        with self._lock:
+            if self._len == 0 or k <= 0:
+                return [[] for _ in range(queries.shape[0])]
+            if queries.shape[1] != self._dim:
+                raise DimensionMismatchError(self._dim, queries.shape[1])
+            if self._metric is DistanceMetric.COSINE:
+                qn = np.sqrt(np.sum(queries * queries, axis=1))
+                validate_cosine_operands(self._metric, float(qn.min()),
+                                         self._zero_norm_live)
+            dev = dict(self._sync_device())
+            id_of_slot = self._id_of_slot.copy()
+            live = self._len
+        if slot_mask is not None:
+            mask = np.asarray(slot_mask, dtype=bool)
+            if mask.shape[0] != dev["valid"].shape[0]:
+                padded = np.zeros(int(dev["valid"].shape[0]), dtype=bool)
+                padded[: min(mask.shape[0], padded.shape[0])] = \
+                    mask[: padded.shape[0]]
+                mask = padded
+            dev["valid"] = jnp.logical_and(dev["valid"], jnp.asarray(mask))
+        k_req = min(int(k), live)
+        dists, idx = flat_search_batched(queries, dev, self._metric, k_req)
+        out: List[List[Tuple[int, float]]] = []
+        for qi in range(queries.shape[0]):
+            row: List[Tuple[int, float]] = []
+            for j in range(dists.shape[1]):
+                dist = float(dists[qi, j])
+                if math.isinf(dist):
+                    break  # masked/invalid tail
+                if len(row) == k_req:
+                    break
+                row.append((int(id_of_slot[int(idx[qi, j])]), dist))
+            out.append(row)
+        return out
+
+    def search_masked(self, query: Vector, k: int,
+                      slot_mask: np.ndarray) -> Optional[List[Tuple[int, float]]]:
+        results = self.search_batch(as_f32_array(query).reshape(1, -1), k,
+                                    slot_mask=slot_mask)
+        return results[0]
+
+    # -- introspection helpers (used by persistence / benchmarks) -----------
+
+    def packed_arrays(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(vectors[capacity,d], valid[capacity], id_of_slot[capacity]) host copies."""
+        with self._lock:
+            if self._vectors is None:
+                return (np.zeros((0, 0), np.float32), np.zeros(0, bool),
+                        np.zeros(0, np.int64))
+            return (self._vectors.copy(), self._valid.copy(),
+                    self._id_of_slot.copy())
+
+    def __repr__(self) -> str:
+        return (f"FlatIndex(metric={self._metric.value}, len={self._len}, "
+                f"dim={self._dim}, capacity={self._capacity})")

@@ -1,0 +1,99 @@
+"""Index-trait adapter over the HNSW graph.
+
+Capability parity with reference src/hnsw/mod.rs:14-81: ``add``/``remove``/
+``search`` (with the params' ef_search), ``get_vector``, ``build_batch``
+bulk loading (mod.rs:37) and ``search_with_ef`` runtime tuning (mod.rs:45-53).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..distance import DistanceMetric
+from ..vector import Vector, as_f32_array
+from .base import Index
+from .hnsw_graph import HnswGraph, HnswParams
+
+
+class HnswIndex(Index):
+    """Approximate k-NN via hierarchical navigable small-world graphs."""
+
+    def __init__(self, metric: DistanceMetric,
+                 params: Optional[HnswParams] = None):
+        self._graph = HnswGraph(metric, params)
+
+    @classmethod
+    def with_params(cls, metric: DistanceMetric,
+                    params: HnswParams) -> "HnswIndex":
+        return cls(metric, params)
+
+    @property
+    def metric(self) -> DistanceMetric:
+        return self._graph.metric
+
+    @property
+    def params(self) -> HnswParams:
+        return self._graph.params
+
+    @property
+    def graph(self) -> HnswGraph:
+        return self._graph
+
+    @property
+    def dimension(self) -> Optional[int]:
+        return self._graph.dimension
+
+    @property
+    def capacity(self) -> int:
+        return self._graph.capacity
+
+    def slot_of(self, internal_id: int) -> Optional[int]:
+        return self._graph.slot_of(internal_id)
+
+    def __len__(self) -> int:
+        return len(self._graph)
+
+    # -- mutation ------------------------------------------------------------
+
+    def add(self, internal_id: int, vector: Vector) -> None:
+        self._graph.insert(internal_id, as_f32_array(vector))
+
+    def add_batch(self, items: Sequence[Tuple[int, Vector]]) -> None:
+        self.build_batch(items)
+
+    def build_batch(self, items: Sequence[Tuple[int, Vector]]) -> None:
+        """Bulk load (reference: src/hnsw/mod.rs:37 — sequential there too)."""
+        for internal_id, vector in items:
+            self._graph.insert(internal_id, as_f32_array(vector))
+
+    def remove(self, internal_id: int) -> None:
+        self._graph.remove(internal_id)
+
+    # -- search --------------------------------------------------------------
+
+    def search(self, query: Vector, k: int) -> List[Tuple[int, float]]:
+        return self._graph.search_knn(as_f32_array(query), k)
+
+    def search_with_ef(self, query: Vector, k: int,
+                       ef: int) -> List[Tuple[int, float]]:
+        return self._graph.search_knn(as_f32_array(query), k, ef=ef)
+
+    def search_batch(self, queries: np.ndarray,
+                     k: int) -> List[List[Tuple[int, float]]]:
+        return [self._graph.search_knn(queries[i], k)
+                for i in range(queries.shape[0])]
+
+    # -- lookups -------------------------------------------------------------
+
+    def get_vector(self, internal_id: int) -> Optional[Vector]:
+        arr = self._graph.get_vector(internal_id)
+        return None if arr is None else Vector(arr)
+
+    def iter_items(self) -> Iterator[Tuple[int, Vector]]:
+        return ((iid, Vector(arr)) for iid, arr in self._graph.iter_items())
+
+    def __repr__(self) -> str:
+        return (f"HnswIndex(metric={self.metric.value}, len={len(self)}, "
+                f"m={self.params.m}, ef_search={self.params.ef_search})")

@@ -1,0 +1,304 @@
+"""VectorStore: string-ID CRUD + metadata + filtered/batch search over any index.
+
+Capability parity with reference src/storage.rs:83-348, preserving its
+observable semantics:
+
+  * upsert: re-inserting an existing string ID removes the old entry and
+    assigns a *fresh* internal ID (src/storage.rs:157-168);
+  * the first insert fixes the store dimension; later mismatches raise
+    (src/storage.rs:144-154) and the dimension never resets;
+  * delete returns the removed vector; missing IDs raise VectorNotFound
+    (src/storage.rs:175-192);
+  * searching an empty store returns [] *before* any dimension check
+    (src/storage.rs:218-220);
+  * insert_batch applies items in order and stops at the first error,
+    leaving earlier inserts applied (src/storage.rs:293-298).
+
+Filtered search is *exact* when the index supports masked search (FlatIndex):
+the filter AST compiles to a columnar slot mask applied before top-k. For
+indexes without masked search (HNSW) it falls back to the reference's 3x
+over-fetch + post-filter strategy (src/storage.rs:268-287).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .distance import DistanceMetric
+from .errors import DimensionMismatchError, VectorNotFoundError
+from .index.base import Index
+from .index.flat import FlatIndex
+from .metadata import ColumnarMetadata, Metadata, MetadataFilter
+from .vector import Vector, as_f32_array
+
+
+@dataclass
+class SearchResult:
+    """(string id, distance) search hit (reference: src/storage.rs:13-16)."""
+    id: str
+    distance: float
+
+
+@dataclass
+class BatchInsertItem:
+    """One item of a batch insert (reference: src/storage.rs:74-79)."""
+    id: str
+    vector: Vector
+    metadata: Metadata = field(default_factory=Metadata)
+
+
+class VectorStore:
+    """In-memory vector store with a pluggable search index."""
+
+    def __init__(self, index: Index):
+        self._index = index
+        self._id_to_internal: Dict[str, int] = {}
+        self._internal_to_id: Dict[int, str] = {}
+        self._metadata: Dict[int, Metadata] = {}
+        self._next_id = 0
+        self._dimension: Optional[int] = None
+        self._columnar = ColumnarMetadata(0)
+
+    # -- constructors (reference: src/storage.rs:97-127) --------------------
+
+    @classmethod
+    def new(cls, metric: DistanceMetric) -> "VectorStore":
+        return cls.with_flat_index(metric)
+
+    @classmethod
+    def with_flat_index(cls, metric: DistanceMetric) -> "VectorStore":
+        return cls(FlatIndex(metric))
+
+    @classmethod
+    def with_index(cls, index: Index) -> "VectorStore":
+        return cls(index)
+
+    # -- insert -------------------------------------------------------------
+
+    def insert(self, id: str, vector: Vector) -> None:
+        self.insert_with_metadata(id, vector, Metadata())
+
+    def insert_with_metadata(self, id: str, vector: Vector,
+                             metadata: Metadata) -> None:
+        id = str(id)
+        dim = vector.dimension
+        self._check_or_fix_dimension(dim)
+        self._remove_existing(id)
+        internal_id = self._alloc_internal(id)
+        self._index.add(internal_id, vector)
+        self._record_metadata(internal_id, metadata)
+
+    def _check_or_fix_dimension(self, dim: int) -> None:
+        if self._dimension is not None:
+            if dim != self._dimension:
+                raise DimensionMismatchError(self._dimension, dim)
+        else:
+            self._dimension = dim
+
+    def _remove_existing(self, id: str) -> None:
+        old_internal = self._id_to_internal.get(id)
+        if old_internal is None:
+            return
+        self._clear_columnar(old_internal)
+        self._index.remove(old_internal)
+        self._metadata.pop(old_internal, None)
+        self._internal_to_id.pop(old_internal, None)
+
+    def _alloc_internal(self, id: str) -> int:
+        internal_id = self._next_id
+        self._next_id += 1
+        self._id_to_internal[id] = internal_id
+        self._internal_to_id[internal_id] = id
+        return internal_id
+
+    def _record_metadata(self, internal_id: int, metadata: Metadata) -> None:
+        self._metadata[internal_id] = metadata
+        slot = self._index.slot_of(internal_id)
+        if slot is None:
+            return
+        cap = self._index.capacity
+        if cap > self._columnar.capacity:
+            self._columnar.grow(cap)
+        self._columnar.set_slot(slot, metadata)
+
+    def _clear_columnar(self, internal_id: int) -> None:
+        slot = self._index.slot_of(internal_id)
+        if slot is not None and slot < self._columnar.capacity:
+            self._columnar.clear_slot(slot)
+
+    def insert_batch(self, items: Sequence[BatchInsertItem]) -> None:
+        """Apply in order; stop at the first error leaving earlier inserts
+        applied (reference: src/storage.rs:293-298). The only failure mode is
+        a dimension mismatch, which is checked host-side, so the accepted
+        prefix is bulk-loaded through the index's batched add path."""
+        prefix_end = len(items)
+        error: Optional[Exception] = None
+        expected = self._dimension
+        for i, item in enumerate(items):
+            dim = item.vector.dimension
+            if expected is None:
+                expected = dim
+            elif dim != expected:
+                prefix_end = i
+                error = DimensionMismatchError(expected, dim)
+                break
+        accepted = items[:prefix_end]
+        if accepted:
+            self._check_or_fix_dimension(accepted[0].vector.dimension)
+            pairs = []
+            metas = []
+            for item in accepted:
+                self._remove_existing(str(item.id))
+                internal_id = self._alloc_internal(str(item.id))
+                pairs.append((internal_id, item.vector))
+                metas.append((internal_id, item.metadata))
+            self._index.add_batch(pairs)
+            for internal_id, meta in metas:
+                self._record_metadata(internal_id, meta)
+        if error is not None:
+            raise error
+
+    # -- delete / lookup ----------------------------------------------------
+
+    def delete(self, id: str) -> Vector:
+        internal_id = self._id_to_internal.pop(str(id), None)
+        if internal_id is None:
+            raise VectorNotFoundError(str(id))
+        vector = self._index.get_vector(internal_id)
+        if vector is None:
+            vector = Vector([])
+        self._clear_columnar(internal_id)
+        self._internal_to_id.pop(internal_id, None)
+        self._metadata.pop(internal_id, None)
+        self._index.remove(internal_id)
+        return vector
+
+    def get(self, id: str) -> Optional[Vector]:
+        internal_id = self._id_to_internal.get(str(id))
+        if internal_id is None:
+            return None
+        return self._index.get_vector(internal_id)
+
+    def get_metadata(self, id: str) -> Optional[Metadata]:
+        internal_id = self._id_to_internal.get(str(id))
+        if internal_id is None:
+            return None
+        return self._metadata.get(internal_id)
+
+    def __len__(self) -> int:
+        return len(self._index)
+
+    def is_empty(self) -> bool:
+        return len(self) == 0
+
+    # -- search -------------------------------------------------------------
+
+    def _check_query_dim(self, query: Vector) -> None:
+        if self._dimension is not None and query.dimension != self._dimension:
+            raise DimensionMismatchError(self._dimension, query.dimension)
+
+    def _map_results(self, raw: List[Tuple[int, float]]) -> List[SearchResult]:
+        out = []
+        for internal_id, dist in raw:
+            sid = self._internal_to_id.get(internal_id)
+            if sid is not None:
+                out.append(SearchResult(id=sid, distance=dist))
+        return out
+
+    def search(self, query: Vector, k: int) -> List[SearchResult]:
+        if self.is_empty():
+            return []
+        self._check_query_dim(query)
+        return self._map_results(self._index.search(query, k))
+
+    def search_with_filter(self, query: Vector, k: int,
+                           filter: MetadataFilter) -> List[SearchResult]:
+        if self.is_empty():
+            return []
+        self._check_query_dim(query)
+        mask = self._columnar.compile_mask(filter) \
+            if self._columnar.capacity else None
+        if mask is not None:
+            masked = self._index.search_masked(query, k, mask)
+            if masked is not None:
+                return self._map_results(masked)
+        # fallback: reference-style 3x over-fetch + post-filter
+        fetch_k = min(max(k * 3, k), len(self))
+        raw = self._index.search(query, fetch_k)
+        out: List[SearchResult] = []
+        for internal_id, dist in raw:
+            if len(out) == k:
+                break
+            sid = self._internal_to_id.get(internal_id)
+            if sid is None:
+                continue
+            meta = self._metadata.get(internal_id)
+            if meta is None:
+                continue
+            if filter.matches(meta):
+                out.append(SearchResult(id=sid, distance=dist))
+        return out
+
+    def search_batch(self, queries: Sequence[Tuple[Vector, int]]
+                     ) -> List[List[SearchResult]]:
+        """Batched search: one fused device program for the whole batch
+        (the reference loops queries sequentially, src/storage.rs:302-310)."""
+        if not queries:
+            return []
+        if self.is_empty():
+            return [[] for _ in queries]
+        for q, _ in queries:
+            self._check_query_dim(q)
+        ks = [int(k) for _, k in queries]
+        kmax = max(ks)
+        qmat = np.stack([as_f32_array(q) for q, _ in queries])
+        raw_batches = self._index.search_batch(qmat, kmax)
+        return [self._map_results(raw[:k])
+                for raw, k in zip(raw_batches, ks)]
+
+    def search_batch_with_filter(self, queries: Sequence[Tuple[Vector, int]],
+                                 filter: MetadataFilter
+                                 ) -> List[List[SearchResult]]:
+        if not queries:
+            return []
+        if self.is_empty():
+            return [[] for _ in queries]
+        for q, _ in queries:
+            self._check_query_dim(q)
+        mask = self._columnar.compile_mask(filter) \
+            if self._columnar.capacity else None
+        if mask is not None and isinstance(self._index, FlatIndex):
+            ks = [int(k) for _, k in queries]
+            kmax = max(ks)
+            qmat = np.stack([as_f32_array(q) for q, _ in queries])
+            raw_batches = self._index.search_batch(qmat, kmax, slot_mask=mask)
+            return [self._map_results(raw[:k])
+                    for raw, k in zip(raw_batches, ks)]
+        return [self.search_with_filter(q, k, filter) for q, k in queries]
+
+    # -- misc ---------------------------------------------------------------
+
+    def list_ids(self) -> List[str]:
+        return list(self._id_to_internal.keys())
+
+    @property
+    def metric(self) -> DistanceMetric:
+        return self._index.metric
+
+    @property
+    def dimension(self) -> Optional[int]:
+        return self._dimension
+
+    @property
+    def index(self) -> Index:
+        return self._index
+
+    def internal_to_string_ids(self) -> Dict[int, str]:
+        return dict(self._internal_to_id)
+
+    def __repr__(self) -> str:
+        return (f"VectorStore(len={len(self)}, dim={self._dimension}, "
+                f"metric={self.metric.value}, index={type(self._index).__name__})")
