@@ -1,0 +1,90 @@
+"""CLI behavior (parity with reference src/main.rs:10-198)."""
+
+import pytest
+
+from vectordb_tpu.cli import main
+
+
+def run(capsys, *argv):
+    code = main(list(argv))
+    out = capsys.readouterr()
+    return code, out.out, out.err
+
+
+def test_insert_in_memory(capsys):
+    code, out, _ = run(capsys, "insert", "a", "--vector", "1.0,2.0")
+    assert code == 0
+    assert "Inserted vector with ID: a" in out
+
+
+def test_search_empty_store(capsys):
+    code, out, _ = run(capsys, "search", "1.0,2.0")
+    assert code == 0
+    assert "No results found (store is empty)" in out
+
+
+def test_persistent_workflow(capsys, tmp_path):
+    d = str(tmp_path / "db")
+    code, out, _ = run(capsys, "--data-dir", d, "insert", "a",
+                       "--vector", "1.0,0.0")
+    assert code == 0
+    code, out, _ = run(capsys, "--data-dir", d, "insert", "b",
+                       "--vector", "0.0,1.0")
+    assert code == 0
+    code, out, _ = run(capsys, "--data-dir", d, "search", "1.0,0.1", "-k", "1")
+    assert code == 0
+    assert "Top 1 results:" in out
+    assert "1. a (distance:" in out
+    code, out, _ = run(capsys, "--data-dir", d, "list")
+    assert "Vector IDs (2 total):" in out
+    assert "  - a" in out and "  - b" in out
+    code, out, _ = run(capsys, "--data-dir", d, "delete", "a")
+    assert "Deleted vector with ID: a" in out
+    code, out, _ = run(capsys, "--data-dir", d, "list")
+    assert "Vector IDs (1 total):" in out
+
+
+def test_delete_missing_errors(capsys, tmp_path):
+    code, _, err = run(capsys, "delete", "ghost")
+    assert code == 1
+    assert "Vector not found: ghost" in err
+
+
+def test_invalid_vector_errors(capsys):
+    code, _, err = run(capsys, "insert", "a", "--vector", "1.0,zzz")
+    assert code == 1
+    assert "Invalid float" in err
+
+
+def test_serve_with_data_dir_rejected(capsys, tmp_path):
+    code, _, err = run(capsys, "--data-dir", str(tmp_path), "serve")
+    assert code == 1
+    assert "not supported with --data-dir" in err
+
+
+def test_hnsw_index_flag(capsys):
+    code, out, _ = run(capsys, "--index", "hnsw", "insert", "a",
+                       "--vector", "1.0,2.0")
+    assert code == 0
+    assert "Inserted" in out
+
+
+def test_k_default_is_5(capsys, tmp_path):
+    d = str(tmp_path / "db")
+    for i in range(8):
+        run(capsys, "--data-dir", d, "insert", f"v{i}",
+            "--vector", f"{i}.0,0.0")
+    code, out, _ = run(capsys, "--data-dir", d, "search", "0.0,0.0")
+    assert code == 0
+    assert "Top 5 results:" in out
+
+
+def test_metric_flag(capsys, tmp_path):
+    d = str(tmp_path / "db")
+    run(capsys, "--data-dir", d, "--metric", "dot_product",
+        "insert", "big", "--vector", "10.0,10.0")
+    run(capsys, "--data-dir", d, "--metric", "dot_product",
+        "insert", "small", "--vector", "0.1,0.1")
+    code, out, _ = run(capsys, "--data-dir", d, "--metric", "dot_product",
+                       "search", "1.0,1.0", "-k", "1")
+    assert "1. big" in out

@@ -1,0 +1,356 @@
+"""Durability layer: WAL framing/CRC/replay, snapshots, crash recovery,
+mmap vector file (parity with reference src/persistence tests: wal.rs:
+123-203, engine.rs:231-392, snapshot.rs:66-114, mmap.rs:175-229).
+
+Every test runs twice: with the native C++ core and with the pure-Python
+fallback; plus cross-backend tests proving the on-disk bytes interoperate.
+"""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from vectordb_tpu import DistanceMetric, Metadata, Vector
+from vectordb_tpu.persistence import (DatabaseSnapshot, EngineConfig,
+                                      MmapVectorStorage, SerializedVector,
+                                      SnapshotManager, StorageEngine,
+                                      WalEntry, WriteAheadLog)
+from vectordb_tpu.persistence import native_lib
+from vectordb_tpu.persistence.serialization import (WAL_CHECKPOINT,
+                                                    WAL_DELETE, WAL_INSERT,
+                                                    decode_wal_entry,
+                                                    encode_wal_entry)
+
+
+@pytest.fixture(params=["native", "python"])
+def backend(request, monkeypatch):
+    if request.param == "python":
+        monkeypatch.setenv("VDB_TPU_NO_NATIVE", "1")
+    else:
+        monkeypatch.delenv("VDB_TPU_NO_NATIVE", raising=False)
+        if native_lib.get_native() is None:
+            pytest.skip("native library unavailable")
+    return request.param
+
+
+class TestWalEntryCodec:
+    def test_insert_roundtrip(self):
+        e = WalEntry.insert("doc-1", 42, np.array([1.5, -2.0], np.float32),
+                            {"cat": "x", "lang": "en"})
+        got = decode_wal_entry(encode_wal_entry(e))
+        assert got.kind == WAL_INSERT
+        assert got.string_id == "doc-1"
+        assert got.internal_id == 42
+        np.testing.assert_array_equal(got.data, e.data)
+        assert got.metadata == {"cat": "x", "lang": "en"}
+
+    def test_delete_roundtrip(self):
+        got = decode_wal_entry(encode_wal_entry(WalEntry.delete("gone")))
+        assert got.kind == WAL_DELETE and got.string_id == "gone"
+
+    def test_checkpoint_roundtrip(self):
+        got = decode_wal_entry(encode_wal_entry(WalEntry.checkpoint()))
+        assert got.kind == WAL_CHECKPOINT
+
+    def test_unicode_ids(self):
+        e = WalEntry.insert("ключ-🔑", 0, np.zeros(2, np.float32), {})
+        assert decode_wal_entry(encode_wal_entry(e)).string_id == "ключ-🔑"
+
+
+class TestWal:
+    def test_append_replay(self, backend, tmp_path):
+        path = tmp_path / "wal.log"
+        wal = WriteAheadLog.open(path)
+        wal.append(WalEntry.insert("a", 0, np.array([1.0], np.float32)))
+        wal.append(WalEntry.delete("a"))
+        wal.append(WalEntry.checkpoint())
+        wal.close()
+        entries = WriteAheadLog.open(path).replay()
+        assert [e.kind for e in entries] == [WAL_INSERT, WAL_DELETE,
+                                             WAL_CHECKPOINT]
+
+    def test_replay_empty(self, backend, tmp_path):
+        wal = WriteAheadLog.open(tmp_path / "wal.log")
+        assert wal.replay() == []
+
+    def test_replay_stops_at_garbage(self, backend, tmp_path):
+        # torn-write simulation (reference wal.rs:163-187)
+        path = tmp_path / "wal.log"
+        wal = WriteAheadLog.open(path)
+        wal.append(WalEntry.insert("a", 0, np.array([1.0], np.float32)))
+        wal.append(WalEntry.insert("b", 1, np.array([2.0], np.float32)))
+        wal.close()
+        with open(path, "ab") as f:
+            f.write(b"\x07\x00\x00\x00garbage-bytes")
+        entries = WriteAheadLog.open(path).replay()
+        assert len(entries) == 2
+        assert entries[1].string_id == "b"
+
+    def test_replay_stops_at_crc_mismatch(self, backend, tmp_path):
+        path = tmp_path / "wal.log"
+        wal = WriteAheadLog.open(path)
+        wal.append(WalEntry.insert("a", 0, np.array([1.0], np.float32)))
+        wal.append(WalEntry.insert("b", 1, np.array([2.0], np.float32)))
+        wal.close()
+        # flip one payload byte of the second frame
+        raw = bytearray(path.read_bytes())
+        first_len = struct.unpack_from("<I", raw, 0)[0]
+        second_payload_at = 8 + first_len + 8
+        raw[second_payload_at + 2] ^= 0xFF
+        path.write_bytes(bytes(raw))
+        entries = WriteAheadLog.open(path).replay()
+        assert len(entries) == 1
+        assert entries[0].string_id == "a"
+
+    def test_replay_stops_at_truncated_frame(self, backend, tmp_path):
+        path = tmp_path / "wal.log"
+        wal = WriteAheadLog.open(path)
+        wal.append(WalEntry.insert("a", 0, np.array([1.0], np.float32)))
+        wal.close()
+        raw = path.read_bytes()
+        path.write_bytes(raw[:-3])  # cut the tail
+        assert WriteAheadLog.open(path).replay() == []
+
+    def test_truncate(self, backend, tmp_path):
+        path = tmp_path / "wal.log"
+        wal = WriteAheadLog.open(path)
+        wal.append(WalEntry.delete("x"))
+        wal.truncate()
+        assert wal.replay() == []
+        # still appendable after truncate
+        wal.append(WalEntry.delete("y"))
+        wal.close()
+        entries = WriteAheadLog.open(path).replay()
+        assert [e.string_id for e in entries] == ["y"]
+
+    def test_frame_layout_is_len_crc_payload(self, backend, tmp_path):
+        path = tmp_path / "wal.log"
+        wal = WriteAheadLog.open(path)
+        entry = WalEntry.delete("abc")
+        wal.append(entry)
+        wal.close()
+        raw = path.read_bytes()
+        payload = encode_wal_entry(entry)
+        length, crc = struct.unpack_from("<II", raw, 0)
+        assert length == len(payload)
+        assert crc == (zlib.crc32(payload) & 0xFFFFFFFF)
+        assert raw[8:] == payload
+
+
+def test_wal_cross_backend_compat(tmp_path, monkeypatch):
+    """Files written natively replay in pure Python and vice versa."""
+    if native_lib.get_native() is None:
+        pytest.skip("native library unavailable")
+    native_path = tmp_path / "native.log"
+    wal = WriteAheadLog.open(native_path)
+    assert wal._handle is not None  # actually using native
+    wal.append(WalEntry.insert("n", 5, np.array([3.0], np.float32),
+                               {"k": "v"}))
+    wal.close()
+    monkeypatch.setenv("VDB_TPU_NO_NATIVE", "1")
+    entries = WriteAheadLog.open(native_path).replay()
+    assert entries[0].string_id == "n" and entries[0].metadata == {"k": "v"}
+
+    py_path = tmp_path / "python.log"
+    wal = WriteAheadLog.open(py_path)
+    assert wal._handle is None  # actually pure python
+    wal.append(WalEntry.delete("p"))
+    wal.close()
+    monkeypatch.delenv("VDB_TPU_NO_NATIVE")
+    entries = WriteAheadLog.open(py_path).replay()
+    assert entries[0].string_id == "p"
+
+
+class TestSnapshot:
+    def test_save_load_roundtrip(self, backend, tmp_path):
+        mgr = SnapshotManager(tmp_path)
+        snap = DatabaseSnapshot(
+            vectors=[SerializedVector(0, "a", np.array([1., 2.], np.float32)),
+                     SerializedVector(1, "b", np.array([3., 4.], np.float32))],
+            metadata={1: {"cat": "x"}},
+            next_id=2, dimension=2)
+        mgr.save(snap)
+        got = mgr.load()
+        assert got.next_id == 2 and got.dimension == 2
+        assert [(v.internal_id, v.string_id) for v in got.vectors] == \
+            [(0, "a"), (1, "b")]
+        np.testing.assert_array_equal(got.vectors[1].data, [3., 4.])
+        assert got.metadata == {1: {"cat": "x"}}
+
+    def test_load_absent_returns_none(self, backend, tmp_path):
+        assert SnapshotManager(tmp_path).load() is None
+        assert not SnapshotManager(tmp_path).exists()
+
+    def test_manifest(self, backend, tmp_path):
+        mgr = SnapshotManager(tmp_path)
+        mgr.save(DatabaseSnapshot([], {}, next_id=7, dimension=None))
+        m = mgr.manifest()
+        assert m == {"vector_count": 0, "next_id": 7, "dimension": None}
+
+    def test_no_tmp_residue(self, backend, tmp_path):
+        mgr = SnapshotManager(tmp_path)
+        mgr.save(DatabaseSnapshot([], {}, 0, None))
+        assert not list(tmp_path.glob("*.tmp"))
+
+
+class TestEngine:
+    def test_insert_search_reopen(self, backend, tmp_path):
+        # WAL-only recovery (reference engine.rs:260-292)
+        with StorageEngine.open(tmp_path) as eng:
+            eng.insert("a", Vector([1.0, 0.0]))
+            eng.insert("b", Vector([0.0, 1.0]))
+        with StorageEngine.open(tmp_path) as eng:
+            assert len(eng) == 2
+            hits = eng.search(Vector([1.0, 0.1]), 1)
+            assert hits[0].id == "a"
+
+    def test_snapshot_plus_wal_recovery(self, backend, tmp_path):
+        # checkpoint then more writes (reference engine.rs:294-328)
+        with StorageEngine.open(tmp_path) as eng:
+            eng.insert("a", Vector([1.0]))
+            eng.checkpoint()
+            eng.insert("b", Vector([2.0]))
+        with StorageEngine.open(tmp_path) as eng:
+            assert sorted(eng.list_ids()) == ["a", "b"]
+
+    def test_delete_replay(self, backend, tmp_path):
+        # (reference engine.rs:330-359)
+        with StorageEngine.open(tmp_path) as eng:
+            eng.insert("a", Vector([1.0]))
+            eng.insert("b", Vector([2.0]))
+            eng.delete("a")
+        with StorageEngine.open(tmp_path) as eng:
+            assert eng.list_ids() == ["b"]
+            assert eng.get("a") is None
+
+    def test_auto_checkpoint_1000_vectors(self, backend, tmp_path):
+        # (reference engine.rs:361-391) — cross-checkpoint reopen
+        cfg = EngineConfig(checkpoint_interval=100)
+        with StorageEngine.open(tmp_path, cfg) as eng:
+            for i in range(250):
+                eng.insert(f"v{i}", Vector([float(i), 0.0]))
+        assert SnapshotManager(tmp_path).exists()
+        with StorageEngine.open(tmp_path, cfg) as eng:
+            assert len(eng) == 250
+            assert eng.search(Vector([123.0, 0.0]), 1)[0].id == "v123"
+
+    def test_metadata_persisted(self, backend, tmp_path):
+        # improvement over reference (engine.rs:136-140 drops metadata)
+        with StorageEngine.open(tmp_path) as eng:
+            eng.insert_with_metadata("a", Vector([1.0]),
+                                     Metadata({"cat": "books"}))
+            eng.checkpoint()
+            eng.insert_with_metadata("b", Vector([2.0]),
+                                     Metadata({"cat": "films"}))
+        with StorageEngine.open(tmp_path) as eng:
+            assert eng.get_metadata("a").get("cat") == "books"   # via snapshot
+            assert eng.get_metadata("b").get("cat") == "films"   # via WAL
+
+    def test_upsert_survives_recovery(self, backend, tmp_path):
+        with StorageEngine.open(tmp_path) as eng:
+            eng.insert("a", Vector([1.0]))
+            eng.insert("a", Vector([9.0]))
+        with StorageEngine.open(tmp_path) as eng:
+            assert len(eng) == 1
+            assert eng.get("a") == Vector([9.0])
+
+    def test_torn_tail_recovers_prefix(self, backend, tmp_path):
+        with StorageEngine.open(tmp_path) as eng:
+            eng.insert("a", Vector([1.0]))
+            eng.insert("b", Vector([2.0]))
+        with open(tmp_path / "wal.log", "ab") as f:
+            f.write(b"\xff\xff\xff\x7fpartial")
+        with StorageEngine.open(tmp_path) as eng:
+            assert sorted(eng.list_ids()) == ["a", "b"]
+
+    def test_metric_config(self, backend, tmp_path):
+        cfg = EngineConfig(metric=DistanceMetric.COSINE)
+        with StorageEngine.open(tmp_path, cfg) as eng:
+            eng.insert("a", Vector([1.0, 0.0]))
+            eng.insert("b", Vector([0.0, 1.0]))
+            hits = eng.search(Vector([1.0, 0.0]), 2)
+            assert hits[0].id == "a"
+            assert hits[0].distance == pytest.approx(0.0)
+            assert hits[1].distance == pytest.approx(1.0)
+
+
+class TestMmapStorage:
+    def test_create_append_get(self, backend, tmp_path):
+        path = tmp_path / "vectors.bin"
+        with MmapVectorStorage.create(path, 3) as st:
+            st.append(Vector([1.0, 2.0, 3.0]))
+            st.append(np.array([4.0, 5.0, 6.0], np.float32))
+            assert st.count == 2
+            assert st.dimension == 3
+            assert st.get(1) == Vector([4.0, 5.0, 6.0])
+
+    def test_reopen(self, backend, tmp_path):
+        path = tmp_path / "vectors.bin"
+        with MmapVectorStorage.create(path, 2) as st:
+            st.append(Vector([1.0, 2.0]))
+        with MmapVectorStorage.open(path) as st:
+            assert st.count == 1 and st.dimension == 2
+            assert st.get(0) == Vector([1.0, 2.0])
+
+    def test_get_mmap(self, backend, tmp_path):
+        path = tmp_path / "vectors.bin"
+        with MmapVectorStorage.create(path, 2) as st:
+            st.append(Vector([7.0, 8.0]))
+            assert st.get_mmap(0) == Vector([7.0, 8.0])
+
+    def test_read_range_bulk(self, backend, tmp_path, rng):
+        path = tmp_path / "vectors.bin"
+        data = rng.standard_normal((20, 4)).astype(np.float32)
+        with MmapVectorStorage.create(path, 4) as st:
+            for row in data:
+                st.append(row)
+            got = st.read_range(5, 10)
+            np.testing.assert_array_equal(got, data[5:15])
+
+    def test_out_of_range(self, backend, tmp_path):
+        from vectordb_tpu.errors import StorageError
+        with MmapVectorStorage.create(tmp_path / "v.bin", 2) as st:
+            with pytest.raises(StorageError):
+                st.get(0)
+
+    def test_dim_mismatch(self, backend, tmp_path):
+        from vectordb_tpu.errors import DimensionMismatchError
+        with MmapVectorStorage.create(tmp_path / "v.bin", 2) as st:
+            with pytest.raises(DimensionMismatchError):
+                st.append(Vector([1.0, 2.0, 3.0]))
+
+    def test_header_layout(self, backend, tmp_path):
+        path = tmp_path / "v.bin"
+        with MmapVectorStorage.create(path, 5) as st:
+            st.append(Vector([0.0] * 5))
+        dim, count = struct.unpack("<II", path.read_bytes()[:8])
+        assert (dim, count) == (5, 1)
+
+
+def test_mmap_cross_backend_compat(tmp_path, monkeypatch):
+    if native_lib.get_native() is None:
+        pytest.skip("native library unavailable")
+    path = tmp_path / "v.bin"
+    with MmapVectorStorage.create(path, 2) as st:
+        assert st._handle is not None
+        st.append(Vector([1.0, 2.0]))
+    monkeypatch.setenv("VDB_TPU_NO_NATIVE", "1")
+    with MmapVectorStorage.open(path) as st:
+        assert st._handle is None
+        assert st.get(0) == Vector([1.0, 2.0])
+        st.append(Vector([3.0, 4.0]))
+    monkeypatch.delenv("VDB_TPU_NO_NATIVE")
+    with MmapVectorStorage.open(path) as st:
+        assert st.count == 2
+        assert st.get(1) == Vector([3.0, 4.0])
+
+
+def test_native_crc32_matches_zlib():
+    native = native_lib.get_native()
+    if native is None:
+        pytest.skip("native library unavailable")
+    for data in [b"", b"hello", bytes(range(256)) * 17]:
+        assert native.vdb_crc32(native_lib.as_u8p(data), len(data)) == \
+            (zlib.crc32(data) & 0xFFFFFFFF)

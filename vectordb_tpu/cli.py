@@ -1,0 +1,148 @@
+"""Command-line interface.
+
+Capability parity with reference src/main.rs:10-198:
+  * global flags: ``--index {flat,hnsw}`` (default flat) and ``--data-dir``
+    (persistent mode)
+  * subcommands: insert ID --vector CSV | search QUERY --k 5 | delete ID |
+    list | serve --addr 0.0.0.0:3000
+  * serve + --data-dir is rejected (main.rs:100-102)
+  * metric is Euclidean everywhere, matching the reference defaults
+    (main.rs:158, 178); override with --metric
+  * same user-facing output strings as the reference handlers
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import List, Optional
+
+from .distance import DistanceMetric
+from .errors import VectorDbError
+from .index.hnsw import HnswIndex, HnswParams
+from .store import VectorStore
+from .vector import Vector
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="vectordb-tpu",
+        description="A TPU-native vector database built from scratch")
+    parser.add_argument("--index", choices=["flat", "hnsw"], default="flat",
+                        help="Index type to use for search")
+    parser.add_argument("--data-dir", default=None,
+                        help="Data directory for persistence. If set, data "
+                             "is persisted to disk.")
+    parser.add_argument("--metric",
+                        choices=[m.value for m in DistanceMetric],
+                        default="euclidean", help="Distance metric")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p_insert = sub.add_parser("insert", help="Insert a vector")
+    p_insert.add_argument("id", help="Vector ID")
+    p_insert.add_argument("-v", "--vector", required=True,
+                          help='Vector data as comma-separated values '
+                               '(e.g., "1.0,2.0,3.0")')
+
+    p_search = sub.add_parser("search", help="Search for similar vectors")
+    p_search.add_argument("query", help='Query vector as comma-separated '
+                                        'values (e.g., "1.0,2.0,3.0")')
+    p_search.add_argument("-k", type=int, default=5,
+                          help="Number of results to return")
+
+    p_delete = sub.add_parser("delete", help="Delete a vector")
+    p_delete.add_argument("id", help="Vector ID to delete")
+
+    sub.add_parser("list", help="List all vector IDs")
+
+    p_serve = sub.add_parser("serve", help="Start the HTTP API server")
+    p_serve.add_argument("--addr", default="0.0.0.0:3000",
+                         help="Address to bind to")
+    return parser
+
+
+def _run_commands(db, args) -> int:
+    """Shared command dispatch for in-memory stores and the persistent
+    engine (reference: main.rs:65-150 duplicates this; the surfaces are
+    identical so one function serves both)."""
+    if args.command == "insert":
+        v = Vector.from_str(args.vector)
+        db.insert(args.id, v)
+        print(f"Inserted vector with ID: {args.id}")
+    elif args.command == "search":
+        q = Vector.from_str(args.query)
+        results = db.search(q, args.k)
+        if not results:
+            print("No results found (store is empty)")
+        else:
+            print(f"Top {len(results)} results:")
+            for i, r in enumerate(results):
+                print(f"{i + 1}. {r.id} (distance: {r.distance:.4f})")
+    elif args.command == "delete":
+        db.delete(args.id)
+        print(f"Deleted vector with ID: {args.id}")
+    elif args.command == "list":
+        ids = db.list_ids()
+        if not ids:
+            print("No vectors in store")
+        else:
+            print(f"Vector IDs ({len(ids)} total):")
+            for vid in ids:
+                print(f"  - {vid}")
+    return 0
+
+
+def enable_persistent_jit_cache() -> None:
+    """Point JAX at an on-disk compilation cache so short-lived CLI
+    invocations don't pay the full compile cost every process."""
+    import os
+    try:
+        import jax
+        cache_dir = os.environ.get(
+            "VDB_TPU_JIT_CACHE",
+            os.path.join(os.path.expanduser("~"), ".cache",
+                         "vectordb_tpu", "jax"))
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+    except Exception:
+        pass  # cache is an optimization; never fail startup over it
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+    enable_persistent_jit_cache()
+    metric = DistanceMetric.from_name(args.metric)
+    try:
+        if args.command == "serve":
+            if args.data_dir:
+                # reference main.rs:100-102
+                print("Error: Serve command is not supported with --data-dir "
+                      "(persistent storage). Use in-memory mode.",
+                      file=sys.stderr)
+                return 1
+            from .server import start_flat, start_hnsw
+            if args.index == "hnsw":
+                start_hnsw(args.addr, metric, HnswParams())
+            else:
+                start_flat(args.addr, metric)
+            return 0
+
+        if args.data_dir:
+            from .persistence import EngineConfig, StorageEngine
+            config = EngineConfig(checkpoint_interval=1000, metric=metric)
+            with StorageEngine.open(args.data_dir, config) as engine:
+                return _run_commands(engine, args)
+
+        if args.index == "hnsw":
+            store = VectorStore.with_index(HnswIndex(metric, HnswParams()))
+        else:
+            store = VectorStore.with_flat_index(metric)
+        return _run_commands(store, args)
+    except VectorDbError as e:
+        print(f"Error: {e}", file=sys.stderr)
+        return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

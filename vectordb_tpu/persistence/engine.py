@@ -1,0 +1,181 @@
+"""StorageEngine: crash-safe database = VectorStore + WAL + snapshots.
+
+Capability parity with reference src/persistence/engine.rs:15-228:
+  * ``open``: mkdir, load snapshot, replay WAL on top (engine.rs:44-73)
+  * WAL-first durable writes for insert/delete (engine.rs:107-160)
+  * auto-checkpoint every ``checkpoint_interval`` WAL entries, default 1000
+    (engine.rs:22-29, 199-204); checkpoint = snapshot save -> Checkpoint
+    entry -> WAL truncate (engine.rs:187-196)
+  * persistence is paired with the flat index (engine.rs:33)
+
+Improvements over the reference (documented gaps in SURVEY §2 row 11):
+  * metadata IS persisted, in both WAL entries and snapshots (the reference
+    drops it: engine.rs:136-140, :224)
+  * ``next_id`` is saved faithfully instead of ``store.len()``
+    (engine.rs:226), so internal-ID monotonicity survives restarts
+  * snapshot writes are atomic (tmp+rename+fsync)
+  * recovery hydrates the packed device shard in one bulk transfer instead
+    of row-at-a-time re-inserts
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from pathlib import Path
+from typing import List, Optional
+
+from ..distance import DistanceMetric
+from ..errors import VectorNotFoundError
+from ..metadata import Metadata
+from ..store import BatchInsertItem, SearchResult, VectorStore
+from ..vector import Vector
+from .serialization import (WAL_CHECKPOINT, WAL_DELETE, WAL_INSERT,
+                            DatabaseSnapshot, SerializedVector, WalEntry)
+from .snapshot import SnapshotManager
+from .wal import WriteAheadLog
+
+WAL_FILE = "wal.log"
+
+
+@dataclass
+class EngineConfig:
+    """Engine tuning (reference: engine.rs:15-29)."""
+    checkpoint_interval: int = 1000
+    metric: DistanceMetric = DistanceMetric.EUCLIDEAN
+
+
+class StorageEngine:
+    def __init__(self, data_dir: "str | Path", config: Optional[EngineConfig] = None):
+        self.config = config or EngineConfig()
+        self.data_dir = Path(data_dir)
+        self.data_dir.mkdir(parents=True, exist_ok=True)
+        self.snapshots = SnapshotManager(self.data_dir)
+        self.wal = WriteAheadLog.open(self.data_dir / WAL_FILE)
+        self.store = VectorStore.with_flat_index(self.config.metric)
+        self._wal_count = 0
+        self._recover()
+
+    @classmethod
+    def open(cls, data_dir: "str | Path",
+             config: Optional[EngineConfig] = None) -> "StorageEngine":
+        return cls(data_dir, config)
+
+    # -- recovery (reference: engine.rs:44-104) ------------------------------
+
+    def _recover(self) -> None:
+        snap = self.snapshots.load()
+        if snap is not None:
+            self._apply_snapshot(snap)
+        for entry in self.wal.replay():
+            self._apply_wal_entry(entry)
+
+    def _apply_snapshot(self, snap: DatabaseSnapshot) -> None:
+        items = [
+            BatchInsertItem(
+                id=sv.string_id,
+                vector=Vector(sv.data),
+                metadata=Metadata(snap.metadata.get(sv.internal_id) or {}),
+            )
+            for sv in snap.vectors
+        ]
+        if items:
+            self.store.insert_batch(items)
+        # preserve internal-ID monotonicity across restarts
+        self.store._next_id = max(self.store._next_id, snap.next_id)
+
+    def _apply_wal_entry(self, entry: WalEntry) -> None:
+        if entry.kind == WAL_INSERT:
+            self.store.insert_with_metadata(
+                entry.string_id, Vector(entry.data), Metadata(entry.metadata))
+            self._wal_count += 1
+        elif entry.kind == WAL_DELETE:
+            try:
+                self.store.delete(entry.string_id)
+            except VectorNotFoundError:
+                pass  # the logged delete may have failed at runtime too
+            self._wal_count += 1
+        elif entry.kind == WAL_CHECKPOINT:
+            pass
+
+    # -- durable writes (reference: engine.rs:107-160) -----------------------
+
+    def insert(self, id: str, vector: Vector) -> None:
+        self.insert_with_metadata(id, vector, Metadata())
+
+    def insert_with_metadata(self, id: str, vector: Vector,
+                             metadata: Metadata) -> None:
+        internal_id = self.store._next_id  # the ID the store will assign
+        self.wal.append(WalEntry.insert(str(id), internal_id,
+                                        vector.as_array(), metadata.fields()))
+        self._wal_count += 1
+        self.store.insert_with_metadata(id, vector, metadata)
+        self._maybe_checkpoint()
+
+    def delete(self, id: str) -> Vector:
+        self.wal.append(WalEntry.delete(str(id)))
+        self._wal_count += 1
+        removed = self.store.delete(id)
+        self._maybe_checkpoint()
+        return removed
+
+    # -- reads (proxied to the store) ----------------------------------------
+
+    def search(self, query: Vector, k: int) -> List[SearchResult]:
+        return self.store.search(query, k)
+
+    def get(self, id: str) -> Optional[Vector]:
+        return self.store.get(id)
+
+    def get_metadata(self, id: str) -> Optional[Metadata]:
+        return self.store.get_metadata(id)
+
+    def __len__(self) -> int:
+        return len(self.store)
+
+    def is_empty(self) -> bool:
+        return self.store.is_empty()
+
+    def list_ids(self) -> List[str]:
+        return self.store.list_ids()
+
+    # -- checkpointing (reference: engine.rs:187-228) ------------------------
+
+    def _maybe_checkpoint(self) -> None:
+        if self._wal_count >= self.config.checkpoint_interval:
+            self.checkpoint()
+
+    def checkpoint(self) -> None:
+        snap = self._build_snapshot()
+        self.snapshots.save(snap)
+        self.wal.append(WalEntry.checkpoint())
+        self.wal.truncate()
+        self._wal_count = 0
+
+    def _build_snapshot(self) -> DatabaseSnapshot:
+        id_map = self.store.internal_to_string_ids()
+        vectors = []
+        metadata = {}
+        for internal_id, vector in self.store.index.iter_items():
+            string_id = id_map.get(internal_id)
+            if string_id is None:
+                continue
+            vectors.append(SerializedVector(
+                internal_id, string_id, vector.as_array().copy()))
+            meta = self.store.get_metadata(string_id)
+            if meta is not None and not meta.is_empty():
+                metadata[internal_id] = meta.fields()
+        return DatabaseSnapshot(
+            vectors=vectors, metadata=metadata,
+            next_id=self.store._next_id, dimension=self.store.dimension)
+
+    def close(self) -> None:
+        self.wal.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+__all__ = ["StorageEngine", "EngineConfig", "WAL_FILE"]

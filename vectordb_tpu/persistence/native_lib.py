@@ -1,0 +1,96 @@
+"""Loader for the native persistence core (libvdbwal.so).
+
+Compiles vectordb_tpu/persistence/native/walcore.cpp on first use (g++,
+cached as a .so next to the source) and exposes it through ctypes. Set
+``VDB_TPU_NO_NATIVE=1`` to force the pure-Python fallbacks (every caller in
+this package has one, with an identical on-disk format).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from pathlib import Path
+from typing import Optional
+
+_NATIVE_DIR = Path(__file__).parent / "native"
+_LIB_PATH = _NATIVE_DIR / "libvdbwal.so"
+_build_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_lib_failed = False
+
+
+def _configure(lib: ctypes.CDLL) -> ctypes.CDLL:
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    lib.vdb_crc32.argtypes = [u8p, ctypes.c_uint64]
+    lib.vdb_crc32.restype = ctypes.c_uint32
+    lib.vdb_wal_open.argtypes = [ctypes.c_char_p]
+    lib.vdb_wal_open.restype = ctypes.c_void_p
+    lib.vdb_wal_append.argtypes = [ctypes.c_void_p, u8p, ctypes.c_uint32]
+    lib.vdb_wal_append.restype = ctypes.c_int
+    lib.vdb_wal_sync.argtypes = [ctypes.c_void_p]
+    lib.vdb_wal_sync.restype = ctypes.c_int
+    lib.vdb_wal_truncate.argtypes = [ctypes.c_void_p]
+    lib.vdb_wal_truncate.restype = ctypes.c_int
+    lib.vdb_wal_close.argtypes = [ctypes.c_void_p]
+    lib.vdb_wal_close.restype = None
+    lib.vdb_wal_scan.argtypes = [ctypes.c_char_p,
+                                 ctypes.POINTER(ctypes.c_int64)]
+    lib.vdb_wal_scan.restype = ctypes.c_int64
+    lib.vdb_durable_write.argtypes = [ctypes.c_char_p, u8p, ctypes.c_uint64]
+    lib.vdb_durable_write.restype = ctypes.c_int
+    lib.vdb_mmf_create.argtypes = [ctypes.c_char_p, ctypes.c_uint32]
+    lib.vdb_mmf_create.restype = ctypes.c_void_p
+    lib.vdb_mmf_open.argtypes = [ctypes.c_char_p]
+    lib.vdb_mmf_open.restype = ctypes.c_void_p
+    lib.vdb_mmf_dim.argtypes = [ctypes.c_void_p]
+    lib.vdb_mmf_dim.restype = ctypes.c_uint32
+    lib.vdb_mmf_count.argtypes = [ctypes.c_void_p]
+    lib.vdb_mmf_count.restype = ctypes.c_uint32
+    lib.vdb_mmf_append.argtypes = [ctypes.c_void_p, f32p]
+    lib.vdb_mmf_append.restype = ctypes.c_int64
+    lib.vdb_mmf_get.argtypes = [ctypes.c_void_p, ctypes.c_uint32, f32p]
+    lib.vdb_mmf_get.restype = ctypes.c_int
+    lib.vdb_mmf_read_range.argtypes = [ctypes.c_void_p, ctypes.c_uint32,
+                                       ctypes.c_uint32, f32p]
+    lib.vdb_mmf_read_range.restype = ctypes.c_int
+    lib.vdb_mmf_close.argtypes = [ctypes.c_void_p]
+    lib.vdb_mmf_close.restype = None
+    return lib
+
+
+def get_native() -> Optional[ctypes.CDLL]:
+    """The configured native library, building it if necessary.
+    Returns None when disabled or unavailable."""
+    global _lib, _lib_failed
+    if os.environ.get("VDB_TPU_NO_NATIVE"):
+        return None
+    if _lib is not None:
+        return _lib
+    if _lib_failed:
+        return None
+    with _build_lock:
+        if _lib is not None:
+            return _lib
+        try:
+            if not _LIB_PATH.exists() or (
+                    _LIB_PATH.stat().st_mtime
+                    < (_NATIVE_DIR / "walcore.cpp").stat().st_mtime):
+                subprocess.run(
+                    ["make", "-s", "-C", str(_NATIVE_DIR), "libvdbwal.so"],
+                    check=True, capture_output=True, timeout=120)
+            _lib = _configure(ctypes.CDLL(str(_LIB_PATH)))
+            return _lib
+        except Exception:
+            _lib_failed = True
+            return None
+
+
+def as_u8p(data: bytes):
+    return ctypes.cast(ctypes.c_char_p(data), ctypes.POINTER(ctypes.c_uint8))
+
+
+__all__ = ["get_native", "as_u8p"]

@@ -1,0 +1,261 @@
+"""Binary and JSON codecs for persisted state.
+
+Capability parity with reference src/persistence/serialization.rs:9-52
+(``SerializedVector``, ``DatabaseSnapshot``, bincode + JSON helpers). The
+byte format is our own (documented below) since both reader and writer are
+this package; it is little-endian, length-prefixed and version-tagged.
+
+Snapshot layout (magic "VDBSNAP1"):
+    magic: 8 bytes
+    dimension: i64 LE (-1 = unset)
+    next_id: u64 LE
+    vector_count: u64 LE
+    per vector:
+        internal_id: u64 LE
+        string_id:   u32 LE length + utf8 bytes
+        data:        u32 LE element count + LE f32 payload
+    metadata_count: u64 LE
+    per metadata entry:
+        internal_id: u64 LE
+        field_count: u32 LE
+        per field: (u32+utf8 key)(u32+utf8 value)
+
+WAL entry payload layout (framing lives in wal.py / walcore.cpp):
+    tag: u8 — 0=Insert, 1=Delete, 2=Checkpoint
+    Insert: string_id(u32+utf8), internal_id u64, data(u32+f32s),
+            field_count u32 + fields   [metadata IS persisted — fixes the
+            reference gap at src/persistence/engine.rs:136-140]
+    Delete: string_id(u32+utf8)
+    Checkpoint: (empty)
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..errors import SerializationError
+
+SNAPSHOT_MAGIC = b"VDBSNAP1"
+
+WAL_INSERT = 0
+WAL_DELETE = 1
+WAL_CHECKPOINT = 2
+
+
+@dataclass
+class SerializedVector:
+    """One persisted vector (reference: serialization.rs:9-14)."""
+    internal_id: int
+    string_id: str
+    data: np.ndarray  # f32[d]
+
+
+@dataclass
+class DatabaseSnapshot:
+    """Full store state (reference: serialization.rs:17-23)."""
+    vectors: List[SerializedVector]
+    metadata: Dict[int, Dict[str, str]]
+    next_id: int
+    dimension: Optional[int]
+
+
+@dataclass
+class WalEntry:
+    """One WAL record (reference: wal.rs:15-25, plus metadata)."""
+    kind: int                       # WAL_INSERT / WAL_DELETE / WAL_CHECKPOINT
+    string_id: str = ""
+    internal_id: int = 0
+    data: Optional[np.ndarray] = None
+    metadata: Dict[str, str] = field(default_factory=dict)
+
+    @classmethod
+    def insert(cls, string_id: str, internal_id: int, data: np.ndarray,
+               metadata: Optional[Dict[str, str]] = None) -> "WalEntry":
+        return cls(WAL_INSERT, string_id, internal_id,
+                   np.asarray(data, dtype=np.float32), dict(metadata or {}))
+
+    @classmethod
+    def delete(cls, string_id: str) -> "WalEntry":
+        return cls(WAL_DELETE, string_id)
+
+    @classmethod
+    def checkpoint(cls) -> "WalEntry":
+        return cls(WAL_CHECKPOINT)
+
+
+# -- low-level helpers -------------------------------------------------------
+
+def _pack_str(out: bytearray, s: str) -> None:
+    b = s.encode("utf-8")
+    out += struct.pack("<I", len(b))
+    out += b
+
+
+def _unpack_str(buf: memoryview, off: int) -> Tuple[str, int]:
+    (n,) = struct.unpack_from("<I", buf, off)
+    off += 4
+    if off + n > len(buf):
+        raise SerializationError("truncated string")
+    s = bytes(buf[off:off + n]).decode("utf-8")
+    return s, off + n
+
+
+def _pack_f32s(out: bytearray, arr: np.ndarray) -> None:
+    arr = np.asarray(arr, dtype="<f4").reshape(-1)
+    out += struct.pack("<I", arr.shape[0])
+    out += arr.tobytes()
+
+
+def _unpack_f32s(buf: memoryview, off: int) -> Tuple[np.ndarray, int]:
+    (n,) = struct.unpack_from("<I", buf, off)
+    off += 4
+    nbytes = n * 4
+    if off + nbytes > len(buf):
+        raise SerializationError("truncated f32 payload")
+    arr = np.frombuffer(buf, dtype="<f4", count=n, offset=off).copy()
+    return arr, off + nbytes
+
+
+def _pack_fields(out: bytearray, fields: Dict[str, str]) -> None:
+    out += struct.pack("<I", len(fields))
+    for k, v in fields.items():
+        _pack_str(out, k)
+        _pack_str(out, v)
+
+
+def _unpack_fields(buf: memoryview, off: int) -> Tuple[Dict[str, str], int]:
+    (n,) = struct.unpack_from("<I", buf, off)
+    off += 4
+    fields = {}
+    for _ in range(n):
+        k, off = _unpack_str(buf, off)
+        v, off = _unpack_str(buf, off)
+        fields[k] = v
+    return fields, off
+
+
+# -- WAL entry codec ---------------------------------------------------------
+
+def encode_wal_entry(entry: WalEntry) -> bytes:
+    out = bytearray()
+    out += struct.pack("<B", entry.kind)
+    if entry.kind == WAL_INSERT:
+        _pack_str(out, entry.string_id)
+        out += struct.pack("<Q", entry.internal_id)
+        _pack_f32s(out, entry.data if entry.data is not None else [])
+        _pack_fields(out, entry.metadata)
+    elif entry.kind == WAL_DELETE:
+        _pack_str(out, entry.string_id)
+    elif entry.kind != WAL_CHECKPOINT:
+        raise SerializationError(f"unknown WAL entry kind {entry.kind}")
+    return bytes(out)
+
+
+def decode_wal_entry(payload: bytes) -> WalEntry:
+    try:
+        buf = memoryview(payload)
+        if len(buf) < 1:
+            raise SerializationError("empty WAL payload")
+        (kind,) = struct.unpack_from("<B", buf, 0)
+        off = 1
+        if kind == WAL_INSERT:
+            string_id, off = _unpack_str(buf, off)
+            (internal_id,) = struct.unpack_from("<Q", buf, off)
+            off += 8
+            data, off = _unpack_f32s(buf, off)
+            fields, off = _unpack_fields(buf, off)
+            return WalEntry(WAL_INSERT, string_id, internal_id, data, fields)
+        if kind == WAL_DELETE:
+            string_id, off = _unpack_str(buf, off)
+            return WalEntry(WAL_DELETE, string_id)
+        if kind == WAL_CHECKPOINT:
+            return WalEntry(WAL_CHECKPOINT)
+        raise SerializationError(f"unknown WAL entry kind {kind}")
+    except SerializationError:
+        raise
+    except Exception as e:
+        raise SerializationError(f"undecodable WAL entry: {e}") from None
+
+
+# -- snapshot codec ----------------------------------------------------------
+
+def encode_snapshot(snap: DatabaseSnapshot) -> bytes:
+    out = bytearray()
+    out += SNAPSHOT_MAGIC
+    out += struct.pack("<q", -1 if snap.dimension is None else snap.dimension)
+    out += struct.pack("<Q", snap.next_id)
+    out += struct.pack("<Q", len(snap.vectors))
+    for sv in snap.vectors:
+        out += struct.pack("<Q", sv.internal_id)
+        _pack_str(out, sv.string_id)
+        _pack_f32s(out, sv.data)
+    out += struct.pack("<Q", len(snap.metadata))
+    for internal_id, fields in snap.metadata.items():
+        out += struct.pack("<Q", internal_id)
+        _pack_fields(out, fields)
+    return bytes(out)
+
+
+def decode_snapshot(payload: bytes) -> DatabaseSnapshot:
+    try:
+        buf = memoryview(payload)
+        if bytes(buf[:8]) != SNAPSHOT_MAGIC:
+            raise SerializationError("bad snapshot magic")
+        off = 8
+        (dim,) = struct.unpack_from("<q", buf, off)
+        off += 8
+        (next_id,) = struct.unpack_from("<Q", buf, off)
+        off += 8
+        (count,) = struct.unpack_from("<Q", buf, off)
+        off += 8
+        vectors = []
+        for _ in range(count):
+            (internal_id,) = struct.unpack_from("<Q", buf, off)
+            off += 8
+            string_id, off = _unpack_str(buf, off)
+            data, off = _unpack_f32s(buf, off)
+            vectors.append(SerializedVector(internal_id, string_id, data))
+        (mcount,) = struct.unpack_from("<Q", buf, off)
+        off += 8
+        metadata: Dict[int, Dict[str, str]] = {}
+        for _ in range(mcount):
+            (internal_id,) = struct.unpack_from("<Q", buf, off)
+            off += 8
+            fields, off = _unpack_fields(buf, off)
+            metadata[internal_id] = fields
+        return DatabaseSnapshot(vectors, metadata, next_id,
+                                None if dim < 0 else dim)
+    except SerializationError:
+        raise
+    except Exception as e:
+        raise SerializationError(f"undecodable snapshot: {e}") from None
+
+
+# -- JSON helpers (reference: serialization.rs:36-43) ------------------------
+
+def to_json(obj) -> str:
+    try:
+        return json.dumps(obj)
+    except (TypeError, ValueError) as e:
+        raise SerializationError(str(e)) from None
+
+
+def from_json(s: str):
+    try:
+        return json.loads(s)
+    except json.JSONDecodeError as e:
+        raise SerializationError(str(e)) from None
+
+
+__all__ = [
+    "SerializedVector", "DatabaseSnapshot", "WalEntry",
+    "WAL_INSERT", "WAL_DELETE", "WAL_CHECKPOINT",
+    "encode_wal_entry", "decode_wal_entry",
+    "encode_snapshot", "decode_snapshot",
+    "to_json", "from_json", "SNAPSHOT_MAGIC",
+]

@@ -1,0 +1,87 @@
+"""Snapshot manager: full-state binary snapshots + human-readable manifest.
+
+Capability parity with reference src/persistence/snapshot.rs:9-64:
+``save`` writes ``snapshot.bin`` (binary DatabaseSnapshot) and
+``manifest.json`` {vector_count, next_id, dimension}; ``load`` returns None
+when no snapshot exists. Improvement over the reference: the snapshot write
+is atomic + durable (tmp file, fsync, rename, directory fsync) via the
+native core, so a crash mid-checkpoint can never destroy the previous
+snapshot.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+from typing import Optional
+
+from ..errors import SerializationError, VdbIoError
+from . import native_lib
+from .serialization import (DatabaseSnapshot, decode_snapshot,
+                            encode_snapshot)
+
+SNAPSHOT_FILE = "snapshot.bin"
+MANIFEST_FILE = "manifest.json"
+
+
+def _durable_write(path: Path, payload: bytes) -> None:
+    native = native_lib.get_native()
+    if native is not None:
+        rc = native.vdb_durable_write(str(path).encode(),
+                                      native_lib.as_u8p(payload), len(payload))
+        if rc != 0:
+            raise VdbIoError(f"durable write failed for {path}")
+        return
+    tmp = path.with_suffix(path.suffix + ".tmp")
+    with open(tmp, "wb") as f:
+        f.write(payload)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+    dir_fd = os.open(str(path.parent), os.O_RDONLY)
+    try:
+        os.fsync(dir_fd)
+    finally:
+        os.close(dir_fd)
+
+
+class SnapshotManager:
+    def __init__(self, directory: "str | Path"):
+        self.directory = Path(directory)
+        self.snapshot_path = self.directory / SNAPSHOT_FILE
+        self.manifest_path = self.directory / MANIFEST_FILE
+
+    def save(self, snapshot: DatabaseSnapshot) -> None:
+        """Write snapshot.bin + manifest.json (reference snapshot.rs:30-46)."""
+        payload = encode_snapshot(snapshot)
+        _durable_write(self.snapshot_path, payload)
+        manifest = {
+            "vector_count": len(snapshot.vectors),
+            "next_id": snapshot.next_id,
+            "dimension": snapshot.dimension,
+        }
+        _durable_write(self.manifest_path,
+                       json.dumps(manifest, indent=2).encode())
+
+    def load(self) -> Optional[DatabaseSnapshot]:
+        """Decode snapshot.bin, or None when absent (snapshot.rs:49-58)."""
+        if not self.snapshot_path.exists():
+            return None
+        try:
+            return decode_snapshot(self.snapshot_path.read_bytes())
+        except SerializationError:
+            raise
+        except OSError as e:
+            raise VdbIoError(e) from None
+
+    def exists(self) -> bool:
+        return self.snapshot_path.exists()
+
+    def manifest(self) -> Optional[dict]:
+        if not self.manifest_path.exists():
+            return None
+        return json.loads(self.manifest_path.read_text())
+
+
+__all__ = ["SnapshotManager", "SNAPSHOT_FILE", "MANIFEST_FILE"]

@@ -1,0 +1,121 @@
+"""HTTP serving: AppState + a stdlib threaded HTTP server.
+
+Parity with reference src/server/mod.rs:13-51: ``AppState`` holds the store
+and metrics behind a readers-writer lock; ``start_flat``/``start_hnsw``
+build the state and serve. The transport is a stdlib ThreadingHTTPServer
+(zero dependencies); route logic lives in routes.Api, which the reference-
+style in-process tests drive directly.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional, Tuple
+
+from ..distance import DistanceMetric
+from ..index.hnsw import HnswIndex, HnswParams
+from ..metrics import MetricsCollector
+from ..store import VectorStore
+from ..utils.locks import RwLock
+from .routes import Api
+
+
+class AppState:
+    """Shared server state (reference: src/server/mod.rs:13-16)."""
+
+    def __init__(self, store: VectorStore,
+                 metrics: Optional[MetricsCollector] = None):
+        self.store = store
+        self.metrics = metrics or MetricsCollector()
+        self.lock = RwLock()
+
+
+def _make_handler(api: Api):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def _read_body(self):
+            length = int(self.headers.get("Content-Length") or 0)
+            if length == 0:
+                return None
+            raw = self.rfile.read(length)
+            try:
+                return json.loads(raw)
+            except json.JSONDecodeError:
+                return ValueError("invalid JSON body")
+
+        def _respond(self, status: int, payload) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _dispatch(self) -> None:
+            body = self._read_body()
+            if isinstance(body, ValueError):
+                self._respond(400, {"error": str(body)})
+                return
+            try:
+                status, payload = api.handle(self.command, self.path, body)
+            except Exception as e:  # defense in depth: never kill the worker
+                status, payload = 500, {"error": str(e)}
+            self._respond(status, payload)
+
+        do_GET = do_POST = do_DELETE = do_PUT = _dispatch
+
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+    return Handler
+
+
+def serve(addr: str, state: AppState,
+          ready_event: Optional[threading.Event] = None) -> None:
+    """Bind and serve forever (reference: src/server/mod.rs:27-29)."""
+    host, port = _split_addr(addr)
+    api = Api(state)
+    server = ThreadingHTTPServer((host, port), _make_handler(api))
+    print(f"vectordb-tpu server listening on {host}:{server.server_address[1]}")
+    if ready_event is not None:
+        ready_event.set()
+    try:
+        server.serve_forever()
+    finally:
+        server.server_close()
+
+
+def start_server_background(addr: str, state: AppState) -> Tuple[ThreadingHTTPServer, threading.Thread]:
+    """Non-blocking serve for tests/embedding; returns (server, thread)."""
+    host, port = _split_addr(addr)
+    api = Api(state)
+    server = ThreadingHTTPServer((host, port), _make_handler(api))
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    return server, thread
+
+
+def _split_addr(addr: str) -> Tuple[str, int]:
+    host, _, port = addr.rpartition(":")
+    if not host:
+        host, port = addr, "3000"
+    return host, int(port)
+
+
+def start_flat(addr: str, metric: DistanceMetric) -> None:
+    """Serve an in-memory flat-index store (reference: src/server/mod.rs:19-31)."""
+    serve(addr, AppState(VectorStore.with_flat_index(metric)))
+
+
+def start_hnsw(addr: str, metric: DistanceMetric,
+               params: Optional[HnswParams] = None) -> None:
+    """Serve an in-memory HNSW store (reference: src/server/mod.rs:34-51)."""
+    index = HnswIndex(metric, params or HnswParams())
+    serve(addr, AppState(VectorStore.with_index(index)))
+
+
+__all__ = ["AppState", "serve", "start_flat", "start_hnsw",
+           "start_server_background"]
