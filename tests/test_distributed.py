@@ -1,0 +1,149 @@
+"""Multi-chip sharded search on the 8-device virtual CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from vectordb_tpu import DistanceMetric, FlatIndex, HnswParams, Vector
+from vectordb_tpu.distance import pairwise_distances
+from vectordb_tpu.parallel import (DistributedFlatIndex, ShardedHnswIndex,
+                                   make_mesh, make_sharded_search, shard_rows)
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    return make_mesh(8)
+
+
+@pytest.fixture(scope="module")
+def mesh2d():
+    return make_mesh(8, axis_names=("shard", "batch"), shape=(4, 2))
+
+
+def test_make_mesh_shapes():
+    m = make_mesh(8)
+    assert m.shape == {"shard": 8}
+    m2 = make_mesh(8, axis_names=("a", "b"), shape=(2, 4))
+    assert m2.shape == {"a": 2, "b": 4}
+    with pytest.raises(ValueError):
+        make_mesh(9)
+    with pytest.raises(ValueError):
+        make_mesh(8, shape=(3,))
+
+
+def test_shard_rows_pads_and_shards(mesh8):
+    arr = np.arange(10 * 4, dtype=np.float32).reshape(10, 4)
+    flags = np.ones(10, dtype=bool)
+    padded, darr, dflags = shard_rows(mesh8, "shard", arr, flags)
+    assert padded == 16
+    assert darr.shape == (16, 4)
+    np.testing.assert_array_equal(np.asarray(darr)[:10], arr)
+    assert not np.asarray(dflags)[10:].any()  # bool pads False
+    assert len(darr.sharding.device_set) == 8
+
+
+@pytest.mark.parametrize("metric", list(DistanceMetric))
+def test_distributed_matches_oracle(mesh8, metric, rng):
+    n, d, q, k = 1000, 32, 5, 10
+    db = rng.standard_normal((n, d)).astype(np.float32) + 2.0
+    queries = rng.standard_normal((q, d)).astype(np.float32) + 2.0
+    idx = DistributedFlatIndex(mesh8, metric)
+    idx.load(db)
+    results = idx.search_batch(queries, k)
+    oracle = pairwise_distances(np, queries, db, metric)
+    for qi in range(q):
+        got_ids = [r[0] for r in results[qi]]
+        got_dists = np.array([r[1] for r in results[qi]])
+        np.testing.assert_allclose(got_dists, np.sort(oracle[qi])[:k],
+                                   rtol=1e-4, atol=1e-4)
+        # ids must be among the tied-distance candidates
+        order = np.argsort(oracle[qi], kind="stable")
+        exp_d = oracle[qi][order[:k]]
+        for pos in range(k):
+            ties = np.nonzero(np.isclose(oracle[qi], exp_d[pos],
+                                         rtol=1e-5, atol=1e-5))[0]
+            assert got_ids[pos] in set(int(t) for t in ties)
+
+
+def test_distributed_matches_single_chip_flat(mesh8, rng):
+    """Sharded result == single-device FlatIndex result."""
+    n, d, k = 512, 16, 7
+    db = rng.standard_normal((n, d)).astype(np.float32)
+    queries = rng.standard_normal((3, d)).astype(np.float32)
+    flat = FlatIndex(DistanceMetric.EUCLIDEAN)
+    flat.add_batch([(i, db[i]) for i in range(n)])
+    single = flat.search_batch(queries, k)
+    dist_idx = DistributedFlatIndex(mesh8, DistanceMetric.EUCLIDEAN)
+    dist_idx.load(db)
+    multi = dist_idx.search_batch(queries, k)
+    for s_row, m_row in zip(single, multi):
+        assert [r[0] for r in s_row] == [r[0] for r in m_row]
+        np.testing.assert_allclose([r[1] for r in s_row],
+                                   [r[1] for r in m_row], rtol=1e-4,
+                                   atol=1e-5)
+
+
+def test_k_larger_than_shard_block(mesh8, rng):
+    """k greater than rows-per-shard still returns n results."""
+    n, d = 16, 8  # 2 rows per shard
+    db = rng.standard_normal((n, d)).astype(np.float32)
+    idx = DistributedFlatIndex(mesh8, DistanceMetric.EUCLIDEAN)
+    idx.load(db)
+    results = idx.search_batch(db[:1], 12)
+    assert len(results[0]) == 12
+    assert results[0][0][0] == 0
+
+
+def test_2d_mesh_query_batch_sharding(mesh2d, rng):
+    """Rows sharded over 'shard', query batch sharded over 'batch'."""
+    n, d, k = 256, 16, 5
+    db = rng.standard_normal((n, d)).astype(np.float32)
+    queries = db[:6]  # self queries
+    idx = DistributedFlatIndex(mesh2d, DistanceMetric.EUCLIDEAN,
+                               row_axis="shard", batch_axis="batch")
+    idx.load(db)
+    results = idx.search_batch(queries, k)
+    for qi in range(6):
+        assert results[qi][0][0] == qi
+        # |q|^2+|x|^2-2qx self-distance carries ~1e-3 f32 cancellation noise
+        assert results[qi][0][1] == pytest.approx(0.0, abs=5e-3)
+
+
+def test_collectives_actually_sharded(mesh8, rng):
+    """The loaded database must truly live sharded across all 8 devices."""
+    db = rng.standard_normal((800, 16)).astype(np.float32)
+    idx = DistributedFlatIndex(mesh8, DistanceMetric.EUCLIDEAN)
+    idx.load(db)
+    arr = idx._device[0]
+    assert len(arr.sharding.device_set) == 8
+    shard_shapes = {s.data.shape for s in arr.addressable_shards}
+    assert shard_shapes == {(100, 16)}
+
+
+def test_sharded_hnsw_recall(rng):
+    n, d, k = 1000, 32, 10
+    data = rng.random((n, d)).astype(np.float32)
+    sharded = ShardedHnswIndex(4, DistanceMetric.EUCLIDEAN, HnswParams(seed=2))
+    sharded.build_batch([(i, Vector(data[i])) for i in range(n)])
+    assert len(sharded) == n
+    flat = FlatIndex(DistanceMetric.EUCLIDEAN)
+    flat.add_batch([(i, data[i]) for i in range(n)])
+    queries = rng.random((15, d)).astype(np.float32)
+    flat_res = flat.search_batch(queries, k)
+    total = 0.0
+    for qi in range(15):
+        got = {iid for iid, _ in sharded.search(Vector(queries[qi]), k, ef=100)}
+        expect = {iid for iid, _ in flat_res[qi]}
+        total += len(got & expect) / k
+    assert total / 15 >= 0.90
+
+
+def test_sharded_hnsw_remove(rng):
+    data = rng.random((40, 8)).astype(np.float32)
+    sharded = ShardedHnswIndex(4, DistanceMetric.EUCLIDEAN, HnswParams(seed=4))
+    sharded.build_batch([(i, Vector(data[i])) for i in range(40)])
+    sharded.remove(13)
+    assert len(sharded) == 39
+    res = sharded.search(Vector(data[13]), 3)
+    assert all(iid != 13 for iid, _ in res)
