@@ -85,6 +85,26 @@ class HnswIndex(Index):
         return [self._graph.search_knn(queries[i], k)
                 for i in range(queries.shape[0])]
 
+    # -- device traversal (jitted batched beam search) -----------------------
+
+    def device_searcher(self):
+        """Frozen device tables + jitted batched traversal for the current
+        graph version (rebuilt lazily after mutations)."""
+        from ..ops.hnsw_device import DeviceHnswSearcher
+        cached = getattr(self, "_device_searcher", None)
+        if cached is None or cached[0] != self._graph.version:
+            cached = (self._graph.version,
+                      DeviceHnswSearcher(self._graph, self.metric))
+            self._device_searcher = cached
+        return cached[1]
+
+    def search_batch_device(self, queries: np.ndarray, k: int,
+                            ef: Optional[int] = None):
+        """Batched search on the device tables (one jit dispatch for Q
+        queries) instead of the host-side per-query traversal."""
+        ef = self.params.ef_search if ef is None else int(ef)
+        return self.device_searcher().search_batch(queries, k, ef)
+
     # -- lookups -------------------------------------------------------------
 
     def get_vector(self, internal_id: int) -> Optional[Vector]:

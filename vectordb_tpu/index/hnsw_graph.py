@@ -83,6 +83,7 @@ class HnswGraph:
         self._free_slots: List[int] = []
         self._entry: Optional[int] = None   # entry point slot
         self._max_level = 0
+        self.version = 0  # bumped on every mutation (device-table caching)
 
     # -- properties ---------------------------------------------------------
 
@@ -233,6 +234,7 @@ class HnswGraph:
         self._slot_of_id[internal_id] = slot
         self._neighbors[slot] = [[] for _ in range(level + 1)]
         self._len += 1
+        self.version += 1
 
         if self._entry is None:
             self._entry = slot
@@ -286,6 +288,7 @@ class HnswGraph:
         self._id_of_slot[slot] = -1
         self._free_slots.append(slot)
         self._len -= 1
+        self.version += 1
         if self._entry == slot:
             self._entry = None
             self._max_level = 0
