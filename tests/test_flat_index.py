@@ -165,3 +165,42 @@ def test_masked_search():
         mask[idx.slot_of(iid)] = True
     results = idx.search_masked(Vector([0.0, 0.0]), 3, mask)
     assert [r[0] for r in results] == [5, 6, 7]
+
+
+@pytest.mark.parametrize("metric", list(DistanceMetric))
+def test_fast_mode_matches_exact(metric, rng):
+    """The two-tier fast path returns the same ids/distances as the exact
+    scan on CPU (where coarse precision == f32, so results are identical);
+    on TPU the coarse pass is bf16-grade and the 8x over-fetch guards it."""
+    n, d, k = 1024, 32, 10
+    db = rng.standard_normal((n, d)).astype(np.float32) + 1.0
+    queries = rng.standard_normal((6, d)).astype(np.float32) + 1.0
+    exact = FlatIndex(metric)
+    exact.add_batch([(i, db[i]) for i in range(n)])
+    fast = FlatIndex(metric, search_mode="fast")
+    fast.add_batch([(i, db[i]) for i in range(n)])
+    res_e = exact.search_batch(queries, k)
+    res_f = fast.search_batch(queries, k)
+    for re, rf in zip(res_e, res_f):
+        assert [x[0] for x in re] == [x[0] for x in rf]
+        np.testing.assert_allclose([x[1] for x in re], [x[1] for x in rf],
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_fast_mode_with_deletes_and_mask(rng):
+    idx = FlatIndex(DistanceMetric.EUCLIDEAN, search_mode="fast")
+    for i in range(50):
+        idx.add(i, Vector([float(i), 0.0]))
+    idx.remove(3)
+    res = idx.search(Vector([3.0, 0.0]), 2)
+    assert [r[0] for r in res] == [2, 4]
+    mask = np.zeros(idx.capacity, dtype=bool)
+    for iid in range(10, 20):
+        mask[idx.slot_of(iid)] = True
+    res = idx.search_masked(Vector([0.0, 0.0]), 3, mask)
+    assert [r[0] for r in res] == [10, 11, 12]
+
+
+def test_search_mode_validation():
+    with pytest.raises(ValueError):
+        FlatIndex(DistanceMetric.EUCLIDEAN, search_mode="approximate")

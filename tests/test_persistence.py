@@ -354,3 +354,83 @@ def test_native_crc32_matches_zlib():
     for data in [b"", b"hello", bytes(range(256)) * 17]:
         assert native.vdb_crc32(native_lib.as_u8p(data), len(data)) == \
             (zlib.crc32(data) & 0xFFFFFFFF)
+
+
+class TestWalBatchAppend:
+    def test_batch_roundtrip(self, backend, tmp_path):
+        path = tmp_path / "wal.log"
+        wal = WriteAheadLog.open(path)
+        entries = [WalEntry.insert(f"v{i}", i, np.array([float(i)], np.float32),
+                                   {"n": str(i)}) for i in range(5)]
+        wal.append_batch(entries)
+        wal.append(WalEntry.delete("v0"))
+        wal.close()
+        got = WriteAheadLog.open(path).replay()
+        assert [e.string_id for e in got] == ["v0", "v1", "v2", "v3", "v4", "v0"]
+        assert got[3].metadata == {"n": "3"}
+
+    def test_empty_batch_is_noop(self, backend, tmp_path):
+        wal = WriteAheadLog.open(tmp_path / "wal.log")
+        wal.append_batch([])
+        assert wal.replay() == []
+
+    def test_torn_batch_replays_prefix(self, backend, tmp_path):
+        path = tmp_path / "wal.log"
+        wal = WriteAheadLog.open(path)
+        wal.append_batch([WalEntry.delete(f"v{i}") for i in range(4)])
+        wal.close()
+        raw = path.read_bytes()
+        path.write_bytes(raw[:-5])  # tear the last frame
+        got = WriteAheadLog.open(path).replay()
+        assert [e.string_id for e in got] == ["v0", "v1", "v2"]
+
+
+class TestEngineBatchAndHnsw:
+    def test_engine_insert_batch_recovers(self, backend, tmp_path):
+        from vectordb_tpu import BatchInsertItem
+        with StorageEngine.open(tmp_path) as eng:
+            eng.insert_batch([
+                BatchInsertItem(f"v{i}", Vector([float(i), 0.0]),
+                                Metadata({"i": str(i)}))
+                for i in range(20)])
+            assert len(eng) == 20
+        with StorageEngine.open(tmp_path) as eng:
+            assert len(eng) == 20
+            assert eng.get_metadata("v7").get("i") == "7"
+            assert eng.search(Vector([5.0, 0.0]), 1)[0].id == "v5"
+
+    def test_engine_insert_batch_bad_dim_logs_only_prefix(self, backend,
+                                                          tmp_path):
+        from vectordb_tpu import BatchInsertItem
+        from vectordb_tpu.errors import DimensionMismatchError
+        with StorageEngine.open(tmp_path) as eng:
+            with pytest.raises(DimensionMismatchError):
+                eng.insert_batch([
+                    BatchInsertItem("a", Vector([1.0, 0.0])),
+                    BatchInsertItem("bad", Vector([1.0])),
+                    BatchInsertItem("c", Vector([2.0, 0.0])),
+                ])
+            assert eng.list_ids() == ["a"]
+        with StorageEngine.open(tmp_path) as eng:
+            # replayed state matches runtime state exactly
+            assert eng.list_ids() == ["a"]
+
+    def test_engine_hnsw_index_type(self, backend, tmp_path):
+        from vectordb_tpu import HnswParams
+        from vectordb_tpu.index.hnsw import HnswIndex
+        cfg = EngineConfig(index_type="hnsw",
+                           hnsw_params=HnswParams(seed=3))
+        with StorageEngine.open(tmp_path, cfg) as eng:
+            for i in range(50):
+                eng.insert(f"v{i}", Vector([float(i), float(i % 7)]))
+            assert isinstance(eng.store.index, HnswIndex)
+            assert eng.search(Vector([25.0, 4.0]), 1)[0].id == "v25"
+        # recovery rebuilds the graph from WAL/snapshot state
+        with StorageEngine.open(tmp_path, cfg) as eng:
+            assert len(eng) == 50
+            assert isinstance(eng.store.index, HnswIndex)
+            assert eng.search(Vector([25.0, 4.0]), 1)[0].id == "v25"
+
+    def test_engine_unknown_index_type(self, backend, tmp_path):
+        with pytest.raises(ValueError):
+            StorageEngine.open(tmp_path, EngineConfig(index_type="ivf"))

@@ -40,7 +40,12 @@ _FULL_SYNC_FRACTION = 8
 class FlatIndex(Index):
     """Exact k-NN via fused device flat scan."""
 
-    def __init__(self, metric: DistanceMetric):
+    def __init__(self, metric: DistanceMetric, search_mode: str = "exact"):
+        if search_mode not in ("exact", "fast"):
+            raise ValueError(f"unknown search_mode: {search_mode!r}")
+        # "exact": full-f32 MXU scan. "fast": coarse native-precision scan
+        # keeping 8k candidates + exact f32 re-rank (~3-6x less MXU work).
+        self.search_mode = search_mode
         self._metric = metric
         self._dim: Optional[int] = None
         self._capacity = 0
@@ -254,7 +259,8 @@ class FlatIndex(Index):
                 mask = padded
             dev["valid"] = jnp.logical_and(dev["valid"], jnp.asarray(mask))
         k_req = min(int(k), live)
-        dists, idx = flat_search_batched(queries, dev, self._metric, k_req)
+        dists, idx = flat_search_batched(queries, dev, self._metric, k_req,
+                                         mode=self.search_mode)
         out: List[List[Tuple[int, float]]] = []
         for qi in range(queries.shape[0]):
             row: List[Tuple[int, float]] = []

@@ -61,13 +61,67 @@ def flat_search(queries, db, db_sq_norms, db_norms, valid,
                             metric.value, int(k))
 
 
+# Over-fetch factor for the two-tier fast path: the coarse pass keeps
+# FAST_OVERFETCH * k candidates before the exact re-rank.
+FAST_OVERFETCH = 8
+
+
+@functools.partial(jax.jit, static_argnames=("metric_name", "k"))
+def _flat_search_fast_jit(queries, db, db_sq_norms, db_norms, valid,
+                          metric_name, k):
+    """Two-tier search: bulk scan at the MXU's native (bf16-grade) matmul
+    precision keeping 8k candidates, then an exact f32 re-rank of just
+    those rows. ~3-6x less MXU work than the full-precision scan; exact
+    unless a true neighbor's coarse distance errs past the 8k-th candidate
+    (bf16 relative error ~1e-2 vs typical neighbor gaps — not observed in
+    practice, and guarded by the oversampling)."""
+    metric = DistanceMetric(metric_name)
+    n = db.shape[0]
+    q = queries.shape[0]
+    kc = min(k * FAST_OVERFETCH, n)
+    coarse = pairwise_distances(jnp, queries, db, metric,
+                                db_sq_norms=db_sq_norms, db_norms=db_norms,
+                                precision=None)
+    coarse = jnp.where(valid[None, :], coarse, jnp.inf)
+    _, cand = jax.lax.top_k(-coarse, kc)                  # (Q, kc)
+
+    cand_rows = db[cand]                                  # (Q, kc, d)
+    dots = jnp.einsum("qcd,qd->qc", cand_rows, queries,
+                      preferred_element_type=jnp.float32)
+    dead = ~valid[cand]
+    if metric is DistanceMetric.EUCLIDEAN:
+        q_sq = jnp.sum(queries * queries, axis=1, keepdims=True)
+        d2 = jnp.maximum(q_sq + db_sq_norms[cand] - 2.0 * dots, 0.0)
+        exact = jnp.sqrt(d2)
+    elif metric is DistanceMetric.DOT_PRODUCT:
+        exact = -dots
+    else:
+        qn = jnp.sqrt(jnp.sum(queries * queries, axis=1, keepdims=True))
+        denom = qn * db_norms[cand]
+        sim = dots / jnp.where(denom == 0.0, 1.0, denom)
+        exact = 1.0 - jnp.clip(sim, -1.0, 1.0)
+    exact = jnp.where(dead, jnp.inf, exact)
+    neg_vals, pos = jax.lax.top_k(-exact, min(k, kc))
+    return -neg_vals, jnp.take_along_axis(cand, pos, axis=1)
+
+
+def flat_search_fast(queries, db, db_sq_norms, db_norms, valid,
+                     metric: DistanceMetric, k: int):
+    """Two-tier (coarse bf16 scan + exact re-rank) search."""
+    return _flat_search_fast_jit(queries, db, db_sq_norms, db_norms, valid,
+                                 metric.value, int(k))
+
+
 def flat_search_batched(queries_np: np.ndarray, device_state: dict,
-                        metric: DistanceMetric, k: int):
+                        metric: DistanceMetric, k: int,
+                        mode: str = "exact"):
     """Bucketed entry point used by FlatIndex.
 
     Pads Q up to a power of two and buckets k to bound jit recompiles, then
     returns host numpy (dists, idx) trimmed back to the true Q. Entries with
-    dist == +inf are "missing" (fewer than k live rows).
+    dist == +inf are "missing" (fewer than k live rows). ``mode`` selects
+    the full-precision scan ("exact") or the two-tier coarse+re-rank path
+    ("fast").
     """
     capacity = int(device_state["db"].shape[0])
     q = queries_np.shape[0]
@@ -77,7 +131,8 @@ def flat_search_batched(queries_np: np.ndarray, device_state: dict,
             [queries_np, np.zeros((q_pad - q, queries_np.shape[1]),
                                   dtype=queries_np.dtype)], axis=0)
     k_eff = min(next_pow2(k, floor=1), capacity)
-    dists, idx = flat_search(
+    search_fn = flat_search_fast if mode == "fast" else flat_search
+    dists, idx = search_fn(
         jnp.asarray(queries_np), device_state["db"], device_state["sq_norms"],
         device_state["norms"], device_state["valid"], metric, k_eff)
     dists = np.asarray(dists)[:q]

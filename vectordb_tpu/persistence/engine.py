@@ -39,9 +39,16 @@ WAL_FILE = "wal.log"
 
 @dataclass
 class EngineConfig:
-    """Engine tuning (reference: engine.rs:15-29)."""
+    """Engine tuning (reference: engine.rs:15-29).
+
+    ``index_type`` extends the reference (which hard-wires persistence to
+    the flat index, engine.rs:33): "hnsw" persists the same vector+metadata
+    state and rebuilds the graph on recovery.
+    """
     checkpoint_interval: int = 1000
     metric: DistanceMetric = DistanceMetric.EUCLIDEAN
+    index_type: str = "flat"        # "flat" | "hnsw"
+    hnsw_params: Optional[object] = None
 
 
 class StorageEngine:
@@ -51,7 +58,16 @@ class StorageEngine:
         self.data_dir.mkdir(parents=True, exist_ok=True)
         self.snapshots = SnapshotManager(self.data_dir)
         self.wal = WriteAheadLog.open(self.data_dir / WAL_FILE)
-        self.store = VectorStore.with_flat_index(self.config.metric)
+        if self.config.index_type == "hnsw":
+            from ..index.hnsw import HnswIndex, HnswParams
+            params = self.config.hnsw_params or HnswParams()
+            self.store = VectorStore.with_index(
+                HnswIndex(self.config.metric, params))
+        elif self.config.index_type == "flat":
+            self.store = VectorStore.with_flat_index(self.config.metric)
+        else:
+            raise ValueError(
+                f"unknown index_type: {self.config.index_type!r}")
         self._wal_count = 0
         self._recover()
 
@@ -110,6 +126,38 @@ class StorageEngine:
         self._wal_count += 1
         self.store.insert_with_metadata(id, vector, metadata)
         self._maybe_checkpoint()
+
+    def insert_batch(self, items: List[BatchInsertItem]) -> None:
+        """Durable bulk insert: one group-committed WAL write (single
+        fsync), then one batched store apply. Dimensions are validated
+        before logging so the WAL never records entries the store would
+        reject — replay and runtime state stay identical."""
+        expected = self.store.dimension
+        accepted: List[BatchInsertItem] = []
+        error = None
+        for item in items:
+            dim = item.vector.dimension
+            if expected is None:
+                expected = dim
+            elif dim != expected:
+                from ..errors import DimensionMismatchError
+                error = DimensionMismatchError(expected, dim)
+                break
+            accepted.append(item)
+        if accepted:
+            base = self.store._next_id
+            entries = [
+                WalEntry.insert(str(item.id), base + i,
+                                item.vector.as_array(),
+                                item.metadata.fields())
+                for i, item in enumerate(accepted)
+            ]
+            self.wal.append_batch(entries)
+            self._wal_count += len(entries)
+            self.store.insert_batch(accepted)
+            self._maybe_checkpoint()
+        if error is not None:
+            raise error
 
     def delete(self, id: str) -> Vector:
         self.wal.append(WalEntry.delete(str(id)))

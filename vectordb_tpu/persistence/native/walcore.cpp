@@ -130,6 +130,15 @@ int vdb_wal_append(void* handle, const uint8_t* payload, uint32_t len) {
     return 0;
 }
 
+// Append pre-framed bytes (a batch of [len][crc][payload] frames built by
+// the caller) with a single fsync — the group-commit fast path.
+int vdb_wal_append_raw(void* handle, const uint8_t* data, uint64_t len) {
+    WalHandle* h = static_cast<WalHandle*>(handle);
+    if (!h) return -1;
+    if (!write_all(h->fd, data, static_cast<size_t>(len))) return -1;
+    return ::fsync(h->fd) == 0 ? 0 : -1;
+}
+
 int vdb_wal_sync(void* handle) {
     WalHandle* h = static_cast<WalHandle*>(handle);
     if (!h) return -1;

@@ -33,6 +33,8 @@ def _configure(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.vdb_wal_append.restype = ctypes.c_int
     lib.vdb_wal_sync.argtypes = [ctypes.c_void_p]
     lib.vdb_wal_sync.restype = ctypes.c_int
+    lib.vdb_wal_append_raw.argtypes = [ctypes.c_void_p, u8p, ctypes.c_uint64]
+    lib.vdb_wal_append_raw.restype = ctypes.c_int
     lib.vdb_wal_truncate.argtypes = [ctypes.c_void_p]
     lib.vdb_wal_truncate.restype = ctypes.c_int
     lib.vdb_wal_close.argtypes = [ctypes.c_void_p]

@@ -68,6 +68,38 @@ class WriteAheadLog:
         except OSError as e:
             raise VdbIoError(e) from None
 
+    def append_batch(self, entries: "List[WalEntry]") -> None:
+        """Group commit: frame and write all entries, then ONE fsync.
+
+        Bulk loads pay the durability latency floor once per batch instead
+        of once per row (the reference has no batch path and fsyncs per
+        append even under insert_batch; engine.rs:107-116). Atomicity is
+        per-entry: a crash mid-batch replays the prefix that hit the disk.
+        """
+        if not entries:
+            return
+        frames = bytearray()
+        for entry in entries:
+            payload = encode_wal_entry(entry)
+            crc = zlib.crc32(payload) & 0xFFFFFFFF
+            frames += struct.pack("<II", len(payload), crc)
+            frames += payload
+        data = bytes(frames)
+        if self._handle is not None:
+            # native append writes [len][crc][payload] itself; feed it one
+            # pre-framed blob via the raw file path to keep a single fsync
+            rc = self._native.vdb_wal_append_raw(
+                self._handle, native_lib.as_u8p(data), len(data))
+            if rc != 0:
+                raise VdbIoError(f"WAL batch append failed for {self.path}")
+            return
+        try:
+            self._file.write(data)
+            self._file.flush()
+            os.fsync(self._file.fileno())
+        except OSError as e:
+            raise VdbIoError(e) from None
+
     def sync(self) -> None:
         if self._handle is not None:
             if self._native.vdb_wal_sync(self._handle) != 0:
