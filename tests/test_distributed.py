@@ -147,3 +147,68 @@ def test_sharded_hnsw_remove(rng):
     assert len(sharded) == 39
     res = sharded.search(Vector(data[13]), 3)
     assert all(iid != 13 for iid, _ in res)
+
+
+class TestShardedStore:
+    """Full VectorStore (CRUD + metadata + exact filters) on a mesh."""
+
+    def test_sharded_store_crud_and_search(self, mesh8, rng):
+        from vectordb_tpu import VectorStore, Metadata
+        store = VectorStore.with_sharded_flat_index(
+            DistanceMetric.EUCLIDEAN, mesh8)
+        data = rng.standard_normal((300, 16)).astype(np.float32)
+        for i in range(300):
+            store.insert_with_metadata(
+                f"v{i}", Vector(data[i]), Metadata({"par": str(i % 2)}))
+        assert len(store) == 300
+        hits = store.search(Vector(data[42]), 3)
+        assert hits[0].id == "v42"
+        # upsert + delete still work against sharded storage
+        store.insert("v42", Vector(-data[42]))
+        assert store.search(Vector(data[42]), 1)[0].id != "v42"
+        store.delete("v0")
+        assert len(store) == 299
+        assert all(h.id != "v0" for h in store.search(Vector(data[0]), 5))
+
+    def test_sharded_store_exact_filtered_search(self, mesh8, rng):
+        from vectordb_tpu import VectorStore, Metadata, MetadataFilter
+        store = VectorStore.with_sharded_flat_index(
+            DistanceMetric.EUCLIDEAN, mesh8)
+        data = rng.standard_normal((200, 8)).astype(np.float32)
+        for i in range(200):
+            tag = "rare" if i >= 195 else "common"
+            store.insert_with_metadata(f"v{i}", Vector(data[i]),
+                                       Metadata({"tag": tag}))
+        q = Vector(rng.standard_normal(8).astype(np.float32))
+        hits = store.search_with_filter(q, 5, MetadataFilter.eq("tag", "rare"))
+        assert len(hits) == 5
+        assert {h.id for h in hits} == {f"v{i}" for i in range(195, 200)}
+
+    def test_sharded_store_matches_single_device(self, mesh8, rng):
+        from vectordb_tpu import VectorStore
+        data = rng.standard_normal((256, 12)).astype(np.float32)
+        single = VectorStore.with_flat_index(DistanceMetric.COSINE)
+        sharded = VectorStore.with_sharded_flat_index(
+            DistanceMetric.COSINE, mesh8)
+        for i in range(256):
+            single.insert(f"v{i}", Vector(data[i]))
+            sharded.insert(f"v{i}", Vector(data[i]))
+        queries = [(Vector(data[i] + 0.01), 5) for i in range(4)]
+        res_s = single.search_batch(queries)
+        res_m = sharded.search_batch(queries)
+        for a, b in zip(res_s, res_m):
+            assert [h.id for h in a] == [h.id for h in b]
+            np.testing.assert_allclose([h.distance for h in a],
+                                       [h.distance for h in b],
+                                       rtol=1e-4, atol=1e-5)
+
+    def test_sharded_arrays_live_on_all_devices(self, mesh8, rng):
+        from vectordb_tpu import VectorStore
+        store = VectorStore.with_sharded_flat_index(
+            DistanceMetric.EUCLIDEAN, mesh8)
+        data = rng.standard_normal((100, 8)).astype(np.float32)
+        for i in range(100):
+            store.insert(f"v{i}", Vector(data[i]))
+        store.search(Vector(data[0]), 1)  # forces sync
+        dev = store.index._device
+        assert len(dev["db"].sharding.device_set) == 8

@@ -40,12 +40,19 @@ _FULL_SYNC_FRACTION = 8
 class FlatIndex(Index):
     """Exact k-NN via fused device flat scan."""
 
-    def __init__(self, metric: DistanceMetric, search_mode: str = "exact"):
+    def __init__(self, metric: DistanceMetric, search_mode: str = "exact",
+                 mesh=None, row_axis: str = "shard"):
         if search_mode not in ("exact", "fast"):
             raise ValueError(f"unknown search_mode: {search_mode!r}")
         # "exact": full-f32 MXU scan. "fast": coarse native-precision scan
         # keeping 8k candidates + exact f32 re-rank (~3-6x less MXU work).
         self.search_mode = search_mode
+        # With a jax.sharding.Mesh, the packed arrays live sharded over the
+        # mesh's row axis and searches run the distributed per-shard scan +
+        # top-k merge (parallel/distributed.py). CRUD semantics unchanged.
+        self._mesh = mesh
+        self._row_axis = row_axis
+        self._sharded_search_cache: dict = {}
         self._metric = metric
         self._dim: Optional[int] = None
         self._capacity = 0
@@ -94,6 +101,9 @@ class FlatIndex(Index):
         if self._capacity >= needed:
             return
         new_cap = next_pow2(needed, floor=_MIN_CAPACITY)
+        if self._mesh is not None:
+            n_shards = self._mesh.shape[self._row_axis]
+            new_cap = ((new_cap + n_shards - 1) // n_shards) * n_shards
         new_vectors = np.zeros((new_cap, self._dim), dtype=np.float32)
         new_valid = np.zeros(new_cap, dtype=bool)
         new_sq = np.zeros(new_cap, dtype=np.float32)
@@ -203,6 +213,22 @@ class FlatIndex(Index):
 
     def _sync_device(self) -> dict:
         """Bring the HBM mirror up to date. Called with the lock held."""
+        if self._mesh is not None:
+            # sharded mode: re-put wholesale when dirty (scatter across a
+            # sharded buffer would reshard anyway); rows over the mesh axis
+            if self._device is None or self._dirty_slots:
+                import jax
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                row2d = NamedSharding(self._mesh, P(self._row_axis, None))
+                row1d = NamedSharding(self._mesh, P(self._row_axis))
+                self._device = {
+                    "db": jax.device_put(self._vectors, row2d),
+                    "sq_norms": jax.device_put(self._sq_norms, row1d),
+                    "norms": jax.device_put(self._norms, row1d),
+                    "valid": jax.device_put(self._valid, row1d),
+                }
+                self._dirty_slots.clear()
+            return self._device
         if self._device is None:
             self._device = {
                 "db": jnp.asarray(self._vectors),
@@ -259,8 +285,11 @@ class FlatIndex(Index):
                 mask = padded
             dev["valid"] = jnp.logical_and(dev["valid"], jnp.asarray(mask))
         k_req = min(int(k), live)
-        dists, idx = flat_search_batched(queries, dev, self._metric, k_req,
-                                         mode=self.search_mode)
+        if self._mesh is not None:
+            dists, idx = self._sharded_search(queries, dev, k_req)
+        else:
+            dists, idx = flat_search_batched(queries, dev, self._metric,
+                                             k_req, mode=self.search_mode)
         out: List[List[Tuple[int, float]]] = []
         for qi in range(queries.shape[0]):
             row: List[Tuple[int, float]] = []
@@ -273,6 +302,27 @@ class FlatIndex(Index):
                 row.append((int(id_of_slot[int(idx[qi, j])]), dist))
             out.append(row)
         return out
+
+    def _sharded_search(self, queries: np.ndarray, dev: dict, k_req: int):
+        """Distributed per-shard scan + top-k merge over the mesh."""
+        from ..parallel.distributed import make_sharded_search
+        k_eff = min(next_pow2(k_req, floor=1), self._capacity)
+        key = (k_eff, self._capacity)
+        fn = self._sharded_search_cache.get(key)
+        if fn is None:
+            block_rows = self._capacity // self._mesh.shape[self._row_axis]
+            fn = make_sharded_search(self._mesh, self._metric, k_eff,
+                                     block_rows, self._row_axis)
+            self._sharded_search_cache[key] = fn
+        q = queries.shape[0]
+        q_pad = next_pow2(q, floor=1)
+        if q_pad != q:
+            queries = np.concatenate(
+                [queries, np.zeros((q_pad - q, queries.shape[1]),
+                                   dtype=queries.dtype)], axis=0)
+        dists, idx = fn(jnp.asarray(queries), dev["db"], dev["sq_norms"],
+                        dev["norms"], dev["valid"])
+        return np.asarray(dists)[:q], np.asarray(idx)[:q]
 
     def search_masked(self, query: Vector, k: int,
                       slot_mask: np.ndarray) -> Optional[List[Tuple[int, float]]]:

@@ -76,6 +76,14 @@ class VectorStore:
     def with_index(cls, index: Index) -> "VectorStore":
         return cls(index)
 
+    @classmethod
+    def with_sharded_flat_index(cls, metric: DistanceMetric, mesh,
+                                row_axis: str = "shard") -> "VectorStore":
+        """Full store semantics (string IDs, metadata, exact filtered
+        search) with the packed database sharded over a device mesh —
+        searches run the distributed per-shard scan + top-k merge."""
+        return cls(FlatIndex(metric, mesh=mesh, row_axis=row_axis))
+
     # -- insert -------------------------------------------------------------
 
     def insert(self, id: str, vector: Vector) -> None:
