@@ -74,6 +74,7 @@ class HnswGraph:
         self._len = 0
         self._vectors: Optional[np.ndarray] = None    # f32[capacity, d]
         self._norms: Optional[np.ndarray] = None      # f32[capacity]
+        self._sq_norms: Optional[np.ndarray] = None   # f32[capacity]
         self._valid: Optional[np.ndarray] = None      # bool[capacity]
         self._levels: Optional[np.ndarray] = None     # int32[capacity], -1 dead
         # adjacency: per slot, a list over layers 0..level of neighbor slot lists
@@ -115,18 +116,21 @@ class HnswGraph:
         new_cap = next_pow2(needed, floor=_MIN_CAPACITY)
         new_vectors = np.zeros((new_cap, self._dim), dtype=np.float32)
         new_norms = np.zeros(new_cap, dtype=np.float32)
+        new_sq = np.zeros(new_cap, dtype=np.float32)
         new_valid = np.zeros(new_cap, dtype=bool)
         new_levels = np.full(new_cap, -1, dtype=np.int32)
         new_ids = np.full(new_cap, -1, dtype=np.int64)
         if self._capacity:
             new_vectors[: self._capacity] = self._vectors
             new_norms[: self._capacity] = self._norms
+            new_sq[: self._capacity] = self._sq_norms
             new_valid[: self._capacity] = self._valid
             new_levels[: self._capacity] = self._levels
             new_ids[: self._capacity] = self._id_of_slot
         self._free_slots.extend(range(new_cap - 1, self._capacity - 1, -1))
         self._neighbors.extend([] for _ in range(new_cap - self._capacity))
-        self._vectors, self._norms = new_vectors, new_norms
+        self._vectors, self._norms, self._sq_norms = (new_vectors, new_norms,
+                                                      new_sq)
         self._valid, self._levels, self._id_of_slot = new_valid, new_levels, new_ids
         self._capacity = new_cap
 
@@ -140,12 +144,17 @@ class HnswGraph:
 
     def _dists_to_slots(self, query: np.ndarray, query_norm: float,
                         slots: np.ndarray) -> np.ndarray:
-        """Distances from ``query`` (d,) to the given slots, one BLAS call."""
+        """Distances from ``query`` (d,) to the given slots, one BLAS call.
+
+        Euclidean uses |x|^2 + |q|^2 - 2 x.q with precomputed squared row
+        norms: one gemv + two vector ops instead of materializing the
+        difference matrix (the build hot loop calls this ~100x per insert).
+        """
         rows = self._vectors[slots]
-        if self.metric is DistanceMetric.EUCLIDEAN:
-            diff = rows - query[None, :]
-            return np.sqrt(np.maximum(np.einsum("ij,ij->i", diff, diff), 0.0))
         dots = rows @ query
+        if self.metric is DistanceMetric.EUCLIDEAN:
+            d2 = self._sq_norms[slots] + query_norm * query_norm - 2.0 * dots
+            return np.sqrt(np.maximum(d2, 0.0))
         if self.metric is DistanceMetric.DOT_PRODUCT:
             return -dots
         norms = self._norms[slots]
@@ -169,25 +178,39 @@ class HnswGraph:
             visited.add(slot)
             candidates.push(dist, slot)
             results.push_bounded(dist, slot)
+        valid = self._valid
+        neighbors = self._neighbors
+        visited_add = visited.add
         while candidates:
             c_dist, c_slot = candidates.pop()
-            if results.is_full() and c_dist > results.worst_distance():
+            full = results.is_full()
+            worst = results.worst_distance() if full else math.inf
+            if full and c_dist > worst:
                 break
-            layer_lists = self._neighbors[c_slot]
+            layer_lists = neighbors[c_slot]
             if layer >= len(layer_lists):
                 continue
             fresh = [s for s in layer_lists[layer]
-                     if s not in visited and self._valid[s]]
+                     if s not in visited and valid[s]]
             if not fresh:
                 continue
-            visited.update(fresh)
+            for s in fresh:
+                visited_add(s)
             dists = self._dists_to_slots(query, query_norm,
                                          np.asarray(fresh, dtype=np.int64))
-            for dist, slot in zip(dists, fresh):
-                dist = float(dist)
-                if not results.is_full() or dist < results.worst_distance():
+            # vectorized pre-filter: only candidates that can improve the
+            # result set reach the heaps (conservative — ``worst`` only
+            # shrinks as pushes land, and push_bounded re-checks)
+            if full:
+                keep = np.nonzero(dists < worst)[0]
+                if keep.shape[0] == 0:
+                    continue
+                pairs = [(float(dists[i]), fresh[i]) for i in keep]
+            else:
+                pairs = [(float(d), s) for d, s in zip(dists, fresh)]
+            for dist, slot in pairs:
+                if results.push_bounded(dist, slot):
                     candidates.push(dist, slot)
-                    results.push_bounded(dist, slot)
         return results.into_sorted()
 
     # -- pruning (reference graph.rs:202-242) --------------------------------
@@ -227,7 +250,9 @@ class HnswGraph:
         slot = self._take_slot()
         level = self._random_level()
         self._vectors[slot] = arr
-        self._norms[slot] = math.sqrt(float(np.dot(arr, arr)))
+        sq = float(np.dot(arr, arr))
+        self._sq_norms[slot] = sq
+        self._norms[slot] = math.sqrt(sq)
         self._levels[slot] = level
         self._valid[slot] = True
         self._id_of_slot[slot] = internal_id

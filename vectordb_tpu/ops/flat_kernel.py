@@ -151,27 +151,41 @@ def two_phase_search(queries, db, db_sq_norms, db_norms, valid,
     kt = min(k, t)
     _, tile_idx = jax.lax.top_k(-minima, kt)          # (Q, kt)
     row_offsets = jnp.arange(tile_rows, dtype=jnp.int32)
-    cand_rows = (tile_idx[:, :, None] * tile_rows
-                 + row_offsets[None, None, :]).reshape(q, kt * tile_rows)
+    cand_rows_all = (tile_idx[:, :, None] * tile_rows
+                     + row_offsets[None, None, :]).reshape(q, kt * tile_rows)
+    k_eff = min(k, kt * tile_rows)
 
-    cand_db = db[cand_rows]                            # (Q, C, d)
-    cand_dots = jnp.einsum("qcd,qd->qc", cand_db, queries,
-                           preferred_element_type=jnp.float32)
-    cand_penalty = invalidf[cand_rows] * _INVALID_PENALTY
-    if mode == "euclidean":
-        cand_d = (qaux[:, None] + db_sq_norms[cand_rows] - 2.0 * cand_dots)
-        cand_d = jnp.maximum(cand_d, 0.0) + cand_penalty
-    elif mode == "dot":
-        cand_d = -cand_dots + cand_penalty
+    def refine_chunk(args):
+        """Exact re-rank for one query chunk — chunked so the candidate
+        gather stays O(chunk * k * tile_rows * d) instead of Q-sized."""
+        queries_c, qaux_c, cand_rows = args
+        cand_db = db[cand_rows]                        # (C, kc, d)
+        cand_dots = jnp.einsum("qcd,qd->qc", cand_db, queries_c,
+                               preferred_element_type=jnp.float32)
+        cand_penalty = invalidf[cand_rows] * _INVALID_PENALTY
+        if mode == "euclidean":
+            cand_d = (qaux_c[:, None] + db_sq_norms[cand_rows]
+                      - 2.0 * cand_dots)
+            cand_d = jnp.maximum(cand_d, 0.0) + cand_penalty
+        elif mode == "dot":
+            cand_d = -cand_dots + cand_penalty
+        else:
+            denom = qaux_c[:, None] * db_norms[cand_rows]
+            denom = jnp.where(denom == 0.0, 1.0, denom)
+            cand_d = -(cand_dots / denom) + cand_penalty
+        neg_best, pos = jax.lax.top_k(-cand_d, k_eff)
+        return -neg_best, jnp.take_along_axis(cand_rows, pos, axis=1)
+
+    chunk = min(q, 128)
+    if q % chunk == 0 and q > chunk:
+        best, idx = jax.lax.map(refine_chunk, (
+            queries.reshape(q // chunk, chunk, d),
+            qaux.reshape(q // chunk, chunk),
+            cand_rows_all.reshape(q // chunk, chunk, kt * tile_rows)))
+        best = best.reshape(q, k_eff)
+        idx = idx.reshape(q, k_eff)
     else:
-        denom = qaux[:, None] * db_norms[cand_rows]
-        denom = jnp.where(denom == 0.0, 1.0, denom)
-        cand_d = -(cand_dots / denom) + cand_penalty
-
-    k_eff = min(k, cand_d.shape[1])
-    neg_best, pos = jax.lax.top_k(-cand_d, k_eff)
-    best = -neg_best
-    idx = jnp.take_along_axis(cand_rows, pos, axis=1)
+        best, idx = refine_chunk((queries, qaux, cand_rows_all))
 
     # restore true distance values + inf for dead entries
     dead = best >= _INVALID_PENALTY * 0.5

@@ -1,0 +1,418 @@
+// Native HNSW core: build + search on packed arrays.
+//
+// The graph-builder for the TPU framework's HNSW index. Same algorithm
+// family as the reference (Malkov & Yashunin; reference behavior at
+// src/hnsw/graph.rs:19-424 — geometric level sampling, Algorithm-2 beam
+// search per layer, bidirectional linking with re-scoring prune, lazy-dead
+// slots, entry-point promotion) but designed around this framework's
+// packed structure-of-arrays model so the adjacency exports directly into
+// the padded int32[N, L, M] device tables consumed by the Pallas/XLA
+// traversal (ops/hnsw_device.py). Driven from Python via ctypes; the
+// pure-Python HnswGraph remains as the fallback implementation.
+//
+// Hot-loop specifics vs the Python build path (~400 vec/s):
+//   * epoch-stamped visited marks (no hash sets, no clearing)
+//   * flat f32 storage, distance kernels inlined over contiguous rows
+//   * std::priority_queue candidate/result heaps with (dist, id) ordering
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <queue>
+#include <random>
+#include <utility>
+#include <vector>
+
+namespace {
+
+enum Metric : uint32_t { kL2 = 0, kCosine = 1, kDot = 2 };
+
+using DistId = std::pair<float, int32_t>;  // (distance, slot)
+
+struct MinQ {
+    // smallest distance on top; ties by slot id for determinism
+    std::priority_queue<DistId, std::vector<DistId>, std::greater<DistId>> q;
+};
+
+struct MaxQ {
+    std::priority_queue<DistId> q;  // largest distance on top
+};
+
+struct HnswCore {
+    uint32_t dim;
+    uint32_t m;
+    uint32_t m_max0;
+    uint32_t ef_construction;
+    uint32_t max_layers;
+    Metric metric;
+    double ml;
+    std::mt19937_64 rng;
+
+    int64_t capacity = 0;
+    int64_t count = 0;
+    std::vector<float> vectors;    // capacity * dim
+    std::vector<float> norms;      // capacity
+    std::vector<float> sq_norms;   // capacity
+    std::vector<int32_t> levels;   // capacity, -1 dead
+    std::vector<int64_t> ids;      // capacity, -1 dead
+    std::vector<uint8_t> valid;    // capacity
+    // adjacency: per slot, per layer (0..level) a neighbor list
+    std::vector<std::vector<std::vector<int32_t>>> neighbors;
+    std::vector<int32_t> free_slots;
+    int32_t entry = -1;
+    int32_t max_level = 0;
+    uint64_t version = 0;
+
+    // epoch-stamped visited marks
+    std::vector<uint64_t> visit_mark;
+    uint64_t visit_epoch = 0;
+
+    const float* row(int32_t slot) const {
+        return vectors.data() + static_cast<size_t>(slot) * dim;
+    }
+
+    void grow(int64_t want) {
+        if (capacity >= want) return;
+        int64_t new_cap = capacity ? capacity : 256;
+        while (new_cap < want) new_cap *= 2;
+        vectors.resize(static_cast<size_t>(new_cap) * dim, 0.f);
+        norms.resize(new_cap, 0.f);
+        sq_norms.resize(new_cap, 0.f);
+        levels.resize(new_cap, -1);
+        ids.resize(new_cap, -1);
+        valid.resize(new_cap, 0);
+        neighbors.resize(new_cap);
+        visit_mark.resize(new_cap, 0);
+        for (int64_t s = new_cap - 1; s >= capacity; s--)
+            free_slots.push_back(static_cast<int32_t>(s));
+        capacity = new_cap;
+    }
+
+    int32_t take_slot() {
+        if (free_slots.empty()) grow(capacity ? capacity * 2 : 256);
+        int32_t s = free_slots.back();
+        free_slots.pop_back();
+        return s;
+    }
+
+    // distance for ranking AND for the returned value semantics:
+    // l2 -> true euclidean; cosine -> 1 - clamped similarity; dot -> -dot
+    float dist(const float* q, float q_norm, int32_t slot) const {
+        const float* x = row(slot);
+        float dot = 0.f;
+        for (uint32_t i = 0; i < dim; i++) dot += q[i] * x[i];
+        switch (metric) {
+            case kL2: {
+                float d2 = q_norm * q_norm + sq_norms[slot] - 2.f * dot;
+                return std::sqrt(d2 > 0.f ? d2 : 0.f);
+            }
+            case kCosine: {
+                float denom = q_norm * norms[slot];
+                float sim = denom == 0.f ? 0.f : dot / denom;
+                sim = std::min(1.f, std::max(-1.f, sim));
+                return 1.f - sim;
+            }
+            default:
+                return -dot;
+        }
+    }
+
+    bool has_zero_norm_live() const {
+        for (int64_t s = 0; s < capacity; s++)
+            if (valid[s] && norms[s] == 0.f) return true;
+        return false;
+    }
+
+    int random_level() {
+        std::uniform_real_distribution<double> u01(0.0, 1.0);
+        double u = u01(rng);
+        if (u < 1e-12) u = 1e-12;
+        int level = static_cast<int>(-std::log(u) * ml);
+        int cap_level = static_cast<int>(max_layers) - 1;
+        return level < cap_level ? level : cap_level;
+    }
+
+    // Algorithm 2: ef-bounded beam search on one layer.
+    void search_layer(const float* q, float q_norm,
+                      const std::vector<DistId>& entries, uint32_t ef,
+                      int layer, std::vector<DistId>* out) {
+        visit_epoch++;
+        MinQ candidates;
+        MaxQ results;
+        for (const auto& e : entries) {
+            if (visit_mark[e.second] == visit_epoch) continue;
+            visit_mark[e.second] = visit_epoch;
+            candidates.q.push(e);
+            results.q.push(e);
+            if (results.q.size() > ef) results.q.pop();
+        }
+        while (!candidates.q.empty()) {
+            DistId c = candidates.q.top();
+            candidates.q.pop();
+            if (results.q.size() >= ef && c.first > results.q.top().first)
+                break;
+            const auto& layer_lists = neighbors[c.second];
+            if (layer >= static_cast<int>(layer_lists.size())) continue;
+            for (int32_t nb : layer_lists[layer]) {
+                if (visit_mark[nb] == visit_epoch || !valid[nb]) continue;
+                visit_mark[nb] = visit_epoch;
+                float d = dist(q, q_norm, nb);
+                if (results.q.size() < ef || d < results.q.top().first) {
+                    candidates.q.push({d, nb});
+                    results.q.push({d, nb});
+                    if (results.q.size() > ef) results.q.pop();
+                }
+            }
+        }
+        out->clear();
+        out->reserve(results.q.size());
+        while (!results.q.empty()) {
+            out->push_back(results.q.top());
+            results.q.pop();
+        }
+        std::sort(out->begin(), out->end());
+    }
+
+    // re-score + truncate a node's layer adjacency to max degree
+    void prune(int32_t slot, int layer) {
+        auto& list = neighbors[slot][layer];
+        uint32_t limit = layer == 0 ? m_max0 : m;
+        std::vector<int32_t> live;
+        live.reserve(list.size());
+        for (int32_t nb : list)
+            if (valid[nb]) live.push_back(nb);
+        if (live.size() <= limit) {
+            list = std::move(live);
+            return;
+        }
+        const float* q = row(slot);
+        float qn = norms[slot];
+        std::vector<DistId> scored;
+        scored.reserve(live.size());
+        for (int32_t nb : live) scored.push_back({dist(q, qn, nb), nb});
+        std::sort(scored.begin(), scored.end());
+        list.clear();
+        for (uint32_t i = 0; i < limit; i++) list.push_back(scored[i].second);
+    }
+
+    // Algorithm 1: insert.
+    int64_t insert(int64_t internal_id, const float* vec) {
+        grow(count + 1);
+        int32_t slot = take_slot();
+        int level = random_level();
+        std::memcpy(vectors.data() + static_cast<size_t>(slot) * dim, vec,
+                    sizeof(float) * dim);
+        float sq = 0.f;
+        for (uint32_t i = 0; i < dim; i++) sq += vec[i] * vec[i];
+        sq_norms[slot] = sq;
+        norms[slot] = std::sqrt(sq);
+        levels[slot] = level;
+        ids[slot] = internal_id;
+        valid[slot] = 1;
+        neighbors[slot].assign(level + 1, {});
+        count++;
+        version++;
+
+        if (entry < 0) {
+            entry = slot;
+            max_level = level;
+            return slot;
+        }
+
+        const float* q = row(slot);
+        float qn = norms[slot];
+        std::vector<DistId> eps{{dist(q, qn, entry), entry}};
+        std::vector<DistId> found;
+
+        for (int layer = max_level; layer > level; layer--) {
+            search_layer(q, qn, eps, 1, layer, &found);
+            if (!found.empty()) eps.assign(1, found.front());
+        }
+        int top = level < max_level ? level : max_level;
+        for (int layer = top; layer >= 0; layer--) {
+            search_layer(q, qn, eps, ef_construction, layer, &found);
+            uint32_t limit = layer == 0 ? m_max0 : m;
+            auto& own = neighbors[slot][layer];
+            own.clear();
+            for (uint32_t i = 0; i < found.size() && i < m; i++)
+                own.push_back(found[i].second);
+            for (int32_t nb : own) {
+                auto& nb_layers = neighbors[nb];
+                if (layer >= static_cast<int>(nb_layers.size())) continue;
+                nb_layers[layer].push_back(slot);
+                if (nb_layers[layer].size() > limit) prune(nb, layer);
+            }
+            eps = found;
+        }
+        if (level > max_level) {
+            entry = slot;
+            max_level = level;
+        }
+        return slot;
+    }
+
+    void remove_slot(int32_t slot) {
+        for (int layer = 0;
+             layer < static_cast<int>(neighbors[slot].size()); layer++) {
+            for (int32_t nb : neighbors[slot][layer]) {
+                auto& nb_layers = neighbors[nb];
+                if (layer >= static_cast<int>(nb_layers.size())) continue;
+                auto& list = nb_layers[layer];
+                list.erase(std::remove(list.begin(), list.end(), slot),
+                           list.end());
+            }
+        }
+        neighbors[slot].clear();
+        valid[slot] = 0;
+        levels[slot] = -1;
+        ids[slot] = -1;
+        free_slots.push_back(slot);
+        count--;
+        version++;
+        if (entry == slot) {
+            entry = -1;
+            max_level = 0;
+            int32_t best = -1;
+            int32_t best_level = -1;
+            for (int64_t s = 0; s < capacity; s++) {
+                if (valid[s] && levels[s] > best_level) {
+                    best_level = levels[s];
+                    best = static_cast<int32_t>(s);
+                }
+            }
+            if (best >= 0) {
+                entry = best;
+                max_level = best_level;
+            }
+        }
+    }
+
+    // Algorithm 5: k-NN search. Returns count, or -2 for a cosine
+    // zero-vector error (reference distance.rs:51-55 semantics).
+    int64_t search(const float* q, uint32_t k, uint32_t ef, int64_t* out_ids,
+                   float* out_dists) {
+        if (entry < 0 || count == 0 || k == 0) return 0;
+        float sq = 0.f;
+        for (uint32_t i = 0; i < dim; i++) sq += q[i] * q[i];
+        float qn = std::sqrt(sq);
+        if (metric == kCosine && (qn == 0.f || has_zero_norm_live()))
+            return -2;
+        if (ef < k) ef = k;
+        std::vector<DistId> eps{{dist(q, qn, entry), entry}};
+        std::vector<DistId> found;
+        for (int layer = max_level; layer >= 1; layer--) {
+            search_layer(q, qn, eps, 1, layer, &found);
+            if (!found.empty()) eps.assign(1, found.front());
+        }
+        search_layer(q, qn, eps, ef, 0, &found);
+        int64_t n_out = 0;
+        for (size_t i = 0; i < found.size() && n_out < k; i++) {
+            out_ids[n_out] = ids[found[i].second];
+            out_dists[n_out] = found[i].first;
+            n_out++;
+        }
+        return n_out;
+    }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* vdb_hnsw_create(uint32_t dim, uint32_t m, uint32_t m_max0,
+                      uint32_t ef_construction, uint32_t max_layers,
+                      uint32_t metric, uint64_t seed, double ml) {
+    HnswCore* h = new HnswCore();
+    h->dim = dim;
+    h->m = m;
+    h->m_max0 = m_max0;
+    h->ef_construction = ef_construction;
+    h->max_layers = max_layers;
+    h->metric = static_cast<Metric>(metric);
+    h->ml = ml;
+    h->rng.seed(seed);
+    return h;
+}
+
+void vdb_hnsw_free(void* handle) {
+    delete static_cast<HnswCore*>(handle);
+}
+
+// Returns the slot the vector landed in (>= 0).
+int64_t vdb_hnsw_insert(void* handle, int64_t internal_id, const float* vec) {
+    return static_cast<HnswCore*>(handle)->insert(internal_id, vec);
+}
+
+// Removes by slot (the Python wrapper owns the id->slot map).
+void vdb_hnsw_remove_slot(void* handle, int32_t slot) {
+    static_cast<HnswCore*>(handle)->remove_slot(slot);
+}
+
+int64_t vdb_hnsw_search(void* handle, const float* q, uint32_t k, uint32_t ef,
+                        int64_t* out_ids, float* out_dists) {
+    return static_cast<HnswCore*>(handle)->search(q, k, ef, out_ids,
+                                                  out_dists);
+}
+
+int64_t vdb_hnsw_len(void* handle) {
+    return static_cast<HnswCore*>(handle)->count;
+}
+
+int64_t vdb_hnsw_capacity(void* handle) {
+    return static_cast<HnswCore*>(handle)->capacity;
+}
+
+int32_t vdb_hnsw_entry(void* handle) {
+    return static_cast<HnswCore*>(handle)->entry;
+}
+
+int32_t vdb_hnsw_max_level(void* handle) {
+    return static_cast<HnswCore*>(handle)->max_level;
+}
+
+uint64_t vdb_hnsw_version(void* handle) {
+    return static_cast<HnswCore*>(handle)->version;
+}
+
+int vdb_hnsw_get_slot(void* handle, int32_t slot, float* out) {
+    HnswCore* h = static_cast<HnswCore*>(handle);
+    if (slot < 0 || slot >= h->capacity || !h->valid[slot]) return -1;
+    std::memcpy(out, h->row(slot), sizeof(float) * h->dim);
+    return 0;
+}
+
+// Fill caller-allocated buffers with the padded structure-of-arrays export
+// (shapes: vectors/norms capacity x dim / capacity; neighbors capacity x
+// max_layers x m_max0 with -1 padding; levels/ids/valid capacity).
+int vdb_hnsw_export(void* handle, float* vectors, float* norms,
+                    int32_t* neighbors, int32_t* levels, int64_t* ids,
+                    uint8_t* valid) {
+    HnswCore* h = static_cast<HnswCore*>(handle);
+    const int64_t cap = h->capacity;
+    const uint32_t L = h->max_layers;
+    const uint32_t M = h->m_max0;
+    std::memcpy(vectors, h->vectors.data(),
+                sizeof(float) * static_cast<size_t>(cap) * h->dim);
+    std::memcpy(norms, h->norms.data(), sizeof(float) * cap);
+    std::memcpy(levels, h->levels.data(), sizeof(int32_t) * cap);
+    std::memcpy(ids, h->ids.data(), sizeof(int64_t) * cap);
+    std::memcpy(valid, h->valid.data(), sizeof(uint8_t) * cap);
+    std::fill(neighbors,
+              neighbors + static_cast<size_t>(cap) * L * M, -1);
+    for (int64_t s = 0; s < cap; s++) {
+        if (!h->valid[s]) continue;
+        const auto& layer_lists = h->neighbors[s];
+        for (size_t layer = 0; layer < layer_lists.size() && layer < L;
+             layer++) {
+            const auto& list = layer_lists[layer];
+            int32_t* dst = neighbors +
+                (static_cast<size_t>(s) * L + layer) * M;
+            for (size_t j = 0; j < list.size() && j < M; j++)
+                dst[j] = list[j];
+        }
+    }
+    return 0;
+}
+
+}  // extern "C"

@@ -61,6 +61,35 @@ def _configure(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.vdb_mmf_read_range.restype = ctypes.c_int
     lib.vdb_mmf_close.argtypes = [ctypes.c_void_p]
     lib.vdb_mmf_close.restype = None
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.vdb_hnsw_create.argtypes = [ctypes.c_uint32] * 6 + [
+        ctypes.c_uint64, ctypes.c_double]
+    lib.vdb_hnsw_create.restype = ctypes.c_void_p
+    lib.vdb_hnsw_free.argtypes = [ctypes.c_void_p]
+    lib.vdb_hnsw_free.restype = None
+    lib.vdb_hnsw_insert.argtypes = [ctypes.c_void_p, ctypes.c_int64, f32p]
+    lib.vdb_hnsw_insert.restype = ctypes.c_int64
+    lib.vdb_hnsw_remove_slot.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+    lib.vdb_hnsw_remove_slot.restype = None
+    lib.vdb_hnsw_search.argtypes = [ctypes.c_void_p, f32p, ctypes.c_uint32,
+                                    ctypes.c_uint32, i64p, f32p]
+    lib.vdb_hnsw_search.restype = ctypes.c_int64
+    lib.vdb_hnsw_len.argtypes = [ctypes.c_void_p]
+    lib.vdb_hnsw_len.restype = ctypes.c_int64
+    lib.vdb_hnsw_capacity.argtypes = [ctypes.c_void_p]
+    lib.vdb_hnsw_capacity.restype = ctypes.c_int64
+    lib.vdb_hnsw_entry.argtypes = [ctypes.c_void_p]
+    lib.vdb_hnsw_entry.restype = ctypes.c_int32
+    lib.vdb_hnsw_max_level.argtypes = [ctypes.c_void_p]
+    lib.vdb_hnsw_max_level.restype = ctypes.c_int32
+    lib.vdb_hnsw_version.argtypes = [ctypes.c_void_p]
+    lib.vdb_hnsw_version.restype = ctypes.c_uint64
+    lib.vdb_hnsw_get_slot.argtypes = [ctypes.c_void_p, ctypes.c_int32, f32p]
+    lib.vdb_hnsw_get_slot.restype = ctypes.c_int
+    lib.vdb_hnsw_export.argtypes = [ctypes.c_void_p, f32p, f32p, i32p, i32p,
+                                    i64p, ctypes.POINTER(ctypes.c_uint8)]
+    lib.vdb_hnsw_export.restype = ctypes.c_int
     return lib
 
 
@@ -78,9 +107,10 @@ def get_native() -> Optional[ctypes.CDLL]:
         if _lib is not None:
             return _lib
         try:
-            if not _LIB_PATH.exists() or (
-                    _LIB_PATH.stat().st_mtime
-                    < (_NATIVE_DIR / "walcore.cpp").stat().st_mtime):
+            newest_src = max(
+                (_NATIVE_DIR / name).stat().st_mtime
+                for name in ("walcore.cpp", "hnswcore.cpp"))
+            if not _LIB_PATH.exists() or _LIB_PATH.stat().st_mtime < newest_src:
                 subprocess.run(
                     ["make", "-s", "-C", str(_NATIVE_DIR), "libvdbwal.so"],
                     check=True, capture_output=True, timeout=120)
