@@ -58,6 +58,9 @@ def build_parser() -> argparse.ArgumentParser:
     p_serve = sub.add_parser("serve", help="Start the HTTP API server")
     p_serve.add_argument("--addr", default="0.0.0.0:3000",
                          help="Address to bind to")
+    p_serve.add_argument("--batch-window-ms", type=float, default=0.0,
+                         help="Coalesce concurrent searches into one device "
+                              "call within this window (0 = disabled)")
     return parser
 
 
@@ -123,9 +126,11 @@ def main(argv: Optional[List[str]] = None) -> int:
                 return 1
             from .server import start_flat, start_hnsw
             if args.index == "hnsw":
-                start_hnsw(args.addr, metric, HnswParams())
+                start_hnsw(args.addr, metric, HnswParams(),
+                           batch_window_ms=args.batch_window_ms)
             else:
-                start_flat(args.addr, metric)
+                start_flat(args.addr, metric,
+                           batch_window_ms=args.batch_window_ms)
             return 0
 
         if args.data_dir:

@@ -73,11 +73,21 @@ def _make_handler(api: Api):
     return Handler
 
 
+def _make_api(state: AppState, batch_window_ms: float) -> Api:
+    if batch_window_ms and batch_window_ms > 0:
+        from .batcher import QueryBatcher
+        batcher = QueryBatcher(state.store, state.lock,
+                               window_ms=batch_window_ms)
+        return Api(state, batcher=batcher)
+    return Api(state)
+
+
 def serve(addr: str, state: AppState,
-          ready_event: Optional[threading.Event] = None) -> None:
+          ready_event: Optional[threading.Event] = None,
+          batch_window_ms: float = 0.0) -> None:
     """Bind and serve forever (reference: src/server/mod.rs:27-29)."""
     host, port = _split_addr(addr)
-    api = Api(state)
+    api = _make_api(state, batch_window_ms)
     server = ThreadingHTTPServer((host, port), _make_handler(api))
     print(f"vectordb-tpu server listening on {host}:{server.server_address[1]}")
     if ready_event is not None:
@@ -105,16 +115,20 @@ def _split_addr(addr: str) -> Tuple[str, int]:
     return host, int(port)
 
 
-def start_flat(addr: str, metric: DistanceMetric) -> None:
+def start_flat(addr: str, metric: DistanceMetric,
+               batch_window_ms: float = 0.0) -> None:
     """Serve an in-memory flat-index store (reference: src/server/mod.rs:19-31)."""
-    serve(addr, AppState(VectorStore.with_flat_index(metric)))
+    serve(addr, AppState(VectorStore.with_flat_index(metric)),
+          batch_window_ms=batch_window_ms)
 
 
 def start_hnsw(addr: str, metric: DistanceMetric,
-               params: Optional[HnswParams] = None) -> None:
+               params: Optional[HnswParams] = None,
+               batch_window_ms: float = 0.0) -> None:
     """Serve an in-memory HNSW store (reference: src/server/mod.rs:34-51)."""
     index = HnswIndex(metric, params or HnswParams())
-    serve(addr, AppState(VectorStore.with_index(index)))
+    serve(addr, AppState(VectorStore.with_index(index)),
+          batch_window_ms=batch_window_ms)
 
 
 __all__ = ["AppState", "serve", "start_flat", "start_hnsw",

@@ -63,10 +63,14 @@ def _parse_filter(raw) -> Optional[MetadataFilter]:
 
 
 class Api:
-    """The router: dispatches (method, path, body) to handlers."""
+    """The router: dispatches (method, path, body) to handlers.
 
-    def __init__(self, state):
+    With a ``batcher`` (server/batcher.py), concurrent POST /search
+    requests coalesce into one fused device call."""
+
+    def __init__(self, state, batcher=None):
         self.state = state
+        self.batcher = batcher
 
     # -- dispatch -----------------------------------------------------------
 
@@ -144,11 +148,15 @@ class Api:
         k = int(body.get("k") or 10)
         flt = _parse_filter(body.get("filter"))
         start = time.perf_counter()
-        with self.state.lock.read():
-            if flt is not None:
-                results = self.state.store.search_with_filter(query, k, flt)
-            else:
-                results = self.state.store.search(query, k)
+        if self.batcher is not None:
+            results = self.batcher.search(query, k, flt)
+        else:
+            with self.state.lock.read():
+                if flt is not None:
+                    results = self.state.store.search_with_filter(query, k,
+                                                                  flt)
+                else:
+                    results = self.state.store.search(query, k)
         self.state.metrics.record_query(time.perf_counter() - start)
         return 200, [{"id": r.id, "distance": r.distance} for r in results]
 
