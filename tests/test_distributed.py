@@ -212,3 +212,30 @@ class TestShardedStore:
         store.search(Vector(data[0]), 1)  # forces sync
         dev = store.index._device
         assert len(dev["db"].sharding.device_set) == 8
+
+
+def test_engine_recovery_hydrates_sharded_devices(mesh8, rng, tmp_path):
+    """Crash-recover a WAL+snapshot database straight into mesh-sharded
+    device storage (SURVEY §7 phase 7: recovery to sharded devices)."""
+    from vectordb_tpu.persistence import EngineConfig, StorageEngine
+    data = rng.standard_normal((200, 16)).astype(np.float32)
+    cfg_plain = EngineConfig()
+    with StorageEngine.open(tmp_path, cfg_plain) as eng:
+        from vectordb_tpu import BatchInsertItem
+        eng.insert_batch([
+            BatchInsertItem(f"v{i}", Vector(data[i])) for i in range(150)])
+        eng.checkpoint()
+        for i in range(150, 200):
+            eng.insert(f"v{i}", Vector(data[i]))
+        eng.delete("v0")
+    # reopen with a mesh: snapshot + WAL replay land in sharded storage
+    cfg = EngineConfig(mesh=mesh8)
+    with StorageEngine.open(tmp_path, cfg) as eng:
+        assert len(eng) == 199
+        hits = eng.search(Vector(data[123]), 1)
+        assert hits[0].id == "v123"
+        eng.search(Vector(data[1]), 1)  # force device sync
+        dev = eng.store.index._device
+        assert len(dev["db"].sharding.device_set) == 8
+        assert all(h.id != "v0"
+                   for h in eng.search(Vector(data[0]), 5))

@@ -43,12 +43,15 @@ class EngineConfig:
 
     ``index_type`` extends the reference (which hard-wires persistence to
     the flat index, engine.rs:33): "hnsw" persists the same vector+metadata
-    state and rebuilds the graph on recovery.
+    state and rebuilds the graph on recovery. ``mesh`` (a
+    jax.sharding.Mesh) makes recovery hydrate the packed database directly
+    into row-sharded device storage — the multi-chip resume path.
     """
     checkpoint_interval: int = 1000
     metric: DistanceMetric = DistanceMetric.EUCLIDEAN
     index_type: str = "flat"        # "flat" | "hnsw"
     hnsw_params: Optional[object] = None
+    mesh: Optional[object] = None   # jax.sharding.Mesh for sharded storage
 
 
 class StorageEngine:
@@ -64,7 +67,11 @@ class StorageEngine:
             self.store = VectorStore.with_index(
                 HnswIndex(self.config.metric, params))
         elif self.config.index_type == "flat":
-            self.store = VectorStore.with_flat_index(self.config.metric)
+            if self.config.mesh is not None:
+                self.store = VectorStore.with_sharded_flat_index(
+                    self.config.metric, self.config.mesh)
+            else:
+                self.store = VectorStore.with_flat_index(self.config.metric)
         else:
             raise ValueError(
                 f"unknown index_type: {self.config.index_type!r}")
