@@ -1,0 +1,220 @@
+"""Regression tests for code-review findings (round 1 review)."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from vectordb_tpu import (BatchInsertItem, DistanceMetric, Metadata,
+                          MetadataFilter, Vector, VectorStore)
+from vectordb_tpu.errors import DimensionMismatchError, InvalidVectorError
+from vectordb_tpu.persistence import StorageEngine
+
+
+def test_rejected_insert_does_not_poison_wal(tmp_path):
+    """A dimension-mismatched insert must NOT reach the WAL — otherwise
+    recovery replays it, raises, and the DB can never be reopened."""
+    with StorageEngine.open(tmp_path) as eng:
+        eng.insert("a", Vector([1.0, 2.0, 3.0]))
+        with pytest.raises(DimensionMismatchError):
+            eng.insert("bad", Vector([1.0, 2.0]))
+        assert len(eng) == 1
+    # must reopen cleanly with only the good entry
+    with StorageEngine.open(tmp_path) as eng:
+        assert eng.list_ids() == ["a"]
+
+
+def test_insert_batch_duplicate_ids_no_phantom_rows():
+    """Duplicate string IDs inside one batch: the later one wins, the
+    earlier allocation must not leave a phantom index row."""
+    store = VectorStore.with_flat_index(DistanceMetric.EUCLIDEAN)
+    v1, v2 = Vector([0.0, 0.0]), Vector([9.0, 9.0])
+    store.insert_batch([
+        BatchInsertItem("a", v1),
+        BatchInsertItem("a", v2),
+    ])
+    assert len(store) == 1
+    assert store.get("a") == v2
+    # searching near v1 must NOT produce a phantom hit
+    hits = store.search(v1, 2)
+    assert len(hits) == 1
+    assert hits[0].id == "a"
+    # the phantom's metadata must not match filters either
+    hits = store.search_with_filter(v1, 5, MetadataFilter.exists("nothing"))
+    assert hits == []
+
+
+def test_insert_batch_duplicate_ids_with_metadata():
+    store = VectorStore.with_flat_index(DistanceMetric.EUCLIDEAN)
+    store.insert_batch([
+        BatchInsertItem("a", Vector([1.0]), Metadata({"v": "old"})),
+        BatchInsertItem("b", Vector([2.0]), Metadata({"v": "keep"})),
+        BatchInsertItem("a", Vector([3.0]), Metadata({"v": "new"})),
+    ])
+    assert len(store) == 2
+    assert store.get_metadata("a").get("v") == "new"
+    assert store.search_with_filter(Vector([1.0]), 5,
+                                    MetadataFilter.eq("v", "old")) == []
+
+
+def test_explicit_k_zero_returns_empty():
+    """k=0 must mean zero results, not the default 10 (0 is falsy)."""
+    from vectordb_tpu.server import test_api
+    api, _ = test_api()
+    api.handle("POST", "/vectors", {"id": "a", "vector": [1.0]})
+    status, hits = api.handle("POST", "/search", {"vector": [1.0], "k": 0})
+    assert status == 200
+    assert hits == []
+    status, batches = api.handle("POST", "/search/batch", {
+        "queries": [{"vector": [1.0], "k": 0}, {"vector": [1.0]}]})
+    assert batches[0] == []
+    assert len(batches[1]) == 1
+
+
+def test_vector_does_not_alias_caller_array():
+    arr = np.array([1.0, 0.0], dtype=np.float32)
+    v = Vector(arr)
+    arr[0] = 999.0
+    assert v.as_list() == [1.0, 0.0]
+
+
+def test_concurrent_writes_do_not_invalidate_inflight_reads(rng):
+    """Direct library use: interleaved add+search from multiple threads
+    must never hit 'Array has been deleted' from donated buffers."""
+    from vectordb_tpu import FlatIndex
+    idx = FlatIndex(DistanceMetric.EUCLIDEAN)
+    data = rng.standard_normal((400, 16)).astype(np.float32)
+    for i in range(100):
+        idx.add(i, Vector(data[i]))
+    errors = []
+
+    def writer():
+        try:
+            for i in range(100, 400):
+                idx.add(i, Vector(data[i]))
+                if i % 7 == 0:
+                    idx.remove(i - 50)
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    def reader():
+        try:
+            for _ in range(60):
+                res = idx.search_batch(data[:8], 5)
+                assert all(len(r) > 0 for r in res)
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer)] + \
+        [threading.Thread(target=reader) for _ in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errors, errors
+
+
+def test_batcher_zero_norm_cosine_fails_alone(rng):
+    from vectordb_tpu.server import AppState
+    from vectordb_tpu.server.batcher import QueryBatcher
+    store = VectorStore.with_flat_index(DistanceMetric.COSINE)
+    data = rng.standard_normal((20, 4)).astype(np.float32) + 2.0
+    for i in range(20):
+        store.insert(f"v{i}", Vector(data[i]))
+    state = AppState(store)
+    batcher = QueryBatcher(store, state.lock, window_ms=10.0)
+    outcome = {}
+
+    def good(i):
+        outcome[i] = batcher.search(Vector(data[i]), 1)
+
+    def bad():
+        try:
+            batcher.search(Vector([0.0, 0.0, 0.0, 0.0]), 1)
+            outcome["bad"] = "no-error"
+        except InvalidVectorError:
+            outcome["bad"] = "zero-error"
+
+    threads = ([threading.Thread(target=good, args=(i,)) for i in range(3)]
+               + [threading.Thread(target=bad)])
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    batcher.close()
+    assert outcome["bad"] == "zero-error"
+    for i in range(3):
+        assert outcome[i][0].id == f"v{i}"
+
+
+def test_batcher_structural_filter_grouping(rng):
+    """Identical filters from different requests must coalesce (one device
+    call), not group by object identity."""
+    from vectordb_tpu.server import AppState
+    from vectordb_tpu.server.batcher import QueryBatcher, _Pending
+    store = VectorStore.with_flat_index(DistanceMetric.EUCLIDEAN)
+    data = rng.standard_normal((20, 4)).astype(np.float32)
+    for i in range(20):
+        store.insert_with_metadata(f"v{i}", Vector(data[i]),
+                                   Metadata({"par": str(i % 2)}))
+    state = AppState(store)
+    batcher = QueryBatcher(store, state.lock, window_ms=5.0)
+    calls = []
+    orig = store.search_batch_with_filter
+
+    def counting(queries, flt):
+        calls.append(len(queries))
+        return orig(queries, flt)
+
+    store.search_batch_with_filter = counting
+    items = [_Pending(query=Vector(data[i]), k=1,
+                      filter=MetadataFilter.eq("par", "0"))
+             for i in range(4)]
+    batcher._execute(items)
+    batcher.close()
+    assert calls == [4]  # one coalesced device call for 4 distinct objects
+    for item in items:
+        assert item.results is not None
+
+
+def test_http_url_decoding_and_query_strings():
+    from vectordb_tpu.server import AppState
+    from vectordb_tpu.server.app import start_server_background
+    state = AppState(VectorStore.with_flat_index(DistanceMetric.EUCLIDEAN))
+    server, _ = start_server_background("127.0.0.1:0", state)
+    port = server.server_address[1]
+    base = f"http://127.0.0.1:{port}"
+    try:
+        req = urllib.request.Request(
+            f"{base}/vectors", method="POST",
+            data=json.dumps({"id": "some id", "vector": [1.0]}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req) as resp:
+            assert resp.status == 201
+        with urllib.request.urlopen(f"{base}/vectors/some%20id") as resp:
+            payload = json.loads(resp.read())
+            assert payload["id"] == "some id"
+        with urllib.request.urlopen(f"{base}/health?verbose=1") as resp:
+            assert json.loads(resp.read())["status"] == "ok"
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+def test_native_hnsw_cosine_zero_counter(rng):
+    """The O(1) zero-norm counter must behave across insert/remove."""
+    from vectordb_tpu import HnswIndex, HnswParams
+    from vectordb_tpu.index.hnsw_native import native_available
+    if not native_available():
+        pytest.skip("native core unavailable")
+    idx = HnswIndex(DistanceMetric.COSINE, HnswParams(seed=1),
+                    backend="native")
+    idx.add(0, Vector([0.0, 0.0]))  # zero into EMPTY graph is allowed
+    with pytest.raises(InvalidVectorError):
+        idx.add(1, Vector([1.0, 0.0]))  # distance vs stored zero errors
+    idx.remove(0)
+    idx.add(1, Vector([1.0, 0.0]))
+    idx.add(2, Vector([0.5, 0.5]))
+    assert [i for i, _ in idx.search(Vector([1.0, 0.1]), 1)] == [1]

@@ -27,7 +27,8 @@ import numpy as np
 from ..distance import DistanceMetric, metric_needs_norms, validate_cosine_operands
 from ..errors import DimensionMismatchError, InvalidVectorError
 from ..ops.topk import flat_search_batched, next_pow2
-from ..ops.update import scatter_rows, scatter_values
+from ..ops.update import (scatter_rows, scatter_rows_copy, scatter_values,
+                          scatter_values_copy)
 from ..vector import Vector, as_f32_array
 from .base import Index
 
@@ -70,6 +71,9 @@ class FlatIndex(Index):
         self._device: Optional[dict] = None
         self._dirty_slots: set[int] = set()
         self._lock = threading.RLock()
+        # readers that copied the device dict and released the lock; while
+        # any are in flight, syncs must not donate (see _sync_device)
+        self._searches_in_flight = 0
 
     # -- basic properties ---------------------------------------------------
 
@@ -244,10 +248,15 @@ class FlatIndex(Index):
                 return self._sync_device()
             idx = np.fromiter(self._dirty_slots, dtype=np.int32)
             dev = self._device
-            dev["db"] = scatter_rows(dev["db"], idx, self._vectors[idx])
-            dev["sq_norms"] = scatter_values(dev["sq_norms"], idx, self._sq_norms[idx])
-            dev["norms"] = scatter_values(dev["norms"], idx, self._norms[idx])
-            dev["valid"] = scatter_values(dev["valid"], idx, self._valid[idx])
+            if self._searches_in_flight > 0:
+                # a reader still holds the old buffers — copy, don't donate
+                s_rows, s_vals = scatter_rows_copy, scatter_values_copy
+            else:
+                s_rows, s_vals = scatter_rows, scatter_values
+            dev["db"] = s_rows(dev["db"], idx, self._vectors[idx])
+            dev["sq_norms"] = s_vals(dev["sq_norms"], idx, self._sq_norms[idx])
+            dev["norms"] = s_vals(dev["norms"], idx, self._norms[idx])
+            dev["valid"] = s_vals(dev["valid"], idx, self._valid[idx])
             self._dirty_slots.clear()
         return self._device
 
@@ -276,6 +285,15 @@ class FlatIndex(Index):
             dev = dict(self._sync_device())
             id_of_slot = self._id_of_slot.copy()
             live = self._len
+            self._searches_in_flight += 1
+        try:
+            return self._finish_search(queries, dev, id_of_slot, live, k,
+                                       slot_mask)
+        finally:
+            with self._lock:
+                self._searches_in_flight -= 1
+
+    def _finish_search(self, queries, dev, id_of_slot, live, k, slot_mask):
         if slot_mask is not None:
             mask = np.asarray(slot_mask, dtype=bool)
             if mask.shape[0] != dev["valid"].shape[0]:

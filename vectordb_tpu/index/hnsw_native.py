@@ -51,10 +51,13 @@ class NativeHnswGraph:
         self.version = 0
 
     def __del__(self):
-        handle = getattr(self, "_handle", None)
-        if handle:
-            self._native.vdb_hnsw_free(handle)
-            self._handle = None
+        try:
+            handle = getattr(self, "_handle", None)
+            if handle:
+                self._native.vdb_hnsw_free(handle)
+                self._handle = None
+        except Exception:
+            pass  # interpreter teardown may have unloaded the library
 
     # -- properties ---------------------------------------------------------
 

@@ -27,4 +27,18 @@ def scatter_values(buf, idx, values):
     return buf.at[idx].set(values)
 
 
-__all__ = ["scatter_rows", "scatter_values"]
+# Non-donating variants: used while concurrent readers may still hold the
+# old buffers (donation would invalidate them mid-flight). Costs one device
+# copy of the buffer.
+@jax.jit
+def scatter_rows_copy(buf, idx, rows):
+    return buf.at[idx].set(rows)
+
+
+@jax.jit
+def scatter_values_copy(buf, idx, values):
+    return buf.at[idx].set(values)
+
+
+__all__ = ["scatter_rows", "scatter_values", "scatter_rows_copy",
+           "scatter_values_copy"]

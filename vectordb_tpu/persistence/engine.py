@@ -127,6 +127,12 @@ class StorageEngine:
 
     def insert_with_metadata(self, id: str, vector: Vector,
                              metadata: Metadata) -> None:
+        # validate BEFORE logging: a WAL entry the store would reject would
+        # abort every future recovery (the store re-raises during replay)
+        expected = self.store.dimension
+        if expected is not None and vector.dimension != expected:
+            from ..errors import DimensionMismatchError
+            raise DimensionMismatchError(expected, vector.dimension)
         internal_id = self.store._next_id  # the ID the store will assign
         self.wal.append(WalEntry.insert(str(id), internal_id,
                                         vector.as_array(), metadata.fields()))

@@ -63,6 +63,7 @@ struct HnswCore {
     int32_t entry = -1;
     int32_t max_level = 0;
     uint64_t version = 0;
+    int64_t zero_norm_live = 0;  // O(1) cosine zero-vector check
 
     // epoch-stamped visited marks
     std::vector<uint64_t> visit_mark;
@@ -118,11 +119,7 @@ struct HnswCore {
         }
     }
 
-    bool has_zero_norm_live() const {
-        for (int64_t s = 0; s < capacity; s++)
-            if (valid[s] && norms[s] == 0.f) return true;
-        return false;
-    }
+    bool has_zero_norm_live() const { return zero_norm_live > 0; }
 
     int random_level() {
         std::uniform_real_distribution<double> u01(0.0, 1.0);
@@ -207,6 +204,7 @@ struct HnswCore {
         for (uint32_t i = 0; i < dim; i++) sq += vec[i] * vec[i];
         sq_norms[slot] = sq;
         norms[slot] = std::sqrt(sq);
+        if (sq == 0.f) zero_norm_live++;
         levels[slot] = level;
         ids[slot] = internal_id;
         valid[slot] = 1;
@@ -264,6 +262,7 @@ struct HnswCore {
             }
         }
         neighbors[slot].clear();
+        if (sq_norms[slot] == 0.f) zero_norm_live--;
         valid[slot] = 0;
         levels[slot] = -1;
         ids[slot] = -1;

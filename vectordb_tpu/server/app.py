@@ -59,8 +59,12 @@ def _make_handler(api: Api):
             if isinstance(body, ValueError):
                 self._respond(400, {"error": str(body)})
                 return
+            # strip the query string and URL-decode (so /vectors/some%20id
+            # matches the literal ID, like the reference's Path extractor)
+            from urllib.parse import unquote
+            path = unquote(self.path.partition("?")[0])
             try:
-                status, payload = api.handle(self.command, self.path, body)
+                status, payload = api.handle(self.command, path, body)
             except Exception as e:  # defense in depth: never kill the worker
                 status, payload = 500, {"error": str(e)}
             self._respond(status, payload)

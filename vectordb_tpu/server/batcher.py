@@ -101,9 +101,13 @@ class QueryBatcher:
             self._execute(batch)
 
     def _execute(self, batch: List[_Pending]) -> None:
-        # per-request dimension validation up front, so one malformed query
-        # fails alone instead of poisoning its whole coalesced batch
+        # per-request validation up front, so one malformed query fails
+        # alone instead of poisoning its whole coalesced batch: dimension
+        # mismatches, and zero-norm queries under the cosine metric
+        from ..distance import DistanceMetric
+        from ..errors import InvalidVectorError
         expected = self._store.dimension
+        cosine = self._store.metric is DistanceMetric.COSINE
         ready = []
         for item in batch:
             if (expected is not None and len(self._store)
@@ -111,14 +115,20 @@ class QueryBatcher:
                 item.error = DimensionMismatchError(expected,
                                                     item.query.dimension)
                 item.done.set()
+            elif cosine and item.query.norm() == 0.0 and len(self._store):
+                item.error = InvalidVectorError(
+                    "Cannot compute cosine distance with zero vector")
+                item.done.set()
             else:
                 ready.append(item)
         batch = ready
-        # group by filter identity: unfiltered requests coalesce into one
-        # device call; filtered ones group per filter object
+        # group by STRUCTURAL filter key so identical filters from
+        # different requests coalesce into one device call
+        import json
         groups: dict = {}
         for item in batch:
-            key = id(item.filter) if item.filter is not None else None
+            key = (json.dumps(item.filter.to_dict(), sort_keys=True)
+                   if item.filter is not None else None)
             groups.setdefault(key, []).append(item)
         for key, items in groups.items():
             queries = [(it.query, it.k) for it in items]

@@ -145,7 +145,8 @@ class Api:
         if not isinstance(body, dict) or "vector" not in body:
             return _bad_request("'vector' is required")
         query = _parse_vector(body["vector"])
-        k = int(body.get("k") or 10)
+        raw_k = body.get("k")
+        k = 10 if raw_k is None else int(raw_k)  # explicit k=0 means 0
         flt = _parse_filter(body.get("filter"))
         start = time.perf_counter()
         if self.batcher is not None:
@@ -190,8 +191,9 @@ class Api:
         for raw in raw_queries:
             if not isinstance(raw, dict) or "vector" not in raw:
                 return _bad_request("each query needs a 'vector'")
+            raw_k = raw.get("k")
             queries.append((_parse_vector(raw["vector"]),
-                            int(raw.get("k") or 10)))
+                            10 if raw_k is None else int(raw_k)))
         flt = _parse_filter(body.get("filter"))
         start = time.perf_counter()
         with self.state.lock.read():

@@ -156,16 +156,24 @@ class VectorStore:
         accepted = items[:prefix_end]
         if accepted:
             self._check_or_fix_dimension(accepted[0].vector.dimension)
-            pairs = []
-            metas = []
+            # keyed by internal id so a duplicate string ID later in the
+            # batch supersedes the earlier allocation instead of leaving a
+            # phantom row in the index
+            pending: Dict[int, BatchInsertItem] = {}
+            batch_ids: Dict[str, int] = {}
             for item in accepted:
-                self._remove_existing(str(item.id))
-                internal_id = self._alloc_internal(str(item.id))
-                pairs.append((internal_id, item.vector))
-                metas.append((internal_id, item.metadata))
-            self._index.add_batch(pairs)
-            for internal_id, meta in metas:
-                self._record_metadata(internal_id, meta)
+                sid = str(item.id)
+                prev_internal = batch_ids.get(sid)
+                if prev_internal is not None:
+                    pending.pop(prev_internal, None)
+                self._remove_existing(sid)
+                internal_id = self._alloc_internal(sid)
+                batch_ids[sid] = internal_id
+                pending[internal_id] = item
+            self._index.add_batch(
+                [(iid, item.vector) for iid, item in pending.items()])
+            for iid, item in pending.items():
+                self._record_metadata(iid, item.metadata)
         if error is not None:
             raise error
 

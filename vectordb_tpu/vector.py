@@ -21,13 +21,12 @@ class Vector:
     __slots__ = ("_data",)
 
     def __init__(self, data: "Sequence[float] | np.ndarray | Iterable[float]"):
-        arr = np.asarray(data, dtype=np.float32)
+        # always copy: np.asarray would alias a caller-owned float32 array,
+        # letting external mutation change our value/hash behind our back
+        arr = np.array(data, dtype=np.float32, copy=True)
         if arr.ndim != 1:
             arr = arr.reshape(-1)
-        # own a contiguous copy so callers can't mutate us from outside
-        if not arr.flags["C_CONTIGUOUS"] or arr.base is not None:
-            arr = np.ascontiguousarray(arr)
-        self._data = arr
+        self._data = np.ascontiguousarray(arr)
 
     # -- accessors ---------------------------------------------------------
 
