@@ -22,6 +22,14 @@ from ..utils.locks import RwLock
 from .routes import Api
 
 
+class VdbHTTPServer(ThreadingHTTPServer):
+    """Threaded server tuned for bursty concurrent clients: the stdlib
+    default listen backlog of 5 drops connections the moment requests
+    queue (e.g. while the batcher coalesces a window)."""
+    request_queue_size = 256
+    daemon_threads = True
+
+
 class AppState:
     """Shared server state (reference: src/server/mod.rs:13-16)."""
 
@@ -92,7 +100,7 @@ def serve(addr: str, state: AppState,
     """Bind and serve forever (reference: src/server/mod.rs:27-29)."""
     host, port = _split_addr(addr)
     api = _make_api(state, batch_window_ms)
-    server = ThreadingHTTPServer((host, port), _make_handler(api))
+    server = VdbHTTPServer((host, port), _make_handler(api))
     print(f"vectordb-tpu server listening on {host}:{server.server_address[1]}")
     if ready_event is not None:
         ready_event.set()
@@ -106,7 +114,7 @@ def start_server_background(addr: str, state: AppState) -> Tuple[ThreadingHTTPSe
     """Non-blocking serve for tests/embedding; returns (server, thread)."""
     host, port = _split_addr(addr)
     api = Api(state)
-    server = ThreadingHTTPServer((host, port), _make_handler(api))
+    server = VdbHTTPServer((host, port), _make_handler(api))
     thread = threading.Thread(target=server.serve_forever, daemon=True)
     thread.start()
     return server, thread
