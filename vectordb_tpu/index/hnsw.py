@@ -80,7 +80,13 @@ class HnswIndex(Index):
         self.build_batch(items)
 
     def build_batch(self, items: Sequence[Tuple[int, Vector]]) -> None:
-        """Bulk load (reference: src/hnsw/mod.rs:37 — sequential there too)."""
+        """Bulk load. With the native core this runs the parallel batch
+        path (the reference's docstring promises rayon parallelism but is
+        sequential, src/hnsw/mod.rs:34-37 — here it's real)."""
+        batch_fn = getattr(self._graph, "insert_batch", None)
+        if batch_fn is not None and len(items) >= 64:
+            batch_fn([(iid, as_f32_array(v)) for iid, v in items])
+            return
         for internal_id, vector in items:
             self._graph.insert(internal_id, as_f32_array(vector))
 

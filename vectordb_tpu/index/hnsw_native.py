@@ -127,6 +127,55 @@ class NativeHnswGraph:
         self._id_of_slot[int(slot)] = internal_id
         self.version += 1
 
+    def insert_batch(self, items, n_threads: Optional[int] = None) -> None:
+        """Parallel bulk insert of (internal_id, vector) pairs.
+
+        Fresh unique IDs go through the multithreaded C++ batch path
+        (striped node locks); duplicates fall back to serial inserts.
+        """
+        import os
+        fresh = []
+        seen = set()
+        dupes = []
+        for internal_id, vec in items:
+            if internal_id in self._slot_of_id or internal_id in seen:
+                dupes.append((internal_id, vec))
+            else:
+                seen.add(internal_id)
+                fresh.append((internal_id, vec))
+        if fresh:
+            arr = np.ascontiguousarray(
+                np.stack([np.asarray(v, dtype=np.float32).reshape(-1)
+                          for _, v in fresh]), dtype=np.float32)
+            dim = arr.shape[1]
+            if self._dim is not None and dim != self._dim:
+                raise DimensionMismatchError(self._dim, dim)
+            self._ensure_handle(dim)
+            if self.metric is DistanceMetric.COSINE:
+                sqs = np.einsum("ij,ij->i", arr, arr)
+                n_zero = int((sqs == 0.0).sum())
+                if n_zero and (len(self) > 0 or len(fresh) > 1):
+                    raise InvalidVectorError(
+                        "Cannot compute cosine distance with zero vector")
+                self._zero_live += n_zero
+            ids64 = np.ascontiguousarray(
+                np.array([iid for iid, _ in fresh], dtype=np.int64))
+            out_slots = np.empty(len(fresh), dtype=np.int32)
+            if n_threads is None:
+                n_threads = min(8, os.cpu_count() or 1)
+            self._native.vdb_hnsw_insert_batch(
+                self._handle,
+                ids64.ctypes.data_as(_I64P),
+                arr.ctypes.data_as(_F32P),
+                len(fresh), int(n_threads),
+                out_slots.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+            for (iid, _), slot in zip(fresh, out_slots):
+                self._slot_of_id[iid] = int(slot)
+                self._id_of_slot[int(slot)] = iid
+            self.version += 1
+        for internal_id, vec in dupes:
+            self.insert(internal_id, np.asarray(vec, dtype=np.float32))
+
     def remove(self, internal_id: int) -> None:
         slot = self._slot_of_id.pop(internal_id, None)
         if slot is None:

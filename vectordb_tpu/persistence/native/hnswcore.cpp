@@ -11,16 +11,22 @@
 // pure-Python HnswGraph remains as the fallback implementation.
 //
 // Hot-loop specifics vs the Python build path (~400 vec/s):
-//   * epoch-stamped visited marks (no hash sets, no clearing)
+//   * epoch-stamped visited marks in per-thread scratch (no hash sets)
 //   * flat f32 storage, distance kernels inlined over contiguous rows
 //   * std::priority_queue candidate/result heaps with (dist, id) ordering
+//   * parallel batch build: striped per-node mutexes guard adjacency,
+//     slots/levels pre-assigned, entry updates under one mutex
+//     (insert-only parallelism, the hnswlib discipline)
 
 #include <algorithm>
+#include <atomic>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <mutex>
 #include <queue>
 #include <random>
+#include <thread>
 #include <utility>
 #include <vector>
 
@@ -30,14 +36,19 @@ enum Metric : uint32_t { kL2 = 0, kCosine = 1, kDot = 2 };
 
 using DistId = std::pair<float, int32_t>;  // (distance, slot)
 
-struct MinQ {
-    // smallest distance on top; ties by slot id for determinism
-    std::priority_queue<DistId, std::vector<DistId>, std::greater<DistId>> q;
+constexpr size_t kLockStripes = 4096;  // power of two
+
+struct VisitScratch {
+    std::vector<uint64_t> mark;
+    uint64_t epoch = 0;
 };
 
-struct MaxQ {
-    std::priority_queue<DistId> q;  // largest distance on top
-};
+// Per-thread visited scratch shared across handles: the epoch only ever
+// increases within a thread, so stale marks from other searches/handles
+// can never read as "visited". Makes concurrent searches (e.g. HTTP
+// readers holding a shared read-lock) race-free without allocation per
+// call.
+thread_local VisitScratch g_tls_scratch;
 
 struct HnswCore {
     uint32_t dim;
@@ -50,7 +61,7 @@ struct HnswCore {
     std::mt19937_64 rng;
 
     int64_t capacity = 0;
-    int64_t count = 0;
+    std::atomic<int64_t> count{0};
     std::vector<float> vectors;    // capacity * dim
     std::vector<float> norms;      // capacity
     std::vector<float> sq_norms;   // capacity
@@ -65,9 +76,13 @@ struct HnswCore {
     uint64_t version = 0;
     int64_t zero_norm_live = 0;  // O(1) cosine zero-vector check
 
-    // epoch-stamped visited marks
-    std::vector<uint64_t> visit_mark;
-    uint64_t visit_epoch = 0;
+    // striped adjacency locks (one at a time — no lock ordering issues)
+    std::mutex stripes[kLockStripes];
+    std::mutex entry_mutex;   // guards (entry, max_level)
+
+    std::mutex& lock_of(int32_t slot) {
+        return stripes[static_cast<size_t>(slot) & (kLockStripes - 1)];
+    }
 
     const float* row(int32_t slot) const {
         return vectors.data() + static_cast<size_t>(slot) * dim;
@@ -84,7 +99,6 @@ struct HnswCore {
         ids.resize(new_cap, -1);
         valid.resize(new_cap, 0);
         neighbors.resize(new_cap);
-        visit_mark.resize(new_cap, 0);
         for (int64_t s = new_cap - 1; s >= capacity; s--)
             free_slots.push_back(static_cast<int32_t>(s));
         capacity = new_cap;
@@ -121,7 +135,7 @@ struct HnswCore {
 
     bool has_zero_norm_live() const { return zero_norm_live > 0; }
 
-    int random_level() {
+    int random_level_locked() {
         std::uniform_real_distribution<double> u01(0.0, 1.0);
         double u = u01(rng);
         if (u < 1e-12) u = 1e-12;
@@ -130,49 +144,66 @@ struct HnswCore {
         return level < cap_level ? level : cap_level;
     }
 
+    // copy a node's layer adjacency under its stripe lock
+    size_t copy_neighbors(int32_t slot, int layer, int32_t* out,
+                          size_t out_cap) {
+        std::lock_guard<std::mutex> g(lock_of(slot));
+        const auto& layer_lists = neighbors[slot];
+        if (layer >= static_cast<int>(layer_lists.size())) return 0;
+        const auto& list = layer_lists[layer];
+        size_t n_copy = std::min(list.size(), out_cap);
+        std::memcpy(out, list.data(), n_copy * sizeof(int32_t));
+        return n_copy;
+    }
+
     // Algorithm 2: ef-bounded beam search on one layer.
     void search_layer(const float* q, float q_norm,
                       const std::vector<DistId>& entries, uint32_t ef,
-                      int layer, std::vector<DistId>* out) {
-        visit_epoch++;
-        MinQ candidates;
-        MaxQ results;
+                      int layer, VisitScratch& vs, std::vector<DistId>* out) {
+        if (static_cast<int64_t>(vs.mark.size()) < capacity)
+            vs.mark.resize(capacity, 0);
+        vs.epoch++;
+        std::priority_queue<DistId, std::vector<DistId>,
+                            std::greater<DistId>> candidates;
+        std::priority_queue<DistId> results;
         for (const auto& e : entries) {
-            if (visit_mark[e.second] == visit_epoch) continue;
-            visit_mark[e.second] = visit_epoch;
-            candidates.q.push(e);
-            results.q.push(e);
-            if (results.q.size() > ef) results.q.pop();
+            if (vs.mark[e.second] == vs.epoch) continue;
+            vs.mark[e.second] = vs.epoch;
+            candidates.push(e);
+            results.push(e);
+            if (results.size() > ef) results.pop();
         }
-        while (!candidates.q.empty()) {
-            DistId c = candidates.q.top();
-            candidates.q.pop();
-            if (results.q.size() >= ef && c.first > results.q.top().first)
-                break;
-            const auto& layer_lists = neighbors[c.second];
-            if (layer >= static_cast<int>(layer_lists.size())) continue;
-            for (int32_t nb : layer_lists[layer]) {
-                if (visit_mark[nb] == visit_epoch || !valid[nb]) continue;
-                visit_mark[nb] = visit_epoch;
+        int32_t nbrs[512];
+        const size_t nbr_cap = std::min<size_t>(512, m_max0 * 2);
+        while (!candidates.empty()) {
+            DistId c = candidates.top();
+            candidates.pop();
+            if (results.size() >= ef && c.first > results.top().first) break;
+            size_t n_nbrs = copy_neighbors(c.second, layer, nbrs, nbr_cap);
+            for (size_t j = 0; j < n_nbrs; j++) {
+                int32_t nb = nbrs[j];
+                if (vs.mark[nb] == vs.epoch || !valid[nb]) continue;
+                vs.mark[nb] = vs.epoch;
                 float d = dist(q, q_norm, nb);
-                if (results.q.size() < ef || d < results.q.top().first) {
-                    candidates.q.push({d, nb});
-                    results.q.push({d, nb});
-                    if (results.q.size() > ef) results.q.pop();
+                if (results.size() < ef || d < results.top().first) {
+                    candidates.push({d, nb});
+                    results.push({d, nb});
+                    if (results.size() > ef) results.pop();
                 }
             }
         }
         out->clear();
-        out->reserve(results.q.size());
-        while (!results.q.empty()) {
-            out->push_back(results.q.top());
-            results.q.pop();
+        out->reserve(results.size());
+        while (!results.empty()) {
+            out->push_back(results.top());
+            results.pop();
         }
         std::sort(out->begin(), out->end());
     }
 
-    // re-score + truncate a node's layer adjacency to max degree
-    void prune(int32_t slot, int layer) {
+    // re-score + truncate a node's layer adjacency to max degree.
+    // caller must hold lock_of(slot).
+    void prune_locked(int32_t slot, int layer) {
         auto& list = neighbors[slot][layer];
         uint32_t limit = layer == 0 ? m_max0 : m;
         std::vector<int32_t> live;
@@ -193,61 +224,144 @@ struct HnswCore {
         for (uint32_t i = 0; i < limit; i++) list.push_back(scored[i].second);
     }
 
-    // Algorithm 1: insert.
-    int64_t insert(int64_t internal_id, const float* vec) {
-        grow(count + 1);
-        int32_t slot = take_slot();
-        int level = random_level();
+    // Core of Algorithm 1 once a slot/level has been assigned and the
+    // node's data written. Thread-safe under the striped-lock discipline.
+    void link_into_graph(int32_t slot, int level, VisitScratch& vs) {
+        int32_t ep;
+        int start_level;
+        {
+            std::lock_guard<std::mutex> g(entry_mutex);
+            ep = entry;
+            start_level = max_level;
+        }
+        const float* q = row(slot);
+        float qn = norms[slot];
+        std::vector<DistId> eps{{dist(q, qn, ep), ep}};
+        std::vector<DistId> found;
+
+        for (int layer = start_level; layer > level; layer--) {
+            search_layer(q, qn, eps, 1, layer, vs, &found);
+            if (!found.empty()) eps.assign(1, found.front());
+        }
+        int top = level < start_level ? level : start_level;
+        for (int layer = top; layer >= 0; layer--) {
+            search_layer(q, qn, eps, ef_construction, layer, vs, &found);
+            uint32_t limit = layer == 0 ? m_max0 : m;
+            {
+                std::lock_guard<std::mutex> g(lock_of(slot));
+                auto& own = neighbors[slot][layer];
+                own.clear();
+                for (uint32_t i = 0; i < found.size() && i < m; i++)
+                    own.push_back(found[i].second);
+            }
+            for (uint32_t i = 0; i < found.size() && i < m; i++) {
+                int32_t nb = found[i].second;
+                std::lock_guard<std::mutex> g(lock_of(nb));
+                auto& nb_layers = neighbors[nb];
+                if (layer >= static_cast<int>(nb_layers.size())) continue;
+                nb_layers[layer].push_back(slot);
+                if (nb_layers[layer].size() > limit) prune_locked(nb, layer);
+            }
+            eps = found;
+        }
+        if (level > start_level) {
+            std::lock_guard<std::mutex> g(entry_mutex);
+            if (level > max_level) {
+                entry = slot;
+                max_level = level;
+            }
+        }
+    }
+
+    void write_node(int32_t slot, int level, int64_t internal_id,
+                    const float* vec) {
         std::memcpy(vectors.data() + static_cast<size_t>(slot) * dim, vec,
                     sizeof(float) * dim);
         float sq = 0.f;
         for (uint32_t i = 0; i < dim; i++) sq += vec[i] * vec[i];
         sq_norms[slot] = sq;
         norms[slot] = std::sqrt(sq);
-        if (sq == 0.f) zero_norm_live++;
         levels[slot] = level;
         ids[slot] = internal_id;
-        valid[slot] = 1;
-        neighbors[slot].assign(level + 1, {});
+        {
+            std::lock_guard<std::mutex> g(lock_of(slot));
+            neighbors[slot].assign(level + 1, {});
+            valid[slot] = 1;
+        }
+    }
+
+    // Algorithm 1: serial insert.
+    int64_t insert(int64_t internal_id, const float* vec) {
+        grow(count.load() + 1);
+        int32_t slot = take_slot();
+        int level = random_level_locked();
+        write_node(slot, level, internal_id, vec);
+        if (sq_norms[slot] == 0.f) zero_norm_live++;
         count++;
         version++;
-
         if (entry < 0) {
+            std::lock_guard<std::mutex> g(entry_mutex);
             entry = slot;
             max_level = level;
             return slot;
         }
-
-        const float* q = row(slot);
-        float qn = norms[slot];
-        std::vector<DistId> eps{{dist(q, qn, entry), entry}};
-        std::vector<DistId> found;
-
-        for (int layer = max_level; layer > level; layer--) {
-            search_layer(q, qn, eps, 1, layer, &found);
-            if (!found.empty()) eps.assign(1, found.front());
-        }
-        int top = level < max_level ? level : max_level;
-        for (int layer = top; layer >= 0; layer--) {
-            search_layer(q, qn, eps, ef_construction, layer, &found);
-            uint32_t limit = layer == 0 ? m_max0 : m;
-            auto& own = neighbors[slot][layer];
-            own.clear();
-            for (uint32_t i = 0; i < found.size() && i < m; i++)
-                own.push_back(found[i].second);
-            for (int32_t nb : own) {
-                auto& nb_layers = neighbors[nb];
-                if (layer >= static_cast<int>(nb_layers.size())) continue;
-                nb_layers[layer].push_back(slot);
-                if (nb_layers[layer].size() > limit) prune(nb, layer);
-            }
-            eps = found;
-        }
-        if (level > max_level) {
-            entry = slot;
-            max_level = level;
-        }
+        link_into_graph(slot, level, g_tls_scratch);
         return slot;
+    }
+
+    // Parallel batch insert (fresh IDs only — the Python wrapper routes
+    // duplicates through the serial path). Returns slots via out_slots.
+    void insert_batch(const int64_t* batch_ids, const float* vecs,
+                      int64_t n_items, int n_threads, int32_t* out_slots) {
+        if (n_items <= 0) return;
+        grow(count.load() + n_items);
+        // pre-assign slots + levels serially (cheap, RNG stays seeded)
+        std::vector<int> batch_levels(n_items);
+        for (int64_t i = 0; i < n_items; i++) {
+            out_slots[i] = take_slot();
+            batch_levels[i] = random_level_locked();
+        }
+        int64_t start = 0;
+        if (entry < 0) {
+            // bootstrap the graph with the first node serially
+            write_node(out_slots[0], batch_levels[0], batch_ids[0], vecs);
+            if (sq_norms[out_slots[0]] == 0.f) zero_norm_live++;
+            {
+                std::lock_guard<std::mutex> g(entry_mutex);
+                entry = out_slots[0];
+                max_level = batch_levels[0];
+            }
+            count++;
+            start = 1;
+        }
+        std::atomic<int64_t> next{start};
+        int workers = n_threads < 1 ? 1 : n_threads;
+        if (workers > n_items - start) workers = static_cast<int>(
+            n_items - start > 0 ? n_items - start : 1);
+        auto work = [&]() {
+            while (true) {
+                int64_t i = next.fetch_add(1);
+                if (i >= n_items) break;
+                int32_t slot = out_slots[i];
+                write_node(slot, batch_levels[i], batch_ids[i],
+                           vecs + static_cast<size_t>(i) * dim);
+                if (sq_norms[slot] == 0.f) {
+                    std::lock_guard<std::mutex> g(entry_mutex);
+                    zero_norm_live++;
+                }
+                count++;
+                link_into_graph(slot, batch_levels[i], g_tls_scratch);
+            }
+        };
+        if (workers <= 1) {
+            work();
+        } else {
+            std::vector<std::thread> pool;
+            pool.reserve(workers);
+            for (int t = 0; t < workers; t++) pool.emplace_back(work);
+            for (auto& th : pool) th.join();
+        }
+        version++;
     }
 
     void remove_slot(int32_t slot) {
@@ -291,7 +405,7 @@ struct HnswCore {
     // zero-vector error (reference distance.rs:51-55 semantics).
     int64_t search(const float* q, uint32_t k, uint32_t ef, int64_t* out_ids,
                    float* out_dists) {
-        if (entry < 0 || count == 0 || k == 0) return 0;
+        if (entry < 0 || count.load() == 0 || k == 0) return 0;
         float sq = 0.f;
         for (uint32_t i = 0; i < dim; i++) sq += q[i] * q[i];
         float qn = std::sqrt(sq);
@@ -301,10 +415,10 @@ struct HnswCore {
         std::vector<DistId> eps{{dist(q, qn, entry), entry}};
         std::vector<DistId> found;
         for (int layer = max_level; layer >= 1; layer--) {
-            search_layer(q, qn, eps, 1, layer, &found);
+            search_layer(q, qn, eps, 1, layer, g_tls_scratch, &found);
             if (!found.empty()) eps.assign(1, found.front());
         }
-        search_layer(q, qn, eps, ef, 0, &found);
+        search_layer(q, qn, eps, ef, 0, g_tls_scratch, &found);
         int64_t n_out = 0;
         for (size_t i = 0; i < found.size() && n_out < k; i++) {
             out_ids[n_out] = ids[found[i].second];
@@ -343,6 +457,14 @@ int64_t vdb_hnsw_insert(void* handle, int64_t internal_id, const float* vec) {
     return static_cast<HnswCore*>(handle)->insert(internal_id, vec);
 }
 
+// Parallel batch insert of fresh IDs; fills out_slots (one per item).
+void vdb_hnsw_insert_batch(void* handle, const int64_t* ids,
+                           const float* vecs, int64_t n_items,
+                           int32_t n_threads, int32_t* out_slots) {
+    static_cast<HnswCore*>(handle)->insert_batch(ids, vecs, n_items,
+                                                 n_threads, out_slots);
+}
+
 // Removes by slot (the Python wrapper owns the id->slot map).
 void vdb_hnsw_remove_slot(void* handle, int32_t slot) {
     static_cast<HnswCore*>(handle)->remove_slot(slot);
@@ -355,7 +477,7 @@ int64_t vdb_hnsw_search(void* handle, const float* q, uint32_t k, uint32_t ef,
 }
 
 int64_t vdb_hnsw_len(void* handle) {
-    return static_cast<HnswCore*>(handle)->count;
+    return static_cast<HnswCore*>(handle)->count.load();
 }
 
 int64_t vdb_hnsw_capacity(void* handle) {

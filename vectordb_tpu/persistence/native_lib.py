@@ -70,6 +70,10 @@ def _configure(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.vdb_hnsw_free.restype = None
     lib.vdb_hnsw_insert.argtypes = [ctypes.c_void_p, ctypes.c_int64, f32p]
     lib.vdb_hnsw_insert.restype = ctypes.c_int64
+    lib.vdb_hnsw_insert_batch.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64), f32p,
+        ctypes.c_int64, ctypes.c_int32, ctypes.POINTER(ctypes.c_int32)]
+    lib.vdb_hnsw_insert_batch.restype = None
     lib.vdb_hnsw_remove_slot.argtypes = [ctypes.c_void_p, ctypes.c_int32]
     lib.vdb_hnsw_remove_slot.restype = None
     lib.vdb_hnsw_search.argtypes = [ctypes.c_void_p, f32p, ctypes.c_uint32,
