@@ -36,6 +36,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--metric",
                         choices=[m.value for m in DistanceMetric],
                         default="euclidean", help="Distance metric")
+    parser.add_argument("--search-mode", choices=["exact", "fast"],
+                        default="exact",
+                        help="Flat scan mode: exact full-precision, or the "
+                             "two-tier fast path (~1.4x throughput, exact "
+                             "distances, ~99%% top-k id agreement)")
     sub = parser.add_subparsers(dest="command", required=True)
 
     p_insert = sub.add_parser("insert", help="Insert a vector")
@@ -142,7 +147,9 @@ def main(argv: Optional[List[str]] = None) -> int:
         if args.index == "hnsw":
             store = VectorStore.with_index(HnswIndex(metric, HnswParams()))
         else:
-            store = VectorStore.with_flat_index(metric)
+            from .index.flat import FlatIndex
+            store = VectorStore.with_index(
+                FlatIndex(metric, search_mode=args.search_mode))
         return _run_commands(store, args)
     except VectorDbError as e:
         print(f"Error: {e}", file=sys.stderr)
