@@ -434,3 +434,46 @@ class TestEngineBatchAndHnsw:
     def test_engine_unknown_index_type(self, backend, tmp_path):
         with pytest.raises(ValueError):
             StorageEngine.open(tmp_path, EngineConfig(index_type="ivf"))
+
+
+class TestCorruptInputs:
+    def test_snapshot_bad_magic_raises(self, backend, tmp_path):
+        from vectordb_tpu.errors import SerializationError
+        (tmp_path / "snapshot.bin").write_bytes(b"NOTMAGIC" + b"\x00" * 32)
+        with pytest.raises(SerializationError):
+            SnapshotManager(tmp_path).load()
+
+    def test_snapshot_truncated_raises(self, backend, tmp_path):
+        from vectordb_tpu.errors import SerializationError
+        mgr = SnapshotManager(tmp_path)
+        mgr.save(DatabaseSnapshot(
+            [SerializedVector(0, "a", np.array([1.0, 2.0], np.float32))],
+            {}, 1, 2))
+        raw = (tmp_path / "snapshot.bin").read_bytes()
+        (tmp_path / "snapshot.bin").write_bytes(raw[:-6])
+        with pytest.raises(SerializationError):
+            mgr.load()
+
+    def test_wal_huge_length_field_no_allocation(self, backend, tmp_path):
+        # a corrupt length field must not trigger a giant allocation or a
+        # crash — the frame is simply out of bounds and replay stops
+        path = tmp_path / "wal.log"
+        wal = WriteAheadLog.open(path)
+        wal.append(WalEntry.delete("ok"))
+        wal.close()
+        with open(path, "ab") as f:
+            f.write(struct.pack("<II", 0x7FFFFFFF, 0x12345678) + b"tiny")
+        entries = WriteAheadLog.open(path).replay()
+        assert [e.string_id for e in entries] == ["ok"]
+
+    def test_wal_zero_length_frame(self, backend, tmp_path):
+        # len=0 with the CRC of b"" is a valid (undecodable) frame: replay
+        # must stop there without error
+        path = tmp_path / "wal.log"
+        wal = WriteAheadLog.open(path)
+        wal.append(WalEntry.delete("ok"))
+        wal.close()
+        with open(path, "ab") as f:
+            f.write(struct.pack("<II", 0, zlib.crc32(b"") & 0xFFFFFFFF))
+        entries = WriteAheadLog.open(path).replay()
+        assert [e.string_id for e in entries] == ["ok"]

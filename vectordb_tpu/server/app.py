@@ -98,6 +98,8 @@ def serve(addr: str, state: AppState,
           ready_event: Optional[threading.Event] = None,
           batch_window_ms: float = 0.0) -> None:
     """Bind and serve forever (reference: src/server/mod.rs:27-29)."""
+    from ..cli import enable_persistent_jit_cache
+    enable_persistent_jit_cache()
     host, port = _split_addr(addr)
     api = _make_api(state, batch_window_ms)
     server = VdbHTTPServer((host, port), _make_handler(api))
