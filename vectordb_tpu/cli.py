@@ -100,21 +100,8 @@ def _run_commands(db, args) -> int:
     return 0
 
 
-def enable_persistent_jit_cache() -> None:
-    """Point JAX at an on-disk compilation cache so short-lived CLI
-    invocations don't pay the full compile cost every process."""
-    import os
-    try:
-        import jax
-        cache_dir = os.environ.get(
-            "VDB_TPU_JIT_CACHE",
-            os.path.join(os.path.expanduser("~"), ".cache",
-                         "vectordb_tpu", "jax"))
-        os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
-    except Exception:
-        pass  # cache is an optimization; never fail startup over it
+# re-exported for callers that import it from here (server, bench)
+from .utils.jit_cache import enable_persistent_jit_cache  # noqa: E402
 
 
 def main(argv: Optional[List[str]] = None) -> int:

@@ -135,10 +135,6 @@ def pairwise_distances(xp, queries, db, metric: DistanceMetric,
     return 1.0 - sim
 
 
-def metric_needs_norms(metric: DistanceMetric) -> bool:
-    return metric in (DistanceMetric.EUCLIDEAN, DistanceMetric.COSINE)
-
-
 def validate_cosine_operands(metric: DistanceMetric, query_norm: float,
                              num_zero_norm_rows: int) -> None:
     """Reference parity: any zero vector participating in a cosine search is
@@ -156,6 +152,5 @@ __all__ = [
     "cosine_distance",
     "dot_product",
     "pairwise_distances",
-    "metric_needs_norms",
     "validate_cosine_operands",
 ]

@@ -24,7 +24,7 @@ from typing import Iterator, List, Optional, Sequence, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from ..distance import DistanceMetric, metric_needs_norms, validate_cosine_operands
+from ..distance import DistanceMetric, validate_cosine_operands
 from ..errors import DimensionMismatchError, InvalidVectorError
 from ..ops.topk import flat_search_batched, next_pow2
 from ..ops.update import (scatter_rows, scatter_rows_copy, scatter_values,
@@ -45,8 +45,9 @@ class FlatIndex(Index):
                  mesh=None, row_axis: str = "shard"):
         if search_mode not in ("exact", "fast"):
             raise ValueError(f"unknown search_mode: {search_mode!r}")
-        # "exact": full-f32 MXU scan. "fast": coarse native-precision scan
-        # keeping 8k candidates + exact f32 re-rank (~3-6x less MXU work).
+        # "exact": full-f32 MXU scan + exact top_k. "fast": same scan
+        # reduced with approx_min_k into a candidate pool + exact re-rank
+        # (~1.4x throughput, exact distances, ~99% top-k id agreement).
         self.search_mode = search_mode
         # With a jax.sharding.Mesh, the packed arrays live sharded over the
         # mesh's row axis and searches run the distributed per-shard scan +

@@ -108,16 +108,17 @@ class NativeHnswGraph:
         if self._dim is not None and dim != self._dim:
             raise DimensionMismatchError(self._dim, dim)
         self._ensure_handle(dim)
+        is_zero = float(np.dot(arr, arr)) == 0.0
         if self.metric is DistanceMetric.COSINE and len(self) > 0:
             # distances get computed during graph descent, so a zero vector
             # (either the new one or one already stored) errors at insert —
             # matching the pure-Python graph / reference error propagation
-            if float(np.dot(arr, arr)) == 0.0 or self._zero_live > 0:
+            if is_zero or self._zero_live > 0:
                 raise InvalidVectorError(
                     "Cannot compute cosine distance with zero vector")
         if internal_id in self._slot_of_id:
             self.remove(internal_id)
-        if float(np.dot(arr, arr)) == 0.0:
+        if is_zero:
             self._zero_live += 1
         slot = self._native.vdb_hnsw_insert(
             self._handle, int(internal_id), arr.ctypes.data_as(_F32P))

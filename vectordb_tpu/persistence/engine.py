@@ -104,7 +104,7 @@ class StorageEngine:
         if items:
             self.store.insert_batch(items)
         # preserve internal-ID monotonicity across restarts
-        self.store._next_id = max(self.store._next_id, snap.next_id)
+        self.store.restore_next_internal_id(snap.next_id)
 
     def _apply_wal_entry(self, entry: WalEntry) -> None:
         if entry.kind == WAL_INSERT:
@@ -133,7 +133,7 @@ class StorageEngine:
         if expected is not None and vector.dimension != expected:
             from ..errors import DimensionMismatchError
             raise DimensionMismatchError(expected, vector.dimension)
-        internal_id = self.store._next_id  # the ID the store will assign
+        internal_id = self.store.next_internal_id
         self.wal.append(WalEntry.insert(str(id), internal_id,
                                         vector.as_array(), metadata.fields()))
         self._wal_count += 1
@@ -158,7 +158,7 @@ class StorageEngine:
                 break
             accepted.append(item)
         if accepted:
-            base = self.store._next_id
+            base = self.store.next_internal_id
             entries = [
                 WalEntry.insert(str(item.id), base + i,
                                 item.vector.as_array(),
@@ -227,7 +227,8 @@ class StorageEngine:
                 metadata[internal_id] = meta.fields()
         return DatabaseSnapshot(
             vectors=vectors, metadata=metadata,
-            next_id=self.store._next_id, dimension=self.store.dimension)
+            next_id=self.store.next_internal_id,
+            dimension=self.store.dimension)
 
     def close(self) -> None:
         self.wal.close()

@@ -13,6 +13,7 @@ import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional, Tuple
+from urllib.parse import unquote
 
 from ..distance import DistanceMetric
 from ..index.hnsw import HnswIndex, HnswParams
@@ -69,7 +70,6 @@ def _make_handler(api: Api):
                 return
             # strip the query string and URL-decode (so /vectors/some%20id
             # matches the literal ID, like the reference's Path extractor)
-            from urllib.parse import unquote
             path = unquote(self.path.partition("?")[0])
             try:
                 status, payload = api.handle(self.command, path, body)
@@ -98,7 +98,7 @@ def serve(addr: str, state: AppState,
           ready_event: Optional[threading.Event] = None,
           batch_window_ms: float = 0.0) -> None:
     """Bind and serve forever (reference: src/server/mod.rs:27-29)."""
-    from ..cli import enable_persistent_jit_cache
+    from ..utils.jit_cache import enable_persistent_jit_cache
     enable_persistent_jit_cache()
     host, port = _split_addr(addr)
     api = _make_api(state, batch_window_ms)

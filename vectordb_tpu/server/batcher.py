@@ -15,13 +15,15 @@ src/server/routes.rs:235-282).
 
 from __future__ import annotations
 
+import json
 import queue
 import threading
 import time
 from dataclasses import dataclass, field
 from typing import List, Optional
 
-from ..errors import DimensionMismatchError
+from ..distance import DistanceMetric
+from ..errors import DimensionMismatchError, InvalidVectorError
 
 from ..metadata import MetadataFilter
 from ..store import SearchResult, VectorStore
@@ -104,8 +106,6 @@ class QueryBatcher:
         # per-request validation up front, so one malformed query fails
         # alone instead of poisoning its whole coalesced batch: dimension
         # mismatches, and zero-norm queries under the cosine metric
-        from ..distance import DistanceMetric
-        from ..errors import InvalidVectorError
         expected = self._store.dimension
         cosine = self._store.metric is DistanceMetric.COSINE
         ready = []
@@ -124,7 +124,6 @@ class QueryBatcher:
         batch = ready
         # group by STRUCTURAL filter key so identical filters from
         # different requests coalesce into one device call
-        import json
         groups: dict = {}
         for item in batch:
             key = (json.dumps(item.filter.to_dict(), sort_keys=True)

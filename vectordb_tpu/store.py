@@ -315,6 +315,17 @@ class VectorStore:
     def internal_to_string_ids(self) -> Dict[int, str]:
         return dict(self._internal_to_id)
 
+    @property
+    def next_internal_id(self) -> int:
+        """The internal ID the next insert will be assigned (used by the
+        storage engine to log WAL entries before applying them)."""
+        return self._next_id
+
+    def restore_next_internal_id(self, value: int) -> None:
+        """Raise the internal-ID counter (recovery: preserve monotonicity
+        across restarts). Never lowers it."""
+        self._next_id = max(self._next_id, int(value))
+
     def __repr__(self) -> str:
         return (f"VectorStore(len={len(self)}, dim={self._dimension}, "
                 f"metric={self.metric.value}, index={type(self._index).__name__})")
