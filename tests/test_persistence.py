@@ -477,3 +477,84 @@ class TestCorruptInputs:
             f.write(struct.pack("<II", 0, zlib.crc32(b"") & 0xFFFFFFFF))
         entries = WriteAheadLog.open(path).replay()
         assert [e.string_id for e in entries] == ["ok"]
+
+
+class TestHnswGraphPersistence:
+    """Fast HNSW reopen: the graph is serialized at checkpoint and imported
+    on open instead of rebuilt (O(read) vs O(rebuild))."""
+
+    def _build(self, tmp_path, n=120, d=16, seed=9):
+        from vectordb_tpu import HnswParams
+        rng = np.random.default_rng(seed)
+        data = rng.random((n, d)).astype(np.float32)
+        cfg = EngineConfig(index_type="hnsw",
+                           hnsw_params=HnswParams(seed=seed))
+        with StorageEngine.open(tmp_path, cfg) as eng:
+            for i in range(n):
+                eng.insert_with_metadata(f"v{i}", Vector(data[i]),
+                                         Metadata({"par": str(i % 2)}))
+            eng.checkpoint()
+        return cfg, data
+
+    def test_graph_file_written_and_imported(self, backend, tmp_path,
+                                             monkeypatch):
+        cfg, data = self._build(tmp_path)
+        assert (tmp_path / "hnsw_graph.npz").exists()
+        # the rebuild path must NOT run when the import succeeds
+        called = {"rebuild": False}
+        orig = StorageEngine._apply_snapshot
+
+        def spy(self, snap):
+            called["rebuild"] = True
+            return orig(self, snap)
+
+        monkeypatch.setattr(StorageEngine, "_apply_snapshot", spy)
+        with StorageEngine.open(tmp_path, cfg) as eng:
+            assert not called["rebuild"]
+            assert len(eng) == 120
+            hits = eng.search(Vector(data[37]), 1)
+            assert hits[0].id == "v37"
+            assert eng.get_metadata("v37").get("par") == "1"
+            # filtered search works against the adopted columnar state
+            from vectordb_tpu import MetadataFilter
+            got = eng.store.search_with_filter(
+                Vector(data[10]), 5, MetadataFilter.eq("par", "0"))
+            assert got and all(int(h.id[1:]) % 2 == 0 for h in got)
+
+    def test_writes_after_import_replay(self, backend, tmp_path):
+        cfg, data = self._build(tmp_path)
+        with StorageEngine.open(tmp_path, cfg) as eng:
+            eng.insert("extra", Vector(data[0] * 0.5))
+            eng.delete("v0")
+        with StorageEngine.open(tmp_path, cfg) as eng:
+            assert len(eng) == 120  # 120 - 1 + 1
+            assert eng.get("extra") is not None
+            assert eng.get("v0") is None
+            # internal-ID monotonicity preserved: upsert still works
+            eng.insert("extra", Vector(data[1]))
+            assert len(eng) == 120
+
+    def test_param_mismatch_falls_back_to_rebuild(self, backend, tmp_path):
+        from vectordb_tpu import HnswParams
+        cfg, data = self._build(tmp_path)
+        other = EngineConfig(index_type="hnsw",
+                             hnsw_params=HnswParams(m=8, seed=1))
+        with StorageEngine.open(tmp_path, other) as eng:
+            assert len(eng) == 120  # rebuilt, not imported
+            assert eng.search(Vector(data[5]), 1)[0].id == "v5"
+
+    def test_corrupt_graph_file_falls_back(self, backend, tmp_path):
+        cfg, data = self._build(tmp_path)
+        (tmp_path / "hnsw_graph.npz").write_bytes(b"not-a-npz")
+        with StorageEngine.open(tmp_path, cfg) as eng:
+            assert len(eng) == 120
+            assert eng.search(Vector(data[5]), 1)[0].id == "v5"
+
+    def test_import_search_quality_matches_rebuild(self, backend, tmp_path):
+        cfg, data = self._build(tmp_path, n=300, d=24)
+        with StorageEngine.open(tmp_path, cfg) as eng:
+            hits = 0
+            for i in range(0, 300, 10):
+                res = eng.search(Vector(data[i]), 1)
+                hits += int(res[0].id == f"v{i}")
+            assert hits >= 29

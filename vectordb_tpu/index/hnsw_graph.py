@@ -356,6 +356,45 @@ class HnswGraph:
         for slot in np.nonzero(self._valid)[0] if self._valid is not None else []:
             yield int(self._id_of_slot[slot]), self._vectors[slot].copy()
 
+    def import_padded_tables(self, tables: dict) -> None:
+        """Restore a graph from export_padded_tables output."""
+        if self._len != 0:
+            raise RuntimeError("import requires an empty graph")
+        vectors = np.asarray(tables["vectors"], dtype=np.float32)
+        cap, dim = vectors.shape
+        if cap == 0:
+            return
+        self._ensure_storage(dim, cap)
+        cap_eff = self._capacity  # >= cap after pow2 rounding
+        self._vectors[:cap] = vectors
+        self._sq_norms[:cap] = np.einsum("ij,ij->i", vectors, vectors)
+        self._norms[:cap] = np.sqrt(self._sq_norms[:cap])
+        self._levels[:cap] = np.asarray(tables["levels"], dtype=np.int32)
+        self._id_of_slot[:cap] = np.asarray(tables["id_of_slot"],
+                                            dtype=np.int64)
+        valid = np.asarray(tables["valid"], dtype=bool)
+        self._valid[:cap] = valid
+        neighbors = np.asarray(tables["neighbors"], dtype=np.int32)
+        self._free_slots = [s for s in range(cap_eff - 1, -1, -1)
+                            if s >= cap or not valid[s]]
+        self._slot_of_id.clear()
+        self._len = 0
+        for slot in np.nonzero(valid)[0]:
+            slot = int(slot)
+            iid = int(self._id_of_slot[slot])
+            self._slot_of_id[iid] = slot
+            level = int(self._levels[slot])
+            self._neighbors[slot] = [
+                [int(x) for x in neighbors[slot, layer]
+                 if x >= 0]
+                for layer in range(level + 1)
+            ]
+            self._len += 1
+        self._entry = int(tables["entry"]) if int(tables["entry"]) >= 0 \
+            else None
+        self._max_level = int(tables["max_level"])
+        self.version += 1
+
     def export_padded_tables(self) -> dict:
         """Pack adjacency into padded device tables.
 

@@ -235,6 +235,45 @@ class NativeHnswGraph:
             if vec is not None:
                 yield internal_id, vec
 
+    def import_padded_tables(self, tables: dict) -> None:
+        """Restore a graph from export_padded_tables output (fast reopen:
+        O(read) instead of O(rebuild))."""
+        if len(self) != 0:
+            raise RuntimeError("import requires an empty graph")
+        vectors = np.ascontiguousarray(tables["vectors"], dtype=np.float32)
+        cap, dim = vectors.shape
+        if cap == 0:
+            return
+        self._ensure_handle(dim)
+        neighbors = np.ascontiguousarray(tables["neighbors"], dtype=np.int32)
+        levels = np.ascontiguousarray(tables["levels"], dtype=np.int32)
+        ids = np.ascontiguousarray(tables["id_of_slot"], dtype=np.int64)
+        valid = np.ascontiguousarray(
+            np.asarray(tables["valid"]).astype(np.uint8))
+        if neighbors.shape != (cap, self.params.max_layers,
+                               self.params.m_max0):
+            raise ValueError("neighbor table shape mismatch")
+        rc = self._native.vdb_hnsw_import(
+            self._handle, vectors.ctypes.data_as(_F32P),
+            neighbors.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            levels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            ids.ctypes.data_as(_I64P),
+            valid.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            cap, int(tables["entry"]), int(tables["max_level"]))
+        if rc != 0:
+            raise RuntimeError("native HNSW import failed")
+        self._slot_of_id.clear()
+        self._id_of_slot.clear()
+        self._zero_live = 0
+        sqs = np.einsum("ij,ij->i", vectors, vectors)
+        for slot in np.nonzero(valid)[0]:
+            iid = int(ids[slot])
+            self._slot_of_id[iid] = int(slot)
+            self._id_of_slot[int(slot)] = iid
+            if sqs[slot] == 0.0:
+                self._zero_live += 1
+        self.version += 1
+
     def export_padded_tables(self) -> dict:
         cap = self.capacity
         dim = self._dim or 0

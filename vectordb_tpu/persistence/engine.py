@@ -88,9 +88,46 @@ class StorageEngine:
     def _recover(self) -> None:
         snap = self.snapshots.load()
         if snap is not None:
-            self._apply_snapshot(snap)
+            if not self._try_import_graph(snap):
+                self._apply_snapshot(snap)
         for entry in self.wal.replay():
             self._apply_wal_entry(entry)
+
+    GRAPH_FILE = "hnsw_graph.npz"
+
+    def _graph_path(self) -> Path:
+        return self.data_dir / self.GRAPH_FILE
+
+    def _try_import_graph(self, snap: DatabaseSnapshot) -> bool:
+        """Fast HNSW reopen: restore the serialized graph tables instead of
+        re-inserting every row (O(read) vs O(rebuild)). Falls back to the
+        rebuild path on any mismatch."""
+        if self.config.index_type != "hnsw" or not self._graph_path().exists():
+            return False
+        try:
+            import numpy as np
+            from ..index.hnsw import HnswIndex
+            index: HnswIndex = self.store.index
+            with np.load(self._graph_path()) as z:
+                tables = {key: z[key] for key in z.files}
+            params = index.params
+            if (int(tables["m"]) != params.m
+                    or int(tables["m_max0"]) != params.m_max0
+                    or int(tables["max_layers"]) != params.max_layers
+                    or str(tables["metric"]) != self.config.metric.value):
+                return False
+            graph_ids = {int(i) for i in tables["id_of_slot"][
+                np.asarray(tables["valid"], dtype=bool)]}
+            snap_ids = {sv.internal_id for sv in snap.vectors}
+            if graph_ids != snap_ids:
+                return False
+            index.graph.import_padded_tables(tables)
+            self.store.adopt_index_state(
+                {sv.internal_id: sv.string_id for sv in snap.vectors},
+                snap.metadata, snap.next_id, snap.dimension)
+            return True
+        except Exception:
+            return False  # any inconsistency -> rebuild from the snapshot
 
     def _apply_snapshot(self, snap: DatabaseSnapshot) -> None:
         items = [
@@ -208,9 +245,29 @@ class StorageEngine:
     def checkpoint(self) -> None:
         snap = self._build_snapshot()
         self.snapshots.save(snap)
+        self._save_graph()
         self.wal.append(WalEntry.checkpoint())
         self.wal.truncate()
         self._wal_count = 0
+
+    def _save_graph(self) -> None:
+        """Serialize the HNSW graph tables beside the snapshot so reopen
+        can import instead of rebuilding."""
+        if self.config.index_type != "hnsw":
+            return
+        import io
+
+        import numpy as np
+
+        from .snapshot import _durable_write
+        index = self.store.index
+        tables = index.graph.export_padded_tables()
+        params = index.params
+        buf = io.BytesIO()
+        np.savez(buf, m=params.m, m_max0=params.m_max0,
+                 max_layers=params.max_layers,
+                 metric=self.config.metric.value, **tables)
+        _durable_write(self._graph_path(), buf.getvalue())
 
     def _build_snapshot(self) -> DatabaseSnapshot:
         id_map = self.store.internal_to_string_ids()

@@ -503,6 +503,57 @@ int vdb_hnsw_get_slot(void* handle, int32_t slot, float* out) {
     return 0;
 }
 
+// Restore a graph from a padded structure-of-arrays export (the inverse of
+// vdb_hnsw_export): neighbors is capacity x max_layers x m_max0 with -1
+// padding. Norms/sq-norms/zero counter/free slots are recomputed. The
+// handle must be freshly created with matching dim/max_layers/m_max0.
+int vdb_hnsw_import(void* handle, const float* vectors,
+                    const int32_t* neighbors, const int32_t* levels,
+                    const int64_t* ids, const uint8_t* valid,
+                    int64_t capacity, int32_t entry, int32_t max_level) {
+    HnswCore* h = static_cast<HnswCore*>(handle);
+    if (h->count.load() != 0) return -1;
+    h->grow(capacity);
+    // grow may round capacity up; import fills the prefix
+    std::memcpy(h->vectors.data(), vectors,
+                sizeof(float) * static_cast<size_t>(capacity) * h->dim);
+    std::memcpy(h->levels.data(), levels, sizeof(int32_t) * capacity);
+    std::memcpy(h->ids.data(), ids, sizeof(int64_t) * capacity);
+    std::memcpy(h->valid.data(), valid, sizeof(uint8_t) * capacity);
+    const uint32_t L = h->max_layers;
+    const uint32_t M = h->m_max0;
+    int64_t live = 0;
+    h->free_slots.clear();
+    for (int64_t s = h->capacity - 1; s >= 0; s--) {
+        if (s >= capacity || !h->valid[s]) {
+            h->free_slots.push_back(static_cast<int32_t>(s));
+            continue;
+        }
+        live++;
+        const float* x = h->row(static_cast<int32_t>(s));
+        float sq = 0.f;
+        for (uint32_t i = 0; i < h->dim; i++) sq += x[i] * x[i];
+        h->sq_norms[s] = sq;
+        h->norms[s] = std::sqrt(sq);
+        if (sq == 0.f) h->zero_norm_live++;
+        int level = h->levels[s];
+        auto& layer_lists = h->neighbors[s];
+        layer_lists.assign(level + 1, {});
+        for (int layer = 0; layer <= level && layer < static_cast<int>(L);
+             layer++) {
+            const int32_t* src = neighbors +
+                (static_cast<size_t>(s) * L + layer) * M;
+            for (uint32_t j = 0; j < M && src[j] >= 0; j++)
+                layer_lists[layer].push_back(src[j]);
+        }
+    }
+    h->count = live;
+    h->entry = entry;
+    h->max_level = max_level;
+    h->version++;
+    return 0;
+}
+
 // Fill caller-allocated buffers with the padded structure-of-arrays export
 // (shapes: vectors/norms capacity x dim / capacity; neighbors capacity x
 // max_layers x m_max0 with -1 padding; levels/ids/valid capacity).

@@ -94,6 +94,11 @@ def _configure(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.vdb_hnsw_export.argtypes = [ctypes.c_void_p, f32p, f32p, i32p, i32p,
                                     i64p, ctypes.POINTER(ctypes.c_uint8)]
     lib.vdb_hnsw_export.restype = ctypes.c_int
+    lib.vdb_hnsw_import.argtypes = [ctypes.c_void_p, f32p, i32p, i32p, i64p,
+                                    ctypes.POINTER(ctypes.c_uint8),
+                                    ctypes.c_int64, ctypes.c_int32,
+                                    ctypes.c_int32]
+    lib.vdb_hnsw_import.restype = ctypes.c_int
     return lib
 
 

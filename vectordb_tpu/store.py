@@ -315,6 +315,27 @@ class VectorStore:
     def internal_to_string_ids(self) -> Dict[int, str]:
         return dict(self._internal_to_id)
 
+    def adopt_index_state(self, id_map: Dict[int, str],
+                          metadata: Dict[int, Dict[str, str]],
+                          next_id: int,
+                          dimension: Optional[int]) -> None:
+        """Rebind store bookkeeping around an index that was restored out
+        of band (e.g. an imported HNSW graph): internal<->string maps,
+        metadata, dimension, and the columnar filter mirror."""
+        self._id_to_internal = {sid: iid for iid, sid in id_map.items()}
+        self._internal_to_id = dict(id_map)
+        self._metadata = {iid: Metadata(fields)
+                          for iid, fields in metadata.items()}
+        for iid in id_map:
+            self._metadata.setdefault(iid, Metadata())
+        self._dimension = dimension
+        self._next_id = max(self._next_id, int(next_id))
+        self._columnar = ColumnarMetadata(self._index.capacity)
+        for iid, meta in self._metadata.items():
+            slot = self._index.slot_of(iid)
+            if slot is not None:
+                self._columnar.set_slot(slot, meta)
+
     @property
     def next_internal_id(self) -> int:
         """The internal ID the next insert will be assigned (used by the
