@@ -127,7 +127,10 @@ def main(argv: Optional[List[str]] = None) -> int:
 
         if args.data_dir:
             from .persistence import EngineConfig, StorageEngine
-            config = EngineConfig(checkpoint_interval=1000, metric=metric)
+            # unlike the reference (engine.rs:33 hard-wires flat), --index
+            # hnsw also works in persistent mode, with fast graph reopen
+            config = EngineConfig(checkpoint_interval=1000, metric=metric,
+                                  index_type=args.index)
             with StorageEngine.open(args.data_dir, config) as engine:
                 return _run_commands(engine, args)
 

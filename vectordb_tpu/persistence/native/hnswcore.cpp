@@ -76,13 +76,25 @@ struct HnswCore {
     uint64_t version = 0;
     int64_t zero_norm_live = 0;  // O(1) cosine zero-vector check
 
-    // striped adjacency locks (one at a time — no lock ordering issues)
+    // striped adjacency locks (one at a time — no lock ordering issues);
+    // engaged only while a parallel batch insert is in flight, so the
+    // serial path pays no synchronization cost
     std::mutex stripes[kLockStripes];
     std::mutex entry_mutex;   // guards (entry, max_level)
+    bool use_locks = false;
 
-    std::mutex& lock_of(int32_t slot) {
-        return stripes[static_cast<size_t>(slot) & (kLockStripes - 1)];
-    }
+    struct MaybeLock {
+        std::mutex* m;
+        explicit MaybeLock(HnswCore& h, int32_t slot)
+            : m(h.use_locks
+                  ? &h.stripes[static_cast<size_t>(slot) & (kLockStripes - 1)]
+                  : nullptr) {
+            if (m) m->lock();
+        }
+        ~MaybeLock() {
+            if (m) m->unlock();
+        }
+    };
 
     const float* row(int32_t slot) const {
         return vectors.data() + static_cast<size_t>(slot) * dim;
@@ -147,7 +159,7 @@ struct HnswCore {
     // copy a node's layer adjacency under its stripe lock
     size_t copy_neighbors(int32_t slot, int layer, int32_t* out,
                           size_t out_cap) {
-        std::lock_guard<std::mutex> g(lock_of(slot));
+        MaybeLock g(*this, slot);
         const auto& layer_lists = neighbors[slot];
         if (layer >= static_cast<int>(layer_lists.size())) return 0;
         const auto& list = layer_lists[layer];
@@ -248,7 +260,7 @@ struct HnswCore {
             search_layer(q, qn, eps, ef_construction, layer, vs, &found);
             uint32_t limit = layer == 0 ? m_max0 : m;
             {
-                std::lock_guard<std::mutex> g(lock_of(slot));
+                MaybeLock g(*this, slot);
                 auto& own = neighbors[slot][layer];
                 own.clear();
                 for (uint32_t i = 0; i < found.size() && i < m; i++)
@@ -256,7 +268,7 @@ struct HnswCore {
             }
             for (uint32_t i = 0; i < found.size() && i < m; i++) {
                 int32_t nb = found[i].second;
-                std::lock_guard<std::mutex> g(lock_of(nb));
+                MaybeLock g(*this, nb);
                 auto& nb_layers = neighbors[nb];
                 if (layer >= static_cast<int>(nb_layers.size())) continue;
                 nb_layers[layer].push_back(slot);
@@ -284,7 +296,7 @@ struct HnswCore {
         levels[slot] = level;
         ids[slot] = internal_id;
         {
-            std::lock_guard<std::mutex> g(lock_of(slot));
+            MaybeLock g(*this, slot);
             neighbors[slot].assign(level + 1, {});
             valid[slot] = 1;
         }
@@ -356,10 +368,12 @@ struct HnswCore {
         if (workers <= 1) {
             work();
         } else {
+            use_locks = true;
             std::vector<std::thread> pool;
             pool.reserve(workers);
             for (int t = 0; t < workers; t++) pool.emplace_back(work);
             for (auto& th : pool) th.join();
+            use_locks = false;
         }
         version++;
     }
