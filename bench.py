@@ -33,7 +33,7 @@ def tpu_flat_search_qps(n, d, q, k, iters=6):
     fused program (ops.topk.flat_search) so the persistent compile cache
     is shared with the framework."""
     from vectordb_tpu.distance import DistanceMetric
-    from vectordb_tpu.ops.topk import flat_search
+    from vectordb_tpu.ops.topk import flat_search_exact_tiled as flat_search
 
     key = jax.random.PRNGKey(0)
     kdb, kq = jax.random.split(key)

@@ -113,9 +113,71 @@ def _flat_search_fast_jit(queries, db, db_sq_norms, db_norms, valid,
 
 def flat_search_fast(queries, db, db_sq_norms, db_norms, valid,
                      metric: DistanceMetric, k: int):
-    """Two-tier (coarse bf16 scan + exact re-rank) search."""
+    """Two-tier (coarse scan + exact re-rank) search."""
     return _flat_search_fast_jit(queries, db, db_sq_norms, db_norms, valid,
                                  metric.value, int(k))
+
+
+# Row-tile size for the exact tiled path: small tiles keep the refine pool
+# (k * EXACT_TILE_ROWS rows/query) tiny while the tile-min reduce fuses
+# into the distance matmul.
+EXACT_TILE_ROWS = 16
+
+
+@functools.partial(jax.jit, static_argnames=("metric_name", "k"))
+def _flat_search_exact_tiled_jit(queries, db, db_sq_norms, db_norms, valid,
+                                 metric_name, k):
+    """Provably-exact two-phase search in pure XLA.
+
+    Phase 1 reduces the masked distance matrix to per-tile minima — XLA
+    fuses the min into the matmul consumer, so the (Q, N) matrix is never
+    materialized and the expensive exact top_k over N disappears. Phase 2
+    takes each query's k best tiles: if a row r outside them were in the
+    true top-k, each chosen tile's minimum (<= r's distance) would witness
+    a closer row — k rows beat r, contradiction. Exact re-rank of the
+    k * EXACT_TILE_ROWS candidates finishes the job.
+    """
+    metric = DistanceMetric(metric_name)
+    n = db.shape[0]
+    q = queries.shape[0]
+    dists = pairwise_distances(jnp, queries, db, metric,
+                               db_sq_norms=db_sq_norms, db_norms=db_norms,
+                               precision=MATMUL_PRECISION)
+    dists = jnp.where(valid[None, :], dists, jnp.inf)
+    t = n // EXACT_TILE_ROWS
+    minima = dists.reshape(q, t, EXACT_TILE_ROWS).min(axis=-1)
+    kt = min(k, t)
+    _, tile_idx = jax.lax.top_k(-minima, kt)
+    offs = jnp.arange(EXACT_TILE_ROWS, dtype=jnp.int32)
+    cand = (tile_idx[:, :, None] * EXACT_TILE_ROWS
+            + offs[None, None, :]).reshape(q, kt * EXACT_TILE_ROWS)
+
+    cand_rows = db[cand]
+    dots = jnp.einsum("qcd,qd->qc", cand_rows, queries,
+                      preferred_element_type=jnp.float32)
+    dead = ~valid[cand]
+    if metric is DistanceMetric.EUCLIDEAN:
+        q_sq = jnp.sum(queries * queries, axis=1, keepdims=True)
+        exact = jnp.sqrt(jnp.maximum(q_sq + db_sq_norms[cand] - 2.0 * dots,
+                                     0.0))
+    elif metric is DistanceMetric.DOT_PRODUCT:
+        exact = -dots
+    else:
+        qn = jnp.sqrt(jnp.sum(queries * queries, axis=1, keepdims=True))
+        denom = qn * db_norms[cand]
+        sim = dots / jnp.where(denom == 0.0, 1.0, denom)
+        exact = 1.0 - jnp.clip(sim, -1.0, 1.0)
+    exact = jnp.where(dead, jnp.inf, exact)
+    neg_vals, pos = jax.lax.top_k(-exact, min(k, exact.shape[1]))
+    return -neg_vals, jnp.take_along_axis(cand, pos, axis=1)
+
+
+def flat_search_exact_tiled(queries, db, db_sq_norms, db_norms, valid,
+                            metric: DistanceMetric, k: int):
+    """Exact search via fused tile-min + refine. Requires N to be a
+    multiple of EXACT_TILE_ROWS (the packed index guarantees it)."""
+    return _flat_search_exact_tiled_jit(queries, db, db_sq_norms, db_norms,
+                                        valid, metric.value, int(k))
 
 
 def flat_search_batched(queries_np: np.ndarray, device_state: dict,
@@ -137,7 +199,13 @@ def flat_search_batched(queries_np: np.ndarray, device_state: dict,
             [queries_np, np.zeros((q_pad - q, queries_np.shape[1]),
                                   dtype=queries_np.dtype)], axis=0)
     k_eff = min(next_pow2(k, floor=1), capacity)
-    search_fn = flat_search_fast if mode == "fast" else flat_search
+    if mode == "fast":
+        search_fn = flat_search_fast
+    elif capacity % EXACT_TILE_ROWS == 0:
+        # fused tile-min + refine: exact, skips the O(N) top_k
+        search_fn = flat_search_exact_tiled
+    else:
+        search_fn = flat_search
     dists, idx = search_fn(
         jnp.asarray(queries_np), device_state["db"], device_state["sq_norms"],
         device_state["norms"], device_state["valid"], metric, k_eff)
