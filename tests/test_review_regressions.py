@@ -218,3 +218,98 @@ def test_native_hnsw_cosine_zero_counter(rng):
     idx.add(1, Vector([1.0, 0.0]))
     idx.add(2, Vector([0.5, 0.5]))
     assert [i for i, _ in idx.search(Vector([1.0, 0.1]), 1)] == [1]
+
+
+# -- round-1 second review findings ----------------------------------------
+
+def test_stale_graph_not_imported_after_snapshot_changes(tmp_path):
+    """A graph file from an older checkpoint must not be imported against a
+    newer snapshot (content digest coupling)."""
+    from vectordb_tpu import HnswParams
+    from vectordb_tpu.persistence import EngineConfig
+    cfg = EngineConfig(index_type="hnsw", hnsw_params=HnswParams(seed=2))
+    rng = np.random.default_rng(0)
+    data = rng.random((40, 8)).astype(np.float32)
+    with StorageEngine.open(tmp_path, cfg) as eng:
+        for i in range(40):
+            eng.insert(f"v{i}", Vector(data[i]))
+        eng.checkpoint()
+    stale_graph = (tmp_path / "hnsw_graph.npz").read_bytes()
+    # upsert every vector to NEW values and checkpoint again
+    with StorageEngine.open(tmp_path, cfg) as eng:
+        for i in range(40):
+            eng.insert(f"v{i}", Vector(-data[i]))
+        eng.checkpoint()
+    # simulate a crash that left the OLD graph beside the NEW snapshot
+    (tmp_path / "hnsw_graph.npz").write_bytes(stale_graph)
+    with StorageEngine.open(tmp_path, cfg) as eng:
+        # must have fallen back to rebuild: searching for the new value of
+        # v3 must hit v3, not be misled by stale graph vectors
+        hits = eng.search(Vector(-data[3]), 1)
+        assert hits[0].id == "v3"
+        assert hits[0].distance == pytest.approx(0.0, abs=1e-4)
+
+
+def test_cosine_batch_insert_with_existing_zero_raises():
+    from vectordb_tpu import HnswIndex, HnswParams
+    from vectordb_tpu.index.hnsw_native import native_available
+    if not native_available():
+        pytest.skip("native core unavailable")
+    idx = HnswIndex(DistanceMetric.COSINE, HnswParams(seed=1),
+                    backend="native")
+    idx.add(0, Vector([0.0, 0.0]))  # zero into empty graph is allowed
+    rng = np.random.default_rng(1)
+    items = [(i + 1, Vector(rng.random(2).astype(np.float32) + 0.1))
+             for i in range(80)]
+    with pytest.raises(InvalidVectorError):
+        idx.build_batch(items)
+
+
+def test_checkpoint_on_empty_hnsw_engine(tmp_path, monkeypatch):
+    from vectordb_tpu import HnswParams
+    from vectordb_tpu.persistence import EngineConfig
+    monkeypatch.setenv("VDB_TPU_NO_NATIVE", "1")  # the pure-Python graph
+    cfg = EngineConfig(index_type="hnsw", hnsw_params=HnswParams(seed=1))
+    with StorageEngine.open(tmp_path, cfg) as eng:
+        eng.checkpoint()  # must not crash on the never-allocated graph
+        assert len(eng) == 0
+    with StorageEngine.open(tmp_path, cfg) as eng:
+        assert len(eng) == 0
+
+
+def test_plausible_but_corrupt_graph_tables_fall_back(tmp_path):
+    """A structurally valid npz with out-of-range slots must fail cleanly
+    into the rebuild path (no crash, no wrong answers)."""
+    from vectordb_tpu import HnswParams
+    from vectordb_tpu.persistence import EngineConfig
+    cfg = EngineConfig(index_type="hnsw", hnsw_params=HnswParams(seed=3))
+    rng = np.random.default_rng(0)
+    data = rng.random((30, 8)).astype(np.float32)
+    with StorageEngine.open(tmp_path, cfg) as eng:
+        for i in range(30):
+            eng.insert(f"v{i}", Vector(data[i]))
+        eng.checkpoint()
+    # corrupt the neighbor table with out-of-range slots, keep everything
+    # else (including the digest) intact
+    import io
+    with np.load(tmp_path / "hnsw_graph.npz") as z:
+        tables = {key: z[key] for key in z.files}
+    tables["neighbors"] = tables["neighbors"].copy()
+    tables["neighbors"][tables["neighbors"] >= 0] = 10 ** 6
+    buf = io.BytesIO()
+    np.savez(buf, **tables)
+    (tmp_path / "hnsw_graph.npz").write_bytes(buf.getvalue())
+    with StorageEngine.open(tmp_path, cfg) as eng:
+        assert len(eng) == 30
+        assert eng.search(Vector(data[7]), 1)[0].id == "v7"
+
+
+def test_cli_search_mode_reaches_persistent_engine(tmp_path, capsys):
+    from vectordb_tpu.cli import main
+    d = str(tmp_path / "db")
+    assert main(["--data-dir", d, "--search-mode", "fast",
+                 "insert", "a", "--vector", "1.0,2.0"]) == 0
+    assert main(["--data-dir", d, "--search-mode", "fast",
+                 "search", "1.0,2.1", "-k", "1"]) == 0
+    out = capsys.readouterr().out
+    assert "1. a" in out

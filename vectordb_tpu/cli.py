@@ -130,7 +130,8 @@ def main(argv: Optional[List[str]] = None) -> int:
             # unlike the reference (engine.rs:33 hard-wires flat), --index
             # hnsw also works in persistent mode, with fast graph reopen
             config = EngineConfig(checkpoint_interval=1000, metric=metric,
-                                  index_type=args.index)
+                                  index_type=args.index,
+                                  search_mode=args.search_mode)
             with StorageEngine.open(args.data_dir, config) as engine:
                 return _run_commands(engine, args)
 

@@ -364,6 +364,19 @@ class HnswGraph:
         cap, dim = vectors.shape
         if cap == 0:
             return
+        # validate before mutating: corrupt tables must fail cleanly so the
+        # engine can fall back to a rebuild
+        levels_in = np.asarray(tables["levels"], dtype=np.int32)
+        valid_in = np.asarray(tables["valid"], dtype=bool)
+        neighbors_in = np.asarray(tables["neighbors"], dtype=np.int32)
+        if int(tables["entry"]) >= cap or \
+                int(tables["max_level"]) >= self.params.max_layers:
+            raise ValueError("graph tables out of range")
+        if np.any((levels_in[valid_in] < 0)
+                  | (levels_in[valid_in] >= self.params.max_layers)):
+            raise ValueError("graph levels out of range")
+        if np.any(neighbors_in >= cap):
+            raise ValueError("graph neighbor slots out of range")
         self._ensure_storage(dim, cap)
         cap_eff = self._capacity  # >= cap after pow2 rounding
         self._vectors[:cap] = vectors
@@ -405,6 +418,17 @@ class HnswGraph:
         """
         pad = self.params.m_max0
         layers = self.params.max_layers
+        if self._vectors is None:  # empty graph: nothing allocated yet
+            return {
+                "vectors": np.zeros((0, 0), dtype=np.float32),
+                "norms": np.zeros(0, dtype=np.float32),
+                "neighbors": np.full((0, layers, pad), -1, dtype=np.int32),
+                "levels": np.zeros(0, dtype=np.int32),
+                "valid": np.zeros(0, dtype=bool),
+                "id_of_slot": np.zeros(0, dtype=np.int64),
+                "entry": -1,
+                "max_level": 0,
+            }
         table = np.full((self._capacity, layers, pad), -1, dtype=np.int32)
         for slot in range(self._capacity):
             if not self._valid[slot]:

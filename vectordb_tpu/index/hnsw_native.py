@@ -155,7 +155,10 @@ class NativeHnswGraph:
             if self.metric is DistanceMetric.COSINE:
                 sqs = np.einsum("ij,ij->i", arr, arr)
                 n_zero = int((sqs == 0.0).sum())
-                if n_zero and (len(self) > 0 or len(fresh) > 1):
+                if (n_zero and (len(self) > 0 or len(fresh) > 1)) or \
+                        (self._zero_live > 0 and len(self) > 0):
+                    # matches the serial path: any distance involving a
+                    # zero vector (new or already stored) errors
                     raise InvalidVectorError(
                         "Cannot compute cosine distance with zero vector")
                 self._zero_live += n_zero

@@ -71,6 +71,31 @@ FAST_MIN_CANDIDATES = 128
 FAST_RECALL_TARGET = 0.95
 
 
+
+def _exact_rerank(queries, db, db_sq_norms, db_norms, valid, cand,
+                  metric: DistanceMetric, k: int):
+    """Exact f32 re-rank of per-query candidate rows ``cand`` (Q, C):
+    returns (dists (Q, k'), ids (Q, k')) ascending, +inf for dead rows.
+    Shared by the fast and tiled-exact paths."""
+    cand_rows = db[cand]
+    dots = jnp.einsum("qcd,qd->qc", cand_rows, queries,
+                      preferred_element_type=jnp.float32)
+    dead = ~valid[cand]
+    if metric is DistanceMetric.EUCLIDEAN:
+        q_sq = jnp.sum(queries * queries, axis=1, keepdims=True)
+        exact = jnp.sqrt(jnp.maximum(q_sq + db_sq_norms[cand] - 2.0 * dots,
+                                     0.0))
+    elif metric is DistanceMetric.DOT_PRODUCT:
+        exact = -dots
+    else:
+        qn = jnp.sqrt(jnp.sum(queries * queries, axis=1, keepdims=True))
+        denom = qn * db_norms[cand]
+        sim = dots / jnp.where(denom == 0.0, 1.0, denom)
+        exact = 1.0 - jnp.clip(sim, -1.0, 1.0)
+    exact = jnp.where(dead, jnp.inf, exact)
+    neg_vals, pos = jax.lax.top_k(-exact, min(k, exact.shape[1]))
+    return -neg_vals, jnp.take_along_axis(cand, pos, axis=1)
+
 @functools.partial(jax.jit, static_argnames=("metric_name", "k"))
 def _flat_search_fast_jit(queries, db, db_sq_norms, db_norms, valid,
                           metric_name, k):
@@ -95,25 +120,8 @@ def _flat_search_fast_jit(queries, db, db_sq_norms, db_norms, valid,
     coarse = jnp.where(valid[None, :], coarse, jnp.inf)
     _, cand = jax.lax.approx_min_k(coarse, kc,
                                    recall_target=FAST_RECALL_TARGET)
-
-    cand_rows = db[cand]                                  # (Q, kc, d)
-    dots = jnp.einsum("qcd,qd->qc", cand_rows, queries,
-                      preferred_element_type=jnp.float32)
-    dead = ~valid[cand]
-    if metric is DistanceMetric.EUCLIDEAN:
-        q_sq = jnp.sum(queries * queries, axis=1, keepdims=True)
-        d2 = jnp.maximum(q_sq + db_sq_norms[cand] - 2.0 * dots, 0.0)
-        exact = jnp.sqrt(d2)
-    elif metric is DistanceMetric.DOT_PRODUCT:
-        exact = -dots
-    else:
-        qn = jnp.sqrt(jnp.sum(queries * queries, axis=1, keepdims=True))
-        denom = qn * db_norms[cand]
-        sim = dots / jnp.where(denom == 0.0, 1.0, denom)
-        exact = 1.0 - jnp.clip(sim, -1.0, 1.0)
-    exact = jnp.where(dead, jnp.inf, exact)
-    neg_vals, pos = jax.lax.top_k(-exact, min(k, kc))
-    return -neg_vals, jnp.take_along_axis(cand, pos, axis=1)
+    return _exact_rerank(queries, db, db_sq_norms, db_norms, valid, cand,
+                         metric, k)
 
 
 def flat_search_fast(queries, db, db_sq_norms, db_norms, valid,
@@ -156,25 +164,8 @@ def _flat_search_exact_tiled_jit(queries, db, db_sq_norms, db_norms, valid,
     offs = jnp.arange(EXACT_TILE_ROWS, dtype=jnp.int32)
     cand = (tile_idx[:, :, None] * EXACT_TILE_ROWS
             + offs[None, None, :]).reshape(q, kt * EXACT_TILE_ROWS)
-
-    cand_rows = db[cand]
-    dots = jnp.einsum("qcd,qd->qc", cand_rows, queries,
-                      preferred_element_type=jnp.float32)
-    dead = ~valid[cand]
-    if metric is DistanceMetric.EUCLIDEAN:
-        q_sq = jnp.sum(queries * queries, axis=1, keepdims=True)
-        exact = jnp.sqrt(jnp.maximum(q_sq + db_sq_norms[cand] - 2.0 * dots,
-                                     0.0))
-    elif metric is DistanceMetric.DOT_PRODUCT:
-        exact = -dots
-    else:
-        qn = jnp.sqrt(jnp.sum(queries * queries, axis=1, keepdims=True))
-        denom = qn * db_norms[cand]
-        sim = dots / jnp.where(denom == 0.0, 1.0, denom)
-        exact = 1.0 - jnp.clip(sim, -1.0, 1.0)
-    exact = jnp.where(dead, jnp.inf, exact)
-    neg_vals, pos = jax.lax.top_k(-exact, min(k, exact.shape[1]))
-    return -neg_vals, jnp.take_along_axis(cand, pos, axis=1)
+    return _exact_rerank(queries, db, db_sq_norms, db_norms, valid, cand,
+                         metric, k)
 
 
 def flat_search_exact_tiled(queries, db, db_sq_norms, db_norms, valid,

@@ -52,6 +52,7 @@ class EngineConfig:
     index_type: str = "flat"        # "flat" | "hnsw"
     hnsw_params: Optional[object] = None
     mesh: Optional[object] = None   # jax.sharding.Mesh for sharded storage
+    search_mode: str = "exact"      # flat scan mode: "exact" | "fast"
 
 
 class StorageEngine:
@@ -67,11 +68,10 @@ class StorageEngine:
             self.store = VectorStore.with_index(
                 HnswIndex(self.config.metric, params))
         elif self.config.index_type == "flat":
-            if self.config.mesh is not None:
-                self.store = VectorStore.with_sharded_flat_index(
-                    self.config.metric, self.config.mesh)
-            else:
-                self.store = VectorStore.with_flat_index(self.config.metric)
+            from ..index.flat import FlatIndex
+            self.store = VectorStore.with_index(FlatIndex(
+                self.config.metric, search_mode=self.config.search_mode,
+                mesh=self.config.mesh))
         else:
             raise ValueError(
                 f"unknown index_type: {self.config.index_type!r}")
@@ -115,6 +115,13 @@ class StorageEngine:
                     or int(tables["m_max0"]) != params.m_max0
                     or int(tables["max_layers"]) != params.max_layers
                     or str(tables["metric"]) != self.config.metric.value):
+                return False
+            # the graph must belong to EXACTLY this snapshot: a crash
+            # between the snapshot and graph writes (or an intervening
+            # rebuild that remapped internal ids) leaves a stale graph
+            # whose id set can still collide — the content digest cannot
+            if str(tables.get("snapshot_digest", "")) != \
+                    self._snapshot_digest():
                 return False
             graph_ids = {int(i) for i in tables["id_of_slot"][
                 np.asarray(tables["valid"], dtype=bool)]}
@@ -250,6 +257,14 @@ class StorageEngine:
         self.wal.truncate()
         self._wal_count = 0
 
+    def _snapshot_digest(self) -> str:
+        import hashlib
+        try:
+            return hashlib.sha256(
+                self.snapshots.snapshot_path.read_bytes()).hexdigest()
+        except OSError:
+            return ""
+
     def _save_graph(self) -> None:
         """Serialize the HNSW graph tables beside the snapshot so reopen
         can import instead of rebuilding."""
@@ -266,7 +281,8 @@ class StorageEngine:
         buf = io.BytesIO()
         np.savez(buf, m=params.m, m_max0=params.m_max0,
                  max_layers=params.max_layers,
-                 metric=self.config.metric.value, **tables)
+                 metric=self.config.metric.value,
+                 snapshot_digest=self._snapshot_digest(), **tables)
         _durable_write(self._graph_path(), buf.getvalue())
 
     def _build_snapshot(self) -> DatabaseSnapshot:

@@ -185,8 +185,12 @@ struct HnswCore {
             results.push(e);
             if (results.size() > ef) results.pop();
         }
-        int32_t nbrs[512];
-        const size_t nbr_cap = std::min<size_t>(512, m_max0 * 2);
+        // adjacency copy buffer sized to the configuration (lists hold at
+        // most m_max0 entries, +1 transiently before pruning)
+        static thread_local std::vector<int32_t> nbr_buf;
+        const size_t nbr_cap = static_cast<size_t>(m_max0) + 8;
+        if (nbr_buf.size() < nbr_cap) nbr_buf.resize(nbr_cap);
+        int32_t* nbrs = nbr_buf.data();
         while (!candidates.empty()) {
             DistId c = candidates.top();
             candidates.pop();
@@ -527,6 +531,25 @@ int vdb_hnsw_import(void* handle, const float* vectors,
                     int64_t capacity, int32_t entry, int32_t max_level) {
     HnswCore* h = static_cast<HnswCore*>(handle);
     if (h->count.load() != 0) return -1;
+    // validate before touching state: a corrupt-but-loadable file must
+    // fail cleanly (the engine falls back to rebuild), never read out of
+    // bounds or abort the process
+    if (capacity < 0 || entry >= capacity ||
+        max_level >= static_cast<int32_t>(h->max_layers))
+        return -1;
+    const uint32_t Lv = h->max_layers;
+    const uint32_t Mv = h->m_max0;
+    for (int64_t s = 0; s < capacity; s++) {
+        if (!valid[s]) continue;
+        int32_t lev = levels[s];
+        if (lev < 0 || lev >= static_cast<int32_t>(Lv)) return -1;
+        for (int32_t layer = 0; layer <= lev; layer++) {
+            const int32_t* src = neighbors +
+                (static_cast<size_t>(s) * Lv + layer) * Mv;
+            for (uint32_t j = 0; j < Mv && src[j] >= 0; j++)
+                if (src[j] >= capacity) return -1;
+        }
+    }
     h->grow(capacity);
     // grow may round capacity up; import fills the prefix
     std::memcpy(h->vectors.data(), vectors,
