@@ -77,10 +77,11 @@ def tpu_flat_search_qps(n, d, q, k, iters=6):
     return qps, scan_gbps, per_batch, fast_qps
 
 
-def cpu_numpy_qps(n, d, q, k, iters=1):
+def cpu_numpy_qps(n, d, q, k, iters=3):
     """Host NumPy/BLAS oracle on the identical workload (batch capped to
     keep the baseline measurement itself tractable; per-query throughput
-    is what's compared)."""
+    is what's compared; best-of-iters to shrug off scheduler noise on the
+    shared host core)."""
     q = min(q, 64)
     rng = np.random.default_rng(0)
     db = rng.standard_normal((n, d)).astype(np.float32)
@@ -97,11 +98,12 @@ def cpu_numpy_qps(n, d, q, k, iters=1):
         return np.sqrt(np.take_along_axis(rows, order, axis=1))
 
     step()  # warm the BLAS threads
-    start = time.perf_counter()
+    times = []
     for _ in range(iters):
+        start = time.perf_counter()
         step()
-    elapsed = time.perf_counter() - start
-    return q * iters / elapsed
+        times.append(time.perf_counter() - start)
+    return q / min(times)
 
 
 def main():
