@@ -118,13 +118,19 @@ def main():
     # matrix memory pressure)
     q, k = (64, 10) if small else (1024, 10)
 
-    try:
-        qps, scan_gbps, _, fast_qps = tpu_flat_search_qps(n, d, q, k)
-    except Exception as e:  # fall back to a smaller shape rather than die
-        print(f"full-size bench failed ({e}); retrying at N=262144 Q=64",
-              file=sys.stderr)
-        n, q = 262_144, 64
-        qps, scan_gbps, _, fast_qps = tpu_flat_search_qps(n, d, q, k)
+    last_err = None
+    for attempt in range(3):
+        try:
+            qps, scan_gbps, _, fast_qps = tpu_flat_search_qps(n, d, q, k)
+            break
+        except Exception as e:  # transient device/relay errors, then shrink
+            last_err = e
+            print(f"bench attempt {attempt} failed ({e})", file=sys.stderr)
+            time.sleep(10)
+            if attempt == 1:  # second failure: fall back to a smaller shape
+                n, q = 262_144, 64
+    else:
+        raise last_err
 
     # CPU baseline on the same (n, d) — subsample iterations to keep it quick
     baseline_qps = cpu_numpy_qps(n, d, q, k)
