@@ -4,6 +4,7 @@ import json
 import threading
 import urllib.request
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -313,3 +314,75 @@ def test_cli_search_mode_reaches_persistent_engine(tmp_path, capsys):
                  "search", "1.0,2.1", "-k", "1"]) == 0
     out = capsys.readouterr().out
     assert "1. a" in out
+
+
+def _dot_precisions(jaxpr):
+    """All dot_general precision attributes in a (closed) jaxpr, recursively."""
+    found = []
+    for eqn in jaxpr.eqns:
+        if eqn.primitive.name == "dot_general":
+            found.append(eqn.params.get("precision"))
+        for v in eqn.params.values():
+            if hasattr(v, "jaxpr"):
+                found.extend(_dot_precisions(v.jaxpr))
+    return found
+
+
+def test_refine_dots_request_highest_precision():
+    """The exact re-rank's candidate dots must run at HIGHEST MXU precision:
+    the TPU default is single-pass bf16 (measured 2.2e-1 absolute error on
+    d=768 dots vs 1.3e-5 at highest), which would silently break the
+    exact-distance contract. CPU runs are f32 either way, so this asserts
+    on the traced jaxpr's precision attribute instead of on numerics."""
+    import jax
+    from jax.lax import Precision
+    from vectordb_tpu.distance import DistanceMetric
+    from vectordb_tpu.ops import topk as topk_mod
+
+    q, n, d, k = 4, 64, 16, 2
+    queries = jnp.zeros((q, d), jnp.float32)
+    db = jnp.zeros((n, d), jnp.float32)
+    sq = jnp.zeros((n,), jnp.float32)
+    norms = jnp.zeros((n,), jnp.float32)
+    valid = jnp.ones((n,), bool)
+    cand = jnp.zeros((q, 8), jnp.int32)
+    jaxpr = jax.make_jaxpr(
+        lambda *a: topk_mod._exact_rerank(*a, DistanceMetric.EUCLIDEAN, k)
+    )(queries, db, sq, norms, valid, cand)
+    precisions = _dot_precisions(jaxpr.jaxpr)
+    assert precisions, "expected a dot_general in the refine"
+    assert all(p == (Precision.HIGHEST, Precision.HIGHEST)
+               for p in precisions), precisions
+
+
+def test_flat_kernel_refine_requests_highest_precision():
+    import jax
+    from jax.lax import Precision
+    from vectordb_tpu.ops import flat_kernel
+
+    q, n, d, k = 4, 64, 16, 2
+    queries = jnp.zeros((q, d), jnp.float32)
+    db = jnp.zeros((n, d), jnp.float32)
+    sq = jnp.zeros((n,), jnp.float32)
+    norms = jnp.zeros((n,), jnp.float32)
+    valid = jnp.ones((n,), bool)
+    jaxpr = jax.make_jaxpr(
+        lambda *a: flat_kernel.two_phase_search(
+            *a, "euclidean", k, tile_rows=16, interpret=True)
+    )(queries, db, sq, norms, valid)
+    # the refine einsum contracts over d with a batched (q) dimension: pick
+    # out 3-operand-rank dots and require highest precision on all of them
+    precisions = []
+    def walk(jx):
+        for eqn in jx.eqns:
+            if eqn.primitive.name == "dot_general":
+                lhs_rank = len(eqn.invars[0].aval.shape)
+                if lhs_rank == 3:
+                    precisions.append(eqn.params.get("precision"))
+            for v in eqn.params.values():
+                if hasattr(v, "jaxpr"):
+                    walk(v.jaxpr)
+    walk(jaxpr.jaxpr)
+    assert precisions, "expected the refine's batched dot in the jaxpr"
+    assert all(p == (Precision.HIGHEST, Precision.HIGHEST)
+               for p in precisions), precisions

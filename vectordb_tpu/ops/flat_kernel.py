@@ -159,8 +159,11 @@ def two_phase_search(queries, db, db_sq_norms, db_norms, valid,
         gather stays O(chunk * k * tile_rows * d) instead of Q-sized."""
         queries_c, qaux_c, cand_rows = args
         cand_db = db[cand_rows]                        # (C, kc, d)
+        # highest precision: default MXU passes are bf16-grade, which would
+        # break the exact-distance contract of the refine (see ops/topk.py)
         cand_dots = jnp.einsum("qcd,qd->qc", cand_db, queries_c,
-                               preferred_element_type=jnp.float32)
+                               preferred_element_type=jnp.float32,
+                               precision="highest")
         cand_penalty = invalidf[cand_rows] * _INVALID_PENALTY
         if mode == "euclidean":
             cand_d = (qaux_c[:, None] + db_sq_norms[cand_rows]

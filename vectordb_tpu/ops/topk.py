@@ -78,8 +78,13 @@ def _exact_rerank(queries, db, db_sq_norms, db_norms, valid, cand,
     returns (dists (Q, k'), ids (Q, k')) ascending, +inf for dead rows.
     Shared by the fast and tiled-exact paths."""
     cand_rows = db[cand]
+    # precision="highest" is required: the MXU's default single-pass bf16
+    # grade puts ~1e-3-relative error on these dots (measured 2.2e-1 absolute
+    # at d=768 vs 1.3e-5 at highest), which would break the exact-distance
+    # contract of the refine. The candidate set is tiny, so the cost is nil.
     dots = jnp.einsum("qcd,qd->qc", cand_rows, queries,
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=jnp.float32,
+                      precision="highest")
     dead = ~valid[cand]
     if metric is DistanceMetric.EUCLIDEAN:
         q_sq = jnp.sum(queries * queries, axis=1, keepdims=True)
