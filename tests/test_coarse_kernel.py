@@ -1,0 +1,166 @@
+"""Pallas coarse-kernel path (ops/coarse_kernel.py) in interpreter mode.
+
+Runs the fused coarse scan + certified refine on the CPU test mesh with
+``interpret=True`` and checks it against the NumPy oracle for all three
+metrics, with dead slots, filters, and mutation-driven mirror updates.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from vectordb_tpu.distance import DistanceMetric
+from vectordb_tpu.ops import coarse_kernel
+from vectordb_tpu.ops.topk import flat_search_batched
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode(monkeypatch):
+    monkeypatch.setenv("VDB_TPU_PALLAS_INTERPRET", "1")
+
+
+def _oracle(queries, db, valid, metric, k):
+    """Exact float64 top-k over live rows."""
+    q64 = queries.astype(np.float64)
+    d64 = db.astype(np.float64)
+    if metric is DistanceMetric.EUCLIDEAN:
+        scores = ((q64[:, None, :] - d64[None, :, :]) ** 2).sum(-1)
+        dists = np.sqrt(scores)
+    elif metric is DistanceMetric.DOT_PRODUCT:
+        scores = -(q64 @ d64.T)
+        dists = scores
+    else:
+        qn = np.linalg.norm(q64, axis=1, keepdims=True)
+        dn = np.linalg.norm(d64, axis=1)
+        sim = (q64 @ d64.T) / (qn * dn[None, :])
+        scores = -sim
+        dists = 1.0 - np.clip(sim, -1.0, 1.0)
+    scores = np.where(valid[None, :], scores, np.inf)
+    dists = np.where(valid[None, :], dists, np.inf)
+    order = np.argsort(scores, axis=1, kind="stable")[:, :k]
+    return np.take_along_axis(dists, order, axis=1), order
+
+
+def _state(rng, n, d, dead_frac=0.0):
+    db = rng.standard_normal((n, d)).astype(np.float32)
+    valid = np.ones(n, dtype=bool)
+    if dead_frac:
+        dead = rng.choice(n, int(n * dead_frac), replace=False)
+        valid[dead] = False
+    sq = np.einsum("ij,ij->i", db, db).astype(np.float32)
+    dbj = jnp.asarray(db)
+    hi, lo = coarse_kernel.split_hi_lo(dbj)
+    state = {"db": dbj, "sq_norms": jnp.asarray(sq),
+             "norms": jnp.asarray(np.sqrt(sq)),
+             "valid": jnp.asarray(valid), "hi": hi, "lo": lo}
+    return db, valid, state
+
+
+@pytest.mark.parametrize("metric", list(DistanceMetric))
+def test_certified_exact_matches_oracle(rng, metric):
+    n, d, q, k = 1024, 32, 8, 5
+    db, valid, state = _state(rng, n, d, dead_frac=0.1)
+    queries = rng.standard_normal((q, d)).astype(np.float32)
+    dists, idx = flat_search_batched(queries, state, metric, k, mode="exact")
+    want_d, want_i = _oracle(queries, db, valid, metric, k)
+    assert np.array_equal(idx[:, :k], want_i), (idx, want_i)
+    np.testing.assert_allclose(dists[:, :k], want_d, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("metric", list(DistanceMetric))
+def test_fast_mode_distances_are_exact_for_returned_ids(rng, metric):
+    n, d, q, k = 1024, 32, 4, 10
+    db, valid, state = _state(rng, n, d)
+    queries = rng.standard_normal((q, d)).astype(np.float32)
+    dists, idx = flat_search_batched(queries, state, metric, k, mode="fast")
+    want_d, want_i = _oracle(queries, db, valid, metric, k)
+    # overlap should be near-total on well-separated data
+    overlap = np.mean([len(set(a[:k]) & set(b)) / k
+                       for a, b in zip(idx, want_i)])
+    assert overlap >= 0.9, overlap
+    # distances of the returned ids must be the exact f32 values
+    for qi in range(q):
+        for j in range(k):
+            slot = int(idx[qi, j])
+            ref = _oracle(queries[qi:qi + 1], db[slot:slot + 1],
+                          np.ones(1, bool), metric, 1)[0][0, 0]
+            assert abs(float(dists[qi, j]) - ref) < 5e-4
+
+
+def test_certified_search_respects_filters(rng):
+    n, d, q, k = 1024, 16, 4, 3
+    db, valid, state = _state(rng, n, d)
+    mask = np.zeros(n, dtype=bool)
+    mask[:64] = True  # only the first 64 slots pass the "filter"
+    state = dict(state)
+    state["valid"] = jnp.logical_and(state["valid"], jnp.asarray(mask))
+    queries = rng.standard_normal((q, d)).astype(np.float32)
+    dists, idx = flat_search_batched(queries, state, DistanceMetric.EUCLIDEAN,
+                                     k, mode="exact")
+    assert (idx[:, :k] < 64).all()
+    want_d, want_i = _oracle(queries, db, valid & mask,
+                             DistanceMetric.EUCLIDEAN, k)
+    assert np.array_equal(idx[:, :k], want_i)
+
+
+def test_fewer_live_rows_than_k(rng):
+    n, d, k = 1024, 8, 8
+    db, valid, state = _state(rng, n, d)
+    mask = np.zeros(n, dtype=bool)
+    mask[[3, 700, 1001]] = True
+    state = dict(state)
+    state["valid"] = jnp.asarray(mask)
+    queries = rng.standard_normal((2, d)).astype(np.float32)
+    dists, idx = flat_search_batched(queries, state, DistanceMetric.EUCLIDEAN,
+                                     k, mode="exact")
+    finite = np.isfinite(dists[0])
+    assert finite.sum() == 3
+    assert set(idx[0][finite].tolist()) == {3, 700, 1001}
+
+
+def test_flat_index_maintains_mirrors_across_mutation(rng):
+    from vectordb_tpu.index.flat import FlatIndex
+    from vectordb_tpu.vector import Vector
+
+    d, k = 16, 5
+    idx = FlatIndex(DistanceMetric.EUCLIDEAN, search_mode="exact")
+    data = rng.standard_normal((200, d)).astype(np.float32)
+    idx.add_batch([(i, data[i]) for i in range(200)])
+    q = data[17] + 0.001
+    res = idx.search(Vector(q), k)
+    assert res[0][0] == 17
+    dev = idx._sync_device()
+    assert "hi" in dev and "lo" in dev
+    # mutate: delete the best hit and upsert a new exact-match row
+    idx.remove(17)
+    new = rng.standard_normal(d).astype(np.float32)
+    idx.add(500, new)
+    res2 = idx.search(Vector(new), k)
+    assert res2[0][0] == 500
+    assert all(i != 17 for i, _ in idx.search(Vector(q), k))
+    # mirrors must reflect the scatter updates (not just the f32 db)
+    dev = idx._sync_device()
+    slot = idx.slot_of(500)
+    hi_row = np.asarray(dev["hi"][slot], dtype=np.float32)
+    lo_row = np.asarray(dev["lo"][slot], dtype=np.float32)
+    np.testing.assert_allclose(hi_row + lo_row, new, atol=3e-3)
+
+
+def test_supports_gating():
+    assert coarse_kernel.supports(1024, 64, 16)
+    assert not coarse_kernel.supports(1000, 64, 16)   # not tile-divisible
+    assert not coarse_kernel.supports(1024, 64, 64)   # k too large
+    assert coarse_kernel.supports(4096, 768, 32)
+
+
+def test_xla_fallback_when_k_too_large(rng):
+    n, d, q, k = 1024, 8, 2, 64  # k_eff 64 > MAX_K -> XLA path
+    db, valid, state = _state(rng, n, d)
+    queries = rng.standard_normal((q, d)).astype(np.float32)
+    dists, idx = flat_search_batched(queries, state, DistanceMetric.EUCLIDEAN,
+                                     k, mode="exact")
+    want_d, want_i = _oracle(queries, db, valid, DistanceMetric.EUCLIDEAN, k)
+    assert np.array_equal(idx[:, :k], want_i)

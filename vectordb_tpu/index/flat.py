@@ -36,6 +36,28 @@ _MIN_CAPACITY = 1024
 # If more than this fraction of slots is dirty, re-upload wholesale instead
 # of scattering.
 _FULL_SYNC_FRACTION = 8
+# Above this device footprint (f32 db + bf16 hi/lo mirrors = 8 bytes/elem),
+# skip the pallas mirrors and stay on the pure-XLA scan.
+_PALLAS_MEM_LIMIT = int(
+    __import__("os").environ.get("VDB_TPU_PALLAS_MEM_LIMIT", 12 * 10 ** 9))
+
+
+def _pallas_mirrors_enabled(capacity: int, dim: int, mesh) -> bool:
+    """Maintain bf16 hi/lo mirrors for the fused coarse kernel? On by
+    default on TPU backends (and on CPU when the interpret-mode test flag
+    is set); VDB_TPU_NO_PALLAS=1 opts out."""
+    import os
+
+    import jax
+
+    if mesh is not None or os.environ.get("VDB_TPU_NO_PALLAS"):
+        return False
+    if capacity * dim * 8 > _PALLAS_MEM_LIMIT:
+        return False
+    from ..ops import coarse_kernel
+    if coarse_kernel.interpret_mode():
+        return True
+    return jax.default_backend() == "tpu"
 
 
 class FlatIndex(Index):
@@ -241,6 +263,11 @@ class FlatIndex(Index):
                 "norms": jnp.asarray(self._norms),
                 "valid": jnp.asarray(self._valid),
             }
+            if _pallas_mirrors_enabled(self._capacity, self._dim, self._mesh):
+                from ..ops.coarse_kernel import split_hi_lo
+                hi, lo = split_hi_lo(self._device["db"])
+                self._device["hi"] = hi
+                self._device["lo"] = lo
             self._dirty_slots.clear()
             return self._device
         if self._dirty_slots:
@@ -254,10 +281,18 @@ class FlatIndex(Index):
                 s_rows, s_vals = scatter_rows_copy, scatter_values_copy
             else:
                 s_rows, s_vals = scatter_rows, scatter_values
-            dev["db"] = s_rows(dev["db"], idx, self._vectors[idx])
+            rows = self._vectors[idx]
+            dev["db"] = s_rows(dev["db"], idx, rows)
             dev["sq_norms"] = s_vals(dev["sq_norms"], idx, self._sq_norms[idx])
             dev["norms"] = s_vals(dev["norms"], idx, self._norms[idx])
             dev["valid"] = s_vals(dev["valid"], idx, self._valid[idx])
+            if "hi" in dev:
+                from ..ops.coarse_kernel import (scatter_hi_lo,
+                                                 scatter_hi_lo_copy)
+                s_hl = (scatter_hi_lo_copy if self._searches_in_flight > 0
+                        else scatter_hi_lo)
+                dev["hi"], dev["lo"] = s_hl(dev["hi"], dev["lo"], idx,
+                                            jnp.asarray(rows))
             self._dirty_slots.clear()
         return self._device
 

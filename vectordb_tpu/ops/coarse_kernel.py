@@ -1,0 +1,305 @@
+"""Fused Pallas coarse-scan kernel: the flat index's hot path on TPU.
+
+Replaces the XLA scan's two big costs at once (measured at N=2^20, d=768,
+Q=1024 on one v5e chip; see benchmarks/exp_*.py):
+
+  * the f32 "highest"-precision distance matmul (6 bf16 MXU passes, 81.6 ms)
+    becomes 1 bf16 pass (fast mode) or 3 passes (bf16x3, f32-grade;
+    certified-exact mode) over a stored hi/lo bf16 split of the database;
+  * the (Q, N) distance-matrix materialization + separate tile-min reduce
+    (+18 ms) disappears: the kernel reduces each 16-row subtile to its
+    minimum in VMEM and only (Q, N/16) minima ever reach HBM.
+
+Layout is chosen so Mosaic inserts no operand copies: database tiles are
+the MXU lhs in natural (TN, d) row-major form, queries arrive pre-transposed
+as the (d, Q) rhs, and the subtile min reduces over the *sublane* axis.
+
+The exact mode is **certified**: phase 2 re-ranks the k best tiles per query
+at f32-highest precision and checks, per query, that the k-th refined
+distance clears the m-th best tile's refined minimum by a rigorous bound on
+the bf16x3 rounding error (|dot err| <= (2^-17 + d*2^-24) |q| |x|, from the
+dropped lo*lo term plus f32 accumulation). Uncertified queries — never
+observed on real data, but possible in principle — make the caller fall
+back to the full-precision XLA path (ops/topk.py), so exactness is
+unconditional. Reference semantics preserved: src/flat_index.rs:52-65
+(scan everything, k smallest, ascending), src/distance.rs:20-33.
+
+The caller (ops/topk.flat_search_batched) engages this path only when the
+index maintains the hi/lo device mirrors (FlatIndex does so on TPU
+backends automatically; set VDB_TPU_NO_PALLAS=1 to opt out).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..distance import DistanceMetric
+
+SUB = 16            # rows per candidate tile (refine granularity)
+_QB_MAX = 1024      # max query columns per kernel block
+_VMEM_BUDGET = 12 * 1024 * 1024
+# Penalty added to invalid slots: far past any real distance, far from inf.
+PENALTY = 1e30
+# Max bucketed k served by this path; larger ks fall back to the XLA scan
+# (the refine gather grows linearly with k).
+MAX_K = 32
+
+
+def interpret_mode() -> bool:
+    """Interpreter-mode toggle so the CPU test mesh can run the kernel."""
+    return bool(os.environ.get("VDB_TPU_PALLAS_INTERPRET"))
+
+
+def _metric_mode(metric_name: str) -> str:
+    return {"euclidean": "euclidean", "dot_product": "dot",
+            "cosine": "cosine"}[metric_name]
+
+
+def _tile_cols(d: int) -> int:
+    """Database rows per grid step, shrunk for very wide vectors so the
+    hi/lo tiles stay within the VMEM budget."""
+    tn = 512
+    while tn > 16 and tn * d * 2 * 2 > _VMEM_BUDGET // 3:
+        tn //= 2
+    return tn
+
+
+def _query_block(q: int, d: int, tn: int) -> int:
+    qb = min(q, _QB_MAX)
+    while qb > 128 and (d * qb * 2 * 2 + tn * qb * 4) > _VMEM_BUDGET // 2:
+        qb //= 2
+    while q % qb:
+        qb //= 2
+    return max(qb, 1)
+
+
+def supports(capacity: int, d: int, k_eff: int) -> bool:
+    """Whether the pallas coarse path can serve this signature."""
+    tn = _tile_cols(d)
+    return capacity >= tn and capacity % tn == 0 and k_eff <= MAX_K
+
+
+def _coarse_kernel(qhi_ref, qlo_ref, qrow_ref, hi_ref, lo_ref, col_ref,
+                   inv_ref, out_ref, *, passes: int, mode: str, tn: int):
+    """One grid step: scores of one db tile against all queries -> subtile
+    minima.
+
+    qhi/qlo: (d, QB) bf16 queries (hi/lo split; lo unused when passes=1)
+    qrow:    (1, QB) f32 per-query term (|q|^2 euclid, 1/|q| cosine)
+    hi/lo:   (TN, d) bf16 db tile (natural MXU lhs layout)
+    col:     (TN, 1) f32 per-row term (|x|^2 euclid, 1/|x| cosine)
+    inv:     (TN, 1) f32 1.0 for dead/padded rows
+    out:     (TN//SUB, QB) f32 minima — reduces over the SUBLANE axis, so
+             no lane-splitting reshape (which Mosaic rejects) is needed.
+    """
+    dots = jax.lax.dot_general(
+        hi_ref[:], qhi_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)            # (TN, QB)
+    if passes == 3:
+        dots += jax.lax.dot_general(
+            lo_ref[:], qhi_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dots += jax.lax.dot_general(
+            hi_ref[:], qlo_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    if mode == "euclidean":
+        score = col_ref[:] + qrow_ref[:] - 2.0 * dots
+    elif mode == "dot":
+        score = -dots
+    else:  # cosine: col = 1/|x|, qrow = 1/|q| -> -similarity
+        score = -(dots * col_ref[:] * qrow_ref[:])
+    score += inv_ref[:] * PENALTY
+    qb = score.shape[1]
+    out_ref[:] = score.reshape(tn // SUB, SUB, qb).min(axis=1)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("passes", "mode", "interpret"))
+def _coarse_minima(qThi, qTlo, qrow, db_hi, db_lo, col, inv_col,
+                   passes: int, mode: str, interpret: bool):
+    """(Qp, N//SUB) coarse subtile minima (Q-major, materialized)."""
+    d, qp = qThi.shape
+    n = db_hi.shape[0]
+    tn = _tile_cols(d)
+    qb = _query_block(qp, d, tn)
+    t = n // tn
+    grid_spec = pl.GridSpec(
+        # q outer, db tiles inner: the big db tiles stream once per q block
+        # while the small query block stays VMEM-resident
+        grid=(qp // qb, t),
+        in_specs=[
+            pl.BlockSpec((d, qb), lambda qi, ti: (0, qi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, qb), lambda qi, ti: (0, qi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, qb), lambda qi, ti: (0, qi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, d), lambda qi, ti: (ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, d), lambda qi, ti: (ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, 1), lambda qi, ti: (ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, 1), lambda qi, ti: (ti, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tn // SUB, qb), lambda qi, ti: (ti, qi),
+                               memory_space=pltpu.VMEM),
+    )
+    bytes_db = n * d * 2 * (2 if passes == 3 else 1) * (qp // qb)
+    minima_tq = pl.pallas_call(
+        functools.partial(_coarse_kernel, passes=passes, mode=mode, tn=tn),
+        out_shape=jax.ShapeDtypeStruct((n // SUB, qp), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * qp * n * d * passes,
+            bytes_accessed=bytes_db + qp * d * 4 + qp * (n // SUB) * 4,
+            transcendentals=0,
+        ),
+    )(qThi, qTlo, qrow, db_hi, db_lo, col, inv_col)
+    # Load-bearing barrier: without it XLA fuses the lazy transpose into the
+    # downstream top_k as strided reads over the tile axis (measured +80 ms
+    # at N=2^20, Q=1024); the materialized transpose costs ~0.2 ms.
+    return jax.lax.optimization_barrier(minima_tq.T)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("metric_name", "k", "m_tiles", "passes",
+                                    "interpret"))
+def _coarse_search_jit(queries, db, db_sq, db_norms, valid, db_hi, db_lo,
+                       metric_name: str, k: int, m_tiles: int, passes: int,
+                       interpret: bool):
+    mode = _metric_mode(metric_name)
+    qp, d = queries.shape
+    n = db.shape[0]
+    qT = queries.T
+    qThi = qT.astype(jnp.bfloat16)
+    qTlo = (qT - qThi.astype(jnp.float32)).astype(jnp.bfloat16)
+    qsq = jnp.sum(queries * queries, axis=1)            # (Qp,)
+    qn = jnp.sqrt(qsq)
+    if mode == "euclidean":
+        qrow = qsq[None, :]
+        col = db_sq.reshape(n, 1)
+    elif mode == "dot":
+        qrow = jnp.zeros((1, qp), jnp.float32)
+        col = jnp.zeros((n, 1), jnp.float32)
+    else:
+        qinv = jnp.where(qn == 0.0, 0.0, 1.0 / qn)
+        rinv = jnp.where(db_norms == 0.0, 0.0, 1.0 / db_norms)
+        qrow = qinv[None, :]
+        col = rinv.reshape(n, 1)
+    inv_col = (1.0 - valid.astype(jnp.float32)).reshape(n, 1)
+
+    minima = _coarse_minima(qThi, qTlo, qrow, db_hi, db_lo, col, inv_col,
+                            passes, mode, interpret)    # (Qp, N//SUB)
+    # indices only: consuming top_k's VALUES over the big minima array picks
+    # a far slower codegen path (measured +81 ms); the certification
+    # boundary is recovered from the refined scores instead
+    tile_idx = jax.lax.top_k(-minima, m_tiles)[1]       # (Qp, m)
+    offs = jnp.arange(SUB, dtype=jnp.int32)
+    cand = (tile_idx[:, :, None] * SUB + offs[None, None, :]).reshape(
+        qp, m_tiles * SUB)
+
+    # exact refine at f32-highest precision on the primary f32 database
+    cand_rows = db[cand]
+    dots = jnp.einsum("qcd,qd->qc", cand_rows, queries,
+                      preferred_element_type=jnp.float32,
+                      precision="highest")
+    if mode == "euclidean":
+        score2 = qsq[:, None] + db_sq[cand] - 2.0 * dots
+    elif mode == "dot":
+        score2 = -dots
+    else:
+        qinv_r = jnp.where(qn == 0.0, 0.0, 1.0 / qn)
+        rnorm = db_norms[cand]
+        rinv_r = jnp.where(rnorm == 0.0, 0.0, 1.0 / rnorm)
+        score2 = -(dots * qinv_r[:, None] * rinv_r)
+    score2 = jnp.where(valid[cand], score2, jnp.inf)
+    neg, pos = jax.lax.top_k(-score2, k)
+    sk = -neg                                           # (Qp, k) ascending
+    idx_out = jnp.take_along_axis(cand, pos, axis=1)
+
+    # per-query certification (rigorous only for passes=3 / bf16x3):
+    # non-selected tiles' true minima >= (m-th tile's refined min) - margin
+    eps = 2.0 ** -17 + d * 2.0 ** -24
+    xmax = jnp.sqrt(jnp.max(jnp.where(valid, db_sq, 0.0)))
+    if mode == "euclidean":
+        margin = 8.0 * eps * qn * xmax                  # d2 error x2, safety 2
+    elif mode == "dot":
+        margin = 4.0 * eps * qn * xmax
+    else:
+        xnmin = jnp.min(jnp.where(valid & (db_norms > 0.0), db_norms,
+                                  jnp.inf))
+        margin = 4.0 * eps * xmax / xnmin
+    w = jnp.min(score2[:, (m_tiles - 1) * SUB:], axis=1)
+    last = sk[:, -1]
+    # a non-finite k-th score means fewer than k live candidates; with
+    # m_tiles >= k (enforced by the caller) every live row is then already
+    # a candidate, so the result is exact
+    certified = jnp.where(jnp.isfinite(last), last <= w - margin, True)
+
+    if mode == "euclidean":
+        dists = jnp.where(jnp.isfinite(sk),
+                          jnp.sqrt(jnp.maximum(sk, 0.0)), jnp.inf)
+    elif mode == "dot":
+        dists = sk
+    else:
+        dists = jnp.where(jnp.isfinite(sk),
+                          1.0 + jnp.clip(sk, -1.0, 1.0), jnp.inf)
+    return dists, idx_out, certified
+
+
+def coarse_search(queries, db, db_sq, db_norms, valid, db_hi, db_lo,
+                  metric: DistanceMetric, k: int, exact: bool):
+    """(dists (Q,k) asc, idx (Q,k), certified (Q,) bool).
+
+    ``exact=True`` runs the bf16x3 certified pipeline; ``exact=False`` runs
+    the single-pass bf16 fast pipeline (certified output is meaningless
+    there and comes back all-False).
+    """
+    qp, _ = queries.shape
+    n = db.shape[0]
+    t = n // SUB
+    m_tiles = min(max(16, int(k) + 6), t)
+    passes = 3 if exact else 1
+    dists, idx, certified = _coarse_search_jit(
+        queries, db, db_sq, db_norms, valid, db_hi, db_lo, metric.value,
+        int(k), m_tiles, passes, interpret_mode())
+    if not exact:
+        certified = jnp.zeros((qp,), bool)
+    return dists, idx, certified
+
+
+@jax.jit
+def split_hi_lo(db):
+    """Derive the kernel's bf16 hi/lo database mirrors from the f32 rows."""
+    hi = db.astype(jnp.bfloat16)
+    lo = (db - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def scatter_hi_lo(hi, lo, idx, rows_f32):
+    """Patch the hi/lo mirrors in place for dirty rows (donated)."""
+    rhi = rows_f32.astype(jnp.bfloat16)
+    rlo = (rows_f32 - rhi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi.at[idx].set(rhi), lo.at[idx].set(rlo)
+
+
+@jax.jit
+def scatter_hi_lo_copy(hi, lo, idx, rows_f32):
+    rhi = rows_f32.astype(jnp.bfloat16)
+    rlo = (rows_f32 - rhi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi.at[idx].set(rhi), lo.at[idx].set(rlo)
+
+
+__all__ = ["coarse_search", "split_hi_lo", "scatter_hi_lo",
+           "scatter_hi_lo_copy", "supports", "interpret_mode", "SUB",
+           "MAX_K", "PENALTY"]

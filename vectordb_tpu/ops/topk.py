@@ -191,6 +191,12 @@ def flat_search_batched(queries_np: np.ndarray, device_state: dict,
     dist == +inf are "missing" (fewer than k live rows). ``mode`` selects
     the full-precision scan ("exact") or the two-tier coarse+re-rank path
     ("fast").
+
+    When the index maintains bf16 hi/lo mirrors ("hi"/"lo" in
+    ``device_state``), both modes route through the fused Pallas coarse
+    kernel (ops/coarse_kernel.py): "fast" as a single bf16 pass, "exact" as
+    the certified bf16x3 pipeline with an automatic per-batch fallback to
+    this module's full-precision scan for any uncertified query batch.
     """
     capacity = int(device_state["db"].shape[0])
     q = queries_np.shape[0]
@@ -200,6 +206,20 @@ def flat_search_batched(queries_np: np.ndarray, device_state: dict,
             [queries_np, np.zeros((q_pad - q, queries_np.shape[1]),
                                   dtype=queries_np.dtype)], axis=0)
     k_eff = min(next_pow2(k, floor=1), capacity)
+    queries_dev = jnp.asarray(queries_np)
+
+    if "hi" in device_state:
+        from . import coarse_kernel
+        if coarse_kernel.supports(capacity, queries_np.shape[1], k_eff):
+            dists, idx, certified = coarse_kernel.coarse_search(
+                queries_dev, device_state["db"], device_state["sq_norms"],
+                device_state["norms"], device_state["valid"],
+                device_state["hi"], device_state["lo"], metric, k_eff,
+                exact=(mode != "fast"))
+            if mode == "fast" or bool(np.all(np.asarray(certified)[:q])):
+                return np.asarray(dists)[:q], np.asarray(idx)[:q]
+            # uncertified queries: recompute the whole batch exactly
+
     if mode == "fast":
         search_fn = flat_search_fast
     elif capacity % EXACT_TILE_ROWS == 0:
@@ -208,7 +228,7 @@ def flat_search_batched(queries_np: np.ndarray, device_state: dict,
     else:
         search_fn = flat_search
     dists, idx = search_fn(
-        jnp.asarray(queries_np), device_state["db"], device_state["sq_norms"],
+        queries_dev, device_state["db"], device_state["sq_norms"],
         device_state["norms"], device_state["valid"], metric, k_eff)
     dists = np.asarray(dists)[:q]
     idx = np.asarray(idx)[:q]
