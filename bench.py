@@ -30,48 +30,45 @@ def tpu_flat_search_qps(n, d, q, k, iters=6):
     """Steady-state per-batch latency, measured honestly: every iteration
     gets distinct query values and the result is fetched to host, so lazy
     relays / async dispatch can't fake completion. Uses the production
-    fused program (ops.topk.flat_search) so the persistent compile cache
-    is shared with the framework."""
+    dispatcher (ops.topk.flat_search_batched) — on this chip that is the
+    certified-exact Pallas coarse kernel (ops/coarse_kernel.py) with its
+    uncertified-batch fallback included in the measurement — so the
+    persistent compile cache is shared with the framework."""
     from vectordb_tpu.distance import DistanceMetric
-    from vectordb_tpu.ops.topk import flat_search_exact_tiled as flat_search
+    from vectordb_tpu.ops.coarse_kernel import split_hi_lo
+    from vectordb_tpu.ops.topk import flat_search_batched
 
     key = jax.random.PRNGKey(0)
     kdb, kq = jax.random.split(key)
     db = jax.random.normal(kdb, (n, d), dtype=jnp.float32)
     sq = jnp.sum(db * db, axis=1)
-    norms = jnp.sqrt(sq)
-    valid = jnp.ones((n,), dtype=bool)
+    hi, lo = split_hi_lo(db)
+    state = {"db": db, "sq_norms": sq, "norms": jnp.sqrt(sq),
+             "valid": jnp.ones((n,), dtype=bool), "hi": hi, "lo": lo}
     qbase = jax.random.normal(kq, (q, d), dtype=jnp.float32)
-    np.asarray(jnp.sum(db))  # force database materialization
+    np.asarray(jnp.sum(db) + jnp.sum(hi.astype(jnp.float32)))  # materialize
 
-    def step(queries):
-        return flat_search(queries, db, sq, norms, valid,
-                           DistanceMetric.EUCLIDEAN, k)
-
-    def measure(fn):
-        np.asarray(fn(qbase)[0])  # compile + warm
+    def measure(mode):
+        fn = lambda x: flat_search_batched(x, state, DistanceMetric.EUCLIDEAN,
+                                           k, mode=mode)
+        fn(qbase)  # compile + warm (returns host numpy already)
         times = []
         for i in range(iters):
             queries = qbase + np.float32(i + 1)
             start = time.perf_counter()
-            np.asarray(fn(queries)[0])
+            fn(queries)
             times.append(time.perf_counter() - start)
         return min(times)
 
-    per_batch = measure(step)
+    per_batch = measure("exact")
     qps = q / per_batch
-    scan_gbps = (n * d * 4) / per_batch / 1e9
+    scan_gbps = (n * d * 4) / per_batch / 1e9  # f32-equivalent scan rate
 
-    # the two-tier fast mode (approx_min_k + exact re-rank) as a secondary
-    # figure; never let it sink the headline
+    # the single-pass fast mode as a secondary figure; never let it sink
+    # the headline
     fast_qps = None
     try:
-        from vectordb_tpu.ops.topk import flat_search_fast
-
-        def fast_step(queries):
-            return flat_search_fast(queries, db, sq, norms, valid,
-                                    DistanceMetric.EUCLIDEAN, k)
-        fast_qps = q / measure(fast_step)
+        fast_qps = q / measure("fast")
     except Exception as e:
         print(f"fast-mode measurement skipped: {e}", file=sys.stderr)
     return qps, scan_gbps, per_batch, fast_qps
@@ -112,11 +109,10 @@ def main():
     small = bool(os.environ.get("VDB_BENCH_SMALL"))
     n = 1 << 17 if small else 1 << 20
     d = 128 if small else 768
-    # Q=1024 amortizes the platform's fixed ~25 ms dispatch cost and is the
-    # measured throughput sweet spot (Q=64: 2.0k qps, Q=512: 6.8k,
-    # Q=1024: 8.1k, Q=2048: 7.5k — larger batches hit the (Q, N) distance
-    # matrix memory pressure)
-    q, k = (64, 10) if small else (1024, 10)
+    # Q=2048 amortizes the platform's fixed ~25 ms dispatch cost; the Pallas
+    # coarse path never materializes a (Q, N) matrix, so large Q no longer
+    # hits memory pressure (old XLA path peaked at Q=1024)
+    q, k = (64, 10) if small else (2048, 10)
 
     last_err = None
     for attempt in range(3):

@@ -164,3 +164,44 @@ def test_xla_fallback_when_k_too_large(rng):
                                      k, mode="exact")
     want_d, want_i = _oracle(queries, db, valid, DistanceMetric.EUCLIDEAN, k)
     assert np.array_equal(idx[:, :k], want_i)
+
+
+def test_uncertified_queries_fall_back_and_stay_exact(rng, monkeypatch):
+    """Exact ties across more tiles than the refine pool make the margin
+    check fail; those queries must be spliced through the XLA scan."""
+    from vectordb_tpu.ops import topk as topk_mod
+
+    n, d, k = 1024, 16, 5
+    base = rng.standard_normal(d).astype(np.float32)
+    db = rng.standard_normal((n, d)).astype(np.float32) * 10.0
+    # one identical row in each of 40 different tiles -> the k-th distance
+    # exactly equals the selection boundary -> cert fails
+    tie_slots = (np.arange(40) * coarse_kernel.SUB + 3).astype(int)
+    db[tie_slots] = base
+    valid = np.ones(n, dtype=bool)
+    sq = np.einsum("ij,ij->i", db, db).astype(np.float32)
+    dbj = jnp.asarray(db)
+    hi, lo = coarse_kernel.split_hi_lo(dbj)
+    state = {"db": dbj, "sq_norms": jnp.asarray(sq),
+             "norms": jnp.asarray(np.sqrt(sq)),
+             "valid": jnp.asarray(valid), "hi": hi, "lo": lo}
+
+    calls = []
+    real = topk_mod.flat_search_exact_tiled
+
+    def spy(*args, **kwargs):
+        calls.append(args[0].shape)
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(topk_mod, "flat_search_exact_tiled", spy)
+    queries = (base + 0.001 * rng.standard_normal((3, d))).astype(np.float32)
+    dists, idx = topk_mod.flat_search_batched(
+        queries, state, DistanceMetric.EUCLIDEAN, k, mode="exact")
+    assert calls, "expected the XLA fallback to engage on tie-heavy data"
+    # all k results must be tie rows at the true (equal) distance. The
+    # loose atol is the |q|^2+|x|^2-2qx cancellation at near-zero
+    # distances, inherent to the matmul formulation (both paths share it).
+    want_d, _ = _oracle(queries, db, valid, DistanceMetric.EUCLIDEAN, k)
+    np.testing.assert_allclose(dists[:, :k], want_d, rtol=2e-5, atol=2e-3)
+    for qi in range(3):
+        assert set(idx[qi, :k].tolist()) <= set(tie_slots.tolist())

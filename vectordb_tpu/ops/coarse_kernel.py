@@ -172,10 +172,10 @@ def _coarse_minima(qThi, qTlo, qrow, db_hi, db_lo, col, inv_col,
 
 @functools.partial(jax.jit,
                    static_argnames=("metric_name", "k", "m_tiles", "passes",
-                                    "interpret"))
+                                    "interpret", "with_cert"))
 def _coarse_search_jit(queries, db, db_sq, db_norms, valid, db_hi, db_lo,
                        metric_name: str, k: int, m_tiles: int, passes: int,
-                       interpret: bool):
+                       interpret: bool, with_cert: bool):
     mode = _metric_mode(metric_name)
     qp, d = queries.shape
     n = db.shape[0]
@@ -226,6 +226,17 @@ def _coarse_search_jit(queries, db, db_sq, db_norms, valid, db_hi, db_lo,
     sk = -neg                                           # (Qp, k) ascending
     idx_out = jnp.take_along_axis(cand, pos, axis=1)
 
+    if mode == "euclidean":
+        dists = jnp.where(jnp.isfinite(sk),
+                          jnp.sqrt(jnp.maximum(sk, 0.0)), jnp.inf)
+    elif mode == "dot":
+        dists = sk
+    else:
+        dists = jnp.where(jnp.isfinite(sk),
+                          1.0 + jnp.clip(sk, -1.0, 1.0), jnp.inf)
+    if not with_cert:
+        return dists, idx_out, jnp.zeros((qp,), bool)
+
     # per-query certification (rigorous only for passes=3 / bf16x3):
     # non-selected tiles' true minima >= (m-th tile's refined min) - margin
     eps = 2.0 ** -17 + d * 2.0 ** -24
@@ -244,15 +255,6 @@ def _coarse_search_jit(queries, db, db_sq, db_norms, valid, db_hi, db_lo,
     # m_tiles >= k (enforced by the caller) every live row is then already
     # a candidate, so the result is exact
     certified = jnp.where(jnp.isfinite(last), last <= w - margin, True)
-
-    if mode == "euclidean":
-        dists = jnp.where(jnp.isfinite(sk),
-                          jnp.sqrt(jnp.maximum(sk, 0.0)), jnp.inf)
-    elif mode == "dot":
-        dists = sk
-    else:
-        dists = jnp.where(jnp.isfinite(sk),
-                          1.0 + jnp.clip(sk, -1.0, 1.0), jnp.inf)
     return dists, idx_out, certified
 
 
@@ -264,17 +266,13 @@ def coarse_search(queries, db, db_sq, db_norms, valid, db_hi, db_lo,
     the single-pass bf16 fast pipeline (certified output is meaningless
     there and comes back all-False).
     """
-    qp, _ = queries.shape
     n = db.shape[0]
     t = n // SUB
     m_tiles = min(max(16, int(k) + 6), t)
     passes = 3 if exact else 1
-    dists, idx, certified = _coarse_search_jit(
+    return _coarse_search_jit(
         queries, db, db_sq, db_norms, valid, db_hi, db_lo, metric.value,
-        int(k), m_tiles, passes, interpret_mode())
-    if not exact:
-        certified = jnp.zeros((qp,), bool)
-    return dists, idx, certified
+        int(k), m_tiles, passes, interpret_mode(), with_cert=exact)
 
 
 @jax.jit

@@ -136,6 +136,10 @@ def flat_search_fast(queries, db, db_sq_norms, db_norms, valid,
                                  metric.value, int(k))
 
 
+# Max queries per XLA-fallback chunk when certification fails for a few
+# queries in a large batch (bounds the (chunk, N) distance matrix).
+_FALLBACK_CHUNK = 256
+
 # Row-tile size for the exact tiled path: small tiles keep the refine pool
 # (k * EXACT_TILE_ROWS rows/query) tiny while the tile-min reduce fuses
 # into the distance matmul.
@@ -210,15 +214,44 @@ def flat_search_batched(queries_np: np.ndarray, device_state: dict,
 
     if "hi" in device_state:
         from . import coarse_kernel
-        if coarse_kernel.supports(capacity, queries_np.shape[1], k_eff):
+        # the pallas path takes k unbucketed (one compile per distinct k is
+        # cheaper than the larger refine pool a pow2-bucketed k drags in)
+        k_pallas = min(int(k), capacity)
+        if coarse_kernel.supports(capacity, queries_np.shape[1], k_pallas):
             dists, idx, certified = coarse_kernel.coarse_search(
                 queries_dev, device_state["db"], device_state["sq_norms"],
                 device_state["norms"], device_state["valid"],
-                device_state["hi"], device_state["lo"], metric, k_eff,
+                device_state["hi"], device_state["lo"], metric, k_pallas,
                 exact=(mode != "fast"))
-            if mode == "fast" or bool(np.all(np.asarray(certified)[:q])):
-                return np.asarray(dists)[:q], np.asarray(idx)[:q]
-            # uncertified queries: recompute the whole batch exactly
+            if mode == "fast":
+                dists, idx = jax.device_get((dists, idx))
+                return dists[:q], idx[:q]
+            # one device_get for all three outputs: separate np.asarray
+            # fetches pay the relay round-trip each (~25 ms apiece here)
+            dists, idx, cert = jax.device_get((dists, idx, certified))
+            cert = cert[:q]
+            if bool(np.all(cert)):
+                return dists[:q], idx[:q]
+            # Certification failed for some queries (k-th neighbor within
+            # the rounding margin of the selection boundary — rare, but the
+            # exactness contract is unconditional). Recompute ONLY those
+            # queries through the full-precision XLA scan, in bounded
+            # chunks: a whole-batch rerun at large Q would materialize a
+            # (Q, N) matrix on top of the resident mirrors and can exceed
+            # HBM.
+            dists = dists[:q].copy()
+            idx = idx[:q].copy()
+            bad = np.nonzero(~cert)[0]
+            for start in range(0, bad.shape[0], _FALLBACK_CHUNK):
+                rows = bad[start:start + _FALLBACK_CHUNK]
+                sub_d, sub_i = flat_search_batched(
+                    np.ascontiguousarray(np.asarray(queries_np)[rows]),
+                    {kk: vv for kk, vv in device_state.items()
+                     if kk not in ("hi", "lo")},
+                    metric, k, mode="exact")
+                dists[rows] = sub_d[:, : dists.shape[1]]
+                idx[rows] = sub_i[:, : idx.shape[1]]
+            return dists, idx
 
     if mode == "fast":
         search_fn = flat_search_fast
@@ -227,12 +260,10 @@ def flat_search_batched(queries_np: np.ndarray, device_state: dict,
         search_fn = flat_search_exact_tiled
     else:
         search_fn = flat_search
-    dists, idx = search_fn(
+    dists, idx = jax.device_get(search_fn(
         queries_dev, device_state["db"], device_state["sq_norms"],
-        device_state["norms"], device_state["valid"], metric, k_eff)
-    dists = np.asarray(dists)[:q]
-    idx = np.asarray(idx)[:q]
-    return dists, idx
+        device_state["norms"], device_state["valid"], metric, k_eff))
+    return dists[:q], idx[:q]
 
 
 __all__ = ["flat_search", "flat_search_batched", "next_pow2"]
