@@ -109,10 +109,12 @@ def main():
     small = bool(os.environ.get("VDB_BENCH_SMALL"))
     n = 1 << 17 if small else 1 << 20
     d = 128 if small else 768
-    # Q=2048 amortizes the platform's fixed ~25 ms dispatch cost; the Pallas
+    # Q=4096 amortizes the platform's fixed ~25 ms dispatch cost; the Pallas
     # coarse path never materializes a (Q, N) matrix, so large Q no longer
-    # hits memory pressure (old XLA path peaked at Q=1024)
-    q, k = (64, 10) if small else (2048, 10)
+    # hits memory pressure (the old XLA path peaked at Q=1024). Measured
+    # sweep: Q=2048: 16.4k, Q=4096: 18.5k, Q=8192: 20.2k exact QPS — 4096
+    # keeps comfortable HBM headroom (refine gather scales with Q).
+    q, k = (64, 10) if small else (4096, 10)
 
     last_err = None
     for attempt in range(3):
