@@ -1,0 +1,184 @@
+"""Native C++ HTTP front-end (httpcore.cpp + server/native_http.py).
+
+Drives the real epoll server over real sockets: all 9 endpoints, keep-alive
+reuse, URL-encoded IDs, error statuses, and concurrent searches (which the
+worker drain-batches into fused device calls).
+"""
+
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+from vectordb_tpu import DistanceMetric, VectorStore
+from vectordb_tpu.server.app import AppState
+from vectordb_tpu.server.native_http import (NativeHttpServer,
+                                             native_http_available)
+from vectordb_tpu.server.routes import Api
+
+pytestmark = pytest.mark.skipif(not native_http_available(),
+                                reason="native http core unavailable")
+
+
+@pytest.fixture
+def server():
+    state = AppState(VectorStore.with_flat_index(DistanceMetric.EUCLIDEAN))
+    srv = NativeHttpServer(Api(state), "127.0.0.1", 0)
+    srv.start_background()
+    yield srv
+    srv.shutdown()
+
+
+def _req(srv, method, path, payload=None):
+    url = f"http://127.0.0.1:{srv.port}{path}"
+    data = json.dumps(payload).encode() if payload is not None else None
+    req = urllib.request.Request(url, data=data, method=method)
+    if data is not None:
+        req.add_header("Content-Type", "application/json")
+    try:
+        with urllib.request.urlopen(req, timeout=10) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_all_nine_endpoints(server):
+    # insert
+    status, body = _req(server, "POST", "/vectors",
+                        {"id": "a", "vector": [1.0, 2.0, 3.0],
+                         "metadata": {"cat": "x"}})
+    assert (status, body["status"]) == (201, "inserted")
+    # batch insert
+    status, body = _req(server, "POST", "/vectors/batch", {"vectors": [
+        {"id": "b", "vector": [1.0, 2.0, 4.0]},
+        {"id": "c", "vector": [9.0, 9.0, 9.0], "metadata": {"cat": "y"}}]})
+    assert (status, body["inserted"]) == (201, 2)
+    # get (with metadata)
+    status, body = _req(server, "GET", "/vectors/a")
+    assert status == 200 and body["vector"] == [1.0, 2.0, 3.0]
+    assert body["metadata"] == {"cat": "x"}
+    # get (no metadata key when empty)
+    status, body = _req(server, "GET", "/vectors/b")
+    assert status == 200 and "metadata" not in body
+    # list
+    status, body = _req(server, "GET", "/vectors")
+    assert status == 200 and sorted(body) == ["a", "b", "c"]
+    # search
+    status, body = _req(server, "POST", "/search",
+                        {"vector": [1.0, 2.0, 3.1], "k": 2})
+    assert status == 200 and [r["id"] for r in body] == ["a", "b"]
+    # filtered search
+    status, body = _req(server, "POST", "/search",
+                        {"vector": [1.0, 2.0, 3.1], "k": 3,
+                         "filter": {"op": "eq", "field": "cat",
+                                    "value": "y"}})
+    assert status == 200 and [r["id"] for r in body] == ["c"]
+    # batch search
+    status, body = _req(server, "POST", "/search/batch", {"queries": [
+        {"vector": [1.0, 2.0, 3.0], "k": 1},
+        {"vector": [9.0, 9.0, 9.0], "k": 1}]})
+    assert status == 200
+    assert [[r["id"] for r in q] for q in body] == [["a"], ["c"]]
+    # delete
+    status, body = _req(server, "DELETE", "/vectors/b")
+    assert (status, body["status"]) == (200, "deleted")
+    status, _ = _req(server, "GET", "/vectors/b")
+    assert status == 404
+    # health
+    status, body = _req(server, "GET", "/health")
+    assert status == 200 and body == {"status": "ok", "vector_count": 2}
+    # metrics
+    status, body = _req(server, "GET", "/metrics")
+    assert status == 200 and body["total_queries"] >= 3
+
+
+def test_error_statuses(server):
+    status, body = _req(server, "POST", "/vectors", {"id": "x"})
+    assert status == 400
+    status, body = _req(server, "GET", "/vectors/missing")
+    assert status == 404
+    status, body = _req(server, "POST", "/nope", {})
+    assert status == 404
+    status, body = _req(server, "POST", "/search", {"vector": "bad"})
+    assert status == 400
+
+
+def test_invalid_json_body(server):
+    import http.client
+    conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=10)
+    conn.request("POST", "/search", body=b"{not json",
+                 headers={"Content-Type": "application/json"})
+    resp = conn.getresponse()
+    assert resp.status == 400
+    conn.close()
+
+
+def test_keep_alive_reuses_connection(server):
+    import http.client
+    conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=10)
+    for i in range(5):
+        conn.request("POST", "/vectors",
+                     body=json.dumps({"id": f"k{i}",
+                                      "vector": [float(i), 0.0]}).encode(),
+                     headers={"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        assert resp.status == 201
+        resp.read()
+    conn.request("GET", "/health")
+    resp = conn.getresponse()
+    assert json.loads(resp.read())["vector_count"] == 5
+    conn.close()
+
+
+def test_url_encoded_ids(server):
+    status, _ = _req(server, "POST", "/vectors",
+                     {"id": "has space", "vector": [1.0]})
+    assert status == 201
+    status, body = _req(server, "GET", "/vectors/has%20space")
+    assert status == 200 and body["id"] == "has space"
+
+
+def test_concurrent_searches_drain_batch(server):
+    rng = np.random.default_rng(0)
+    data = rng.standard_normal((512, 16)).astype(np.float32)
+    items = [{"id": f"v{i}", "vector": [float(x) for x in data[i]]}
+             for i in range(512)]
+    status, _ = _req(server, "POST", "/vectors/batch", {"vectors": items})
+    assert status == 201
+
+    errors = []
+    results = {}
+
+    def worker(qi):
+        try:
+            status, body = _req(server, "POST", "/search",
+                                {"vector": [float(x) for x in data[qi]],
+                                 "k": 1})
+            assert status == 200, body
+            results[qi] = body[0]["id"]
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(qi,))
+               for qi in range(0, 64)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert all(results[qi] == f"v{qi}" for qi in range(64))
+
+
+def test_large_batch_insert_roundtrip(server):
+    # a multi-MB body exercises incremental reads in the C++ parser
+    rng = np.random.default_rng(1)
+    data = rng.standard_normal((800, 64)).astype(np.float32)
+    items = [{"id": f"big{i}", "vector": [float(x) for x in data[i]]}
+             for i in range(800)]
+    status, body = _req(server, "POST", "/vectors/batch", {"vectors": items})
+    assert (status, body["inserted"]) == (201, 800)
+    status, body = _req(server, "GET", "/health")
+    assert body["vector_count"] == 800

@@ -65,7 +65,13 @@ def build_parser() -> argparse.ArgumentParser:
                          help="Address to bind to")
     p_serve.add_argument("--batch-window-ms", type=float, default=0.0,
                          help="Coalesce concurrent searches into one device "
-                              "call within this window (0 = disabled)")
+                              "call within this window (0 = disabled; the "
+                              "native backend drain-batches regardless)")
+    p_serve.add_argument("--http", choices=["auto", "native", "python"],
+                         default="auto",
+                         help="HTTP backend: the C++ epoll front-end "
+                              "(native), the stdlib threaded server "
+                              "(python), or auto-detect")
     return parser
 
 
@@ -119,10 +125,12 @@ def main(argv: Optional[List[str]] = None) -> int:
             from .server import start_flat, start_hnsw
             if args.index == "hnsw":
                 start_hnsw(args.addr, metric, HnswParams(),
-                           batch_window_ms=args.batch_window_ms)
+                           batch_window_ms=args.batch_window_ms,
+                           backend=args.http)
             else:
                 start_flat(args.addr, metric,
-                           batch_window_ms=args.batch_window_ms)
+                           batch_window_ms=args.batch_window_ms,
+                           backend=args.http)
             return 0
 
         if args.data_dir:

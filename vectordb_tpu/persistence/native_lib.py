@@ -99,6 +99,18 @@ def _configure(lib: ctypes.CDLL) -> ctypes.CDLL:
                                     ctypes.c_int64, ctypes.c_int32,
                                     ctypes.c_int32]
     lib.vdb_hnsw_import.restype = ctypes.c_int
+    lib.vdb_http_start.argtypes = [ctypes.c_char_p, ctypes.c_int]
+    lib.vdb_http_start.restype = ctypes.c_void_p
+    lib.vdb_http_port.argtypes = [ctypes.c_void_p]
+    lib.vdb_http_port.restype = ctypes.c_int
+    lib.vdb_http_stop.argtypes = [ctypes.c_void_p]
+    lib.vdb_http_stop.restype = None
+    lib.vdb_http_next_jobs.argtypes = [ctypes.c_void_p, u8p, ctypes.c_int64,
+                                       ctypes.c_int]
+    lib.vdb_http_next_jobs.restype = ctypes.c_int64
+    lib.vdb_http_respond.argtypes = [ctypes.c_void_p, ctypes.c_uint64,
+                                     ctypes.c_int, u8p, ctypes.c_int64]
+    lib.vdb_http_respond.restype = ctypes.c_int
     return lib
 
 
@@ -118,7 +130,7 @@ def get_native() -> Optional[ctypes.CDLL]:
         try:
             newest_src = max(
                 (_NATIVE_DIR / name).stat().st_mtime
-                for name in ("walcore.cpp", "hnswcore.cpp"))
+                for name in ("walcore.cpp", "hnswcore.cpp", "httpcore.cpp"))
             if not _LIB_PATH.exists() or _LIB_PATH.stat().st_mtime < newest_src:
                 subprocess.run(
                     ["make", "-s", "-C", str(_NATIVE_DIR), "libvdbwal.so"],

@@ -96,12 +96,31 @@ def _make_api(state: AppState, batch_window_ms: float) -> Api:
 
 def serve(addr: str, state: AppState,
           ready_event: Optional[threading.Event] = None,
-          batch_window_ms: float = 0.0) -> None:
-    """Bind and serve forever (reference: src/server/mod.rs:27-29)."""
+          batch_window_ms: float = 0.0, backend: str = "auto") -> None:
+    """Bind and serve forever (reference: src/server/mod.rs:27-29).
+
+    ``backend``: "native" = the C++ epoll front-end (httpcore.cpp) with
+    drain-batched searches; "python" = the stdlib threaded server; "auto"
+    (default) = native when the library is available."""
     from ..utils.jit_cache import enable_persistent_jit_cache
     enable_persistent_jit_cache()
     host, port = _split_addr(addr)
     api = _make_api(state, batch_window_ms)
+    if backend == "auto":
+        from .native_http import native_http_available
+        backend = "native" if native_http_available() else "python"
+    if backend == "native":
+        from .native_http import NativeHttpServer
+        server = NativeHttpServer(api, host, port)
+        print(f"vectordb-tpu server (native) listening on "
+              f"{host}:{server.port}")
+        if ready_event is not None:
+            ready_event.set()
+        try:
+            server.serve_forever()
+        finally:
+            server.shutdown()
+        return
     server = VdbHTTPServer((host, port), _make_handler(api))
     print(f"vectordb-tpu server listening on {host}:{server.server_address[1]}")
     if ready_event is not None:
@@ -130,19 +149,19 @@ def _split_addr(addr: str) -> Tuple[str, int]:
 
 
 def start_flat(addr: str, metric: DistanceMetric,
-               batch_window_ms: float = 0.0) -> None:
+               batch_window_ms: float = 0.0, backend: str = "auto") -> None:
     """Serve an in-memory flat-index store (reference: src/server/mod.rs:19-31)."""
     serve(addr, AppState(VectorStore.with_flat_index(metric)),
-          batch_window_ms=batch_window_ms)
+          batch_window_ms=batch_window_ms, backend=backend)
 
 
 def start_hnsw(addr: str, metric: DistanceMetric,
                params: Optional[HnswParams] = None,
-               batch_window_ms: float = 0.0) -> None:
+               batch_window_ms: float = 0.0, backend: str = "auto") -> None:
     """Serve an in-memory HNSW store (reference: src/server/mod.rs:34-51)."""
     index = HnswIndex(metric, params or HnswParams())
     serve(addr, AppState(VectorStore.with_index(index)),
-          batch_window_ms=batch_window_ms)
+          batch_window_ms=batch_window_ms, backend=backend)
 
 
 __all__ = ["AppState", "serve", "start_flat", "start_hnsw",

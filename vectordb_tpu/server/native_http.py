@@ -1,0 +1,211 @@
+"""Python worker for the native C++ HTTP front-end (httpcore.cpp).
+
+The C++ epoll loop owns the sockets and HTTP/1.1 framing; this module pulls
+drained job batches through ctypes, executes them against the store, and
+pushes JSON bodies back. The drain is the dynamic batcher: every
+POST /search request that arrived while the previous device call was in
+flight lands in one batch here and becomes ONE fused device search —
+exactly what a fixed ~25 ms dispatch cost wants, with no artificial window.
+
+Endpoint semantics are identical to routes.Api (which handles every
+non-search job unchanged); grouped searches replicate Api.search's
+behavior: k defaults to 10, optional filter, one latency sample per
+request (reference src/server/routes.rs:235-282).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import json
+import struct
+import threading
+import time
+from typing import List, Optional, Tuple
+from urllib.parse import unquote
+
+from ..persistence.native_lib import get_native
+from .routes import Api, _parse_filter, _parse_vector
+
+_METHODS = {0: "GET", 1: "POST", 2: "DELETE", 3: "PUT", 4: "OTHER"}
+_BUF_CAP = 64 * 1024 * 1024
+
+
+def native_http_available() -> bool:
+    lib = get_native()
+    return lib is not None and hasattr(lib, "vdb_http_start")
+
+
+class NativeHttpServer:
+    """Drives the C++ front-end with a single Python worker thread (the
+    host is single-core; device dispatches release the GIL anyway)."""
+
+    def __init__(self, api: Api, host: str, port: int):
+        self._lib = get_native()
+        if self._lib is None:
+            raise RuntimeError("native core unavailable")
+        self.api = api
+        self._handle = self._lib.vdb_http_start(host.encode(), int(port))
+        if not self._handle:
+            raise OSError(f"could not bind {host}:{port}")
+        self.port = int(self._lib.vdb_http_port(self._handle))
+        self._buf = (ctypes.c_uint8 * _BUF_CAP)()
+        self._running = True
+
+    # -- job plumbing --------------------------------------------------------
+
+    def _parse_jobs(self, raw: bytes) -> List[Tuple[int, str, str, bytes]]:
+        jobs = []
+        off = 0
+        n = len(raw)
+        while off < n:
+            conn_id, = struct.unpack_from("<Q", raw, off); off += 8
+            method = _METHODS.get(raw[off], "OTHER"); off += 1
+            plen, = struct.unpack_from("<H", raw, off); off += 2
+            path = raw[off:off + plen].decode("utf-8", "replace"); off += plen
+            blen, = struct.unpack_from("<I", raw, off); off += 4
+            body = raw[off:off + blen]; off += blen
+            jobs.append((conn_id, method, path, body))
+        return jobs
+
+    def _respond(self, conn_id: int, status: int, payload) -> None:
+        body = json.dumps(payload).encode()
+        self._lib.vdb_http_respond(
+            self._handle, ctypes.c_uint64(conn_id), int(status),
+            ctypes.cast(ctypes.c_char_p(body),
+                        ctypes.POINTER(ctypes.c_uint8)),
+            len(body))
+
+    # -- request handling ----------------------------------------------------
+
+    def _handle_batch(self, jobs) -> None:
+        searches = []
+        for conn_id, method, path, body in jobs:
+            path = unquote(path.partition("?")[0])
+            if method == "POST" and path.rstrip("/") == "/search":
+                searches.append((conn_id, body))
+                continue
+            try:
+                parsed = json.loads(body) if body else None
+            except json.JSONDecodeError:
+                self._respond(conn_id, 400, {"error": "invalid JSON body"})
+                continue
+            try:
+                status, payload = self.api.handle(method, path, parsed)
+            except Exception as e:  # never kill the worker
+                status, payload = 500, {"error": str(e)}
+            self._respond(conn_id, status, payload)
+        if searches:
+            self._handle_searches(searches)
+
+    def _handle_searches(self, searches) -> None:
+        """Group compatible /search requests into fused device calls."""
+        state = self.api.state
+        # parse first; invalid ones answered immediately
+        groups: dict = {}  # k -> list[(conn_id, Vector)]
+        singles = []       # (conn_id, Vector, k, filter)
+        for conn_id, body in searches:
+            try:
+                parsed = json.loads(body) if body else None
+                if not isinstance(parsed, dict) or "vector" not in parsed:
+                    self._respond(conn_id, 400,
+                                  {"error": "'vector' is required"})
+                    continue
+                query = _parse_vector(parsed["vector"])
+                raw_k = parsed.get("k")
+                k = 10 if raw_k is None else int(raw_k)
+                flt = _parse_filter(parsed.get("filter"))
+            except Exception as e:
+                self._respond(conn_id, 400, {"error": str(e)})
+                continue
+            if flt is None:
+                groups.setdefault(k, []).append((conn_id, query))
+            else:
+                singles.append((conn_id, query, k, flt))
+
+        for k, members in groups.items():
+            start = time.perf_counter()
+            try:
+                if len(members) == 1:
+                    with state.lock.read():
+                        all_results = [state.store.search(members[0][1], k)]
+                else:
+                    with state.lock.read():
+                        all_results = state.store.search_batch(
+                            [(query, k) for _, query in members])
+            except Exception as e:
+                for conn_id, _ in members:
+                    self._respond(conn_id, 400, {"error": str(e)})
+                continue
+            elapsed = time.perf_counter() - start
+            for (conn_id, _), results in zip(members, all_results):
+                state.metrics.record_query(elapsed)
+                self._respond(conn_id, 200,
+                              [{"id": r.id, "distance": r.distance}
+                               for r in results])
+
+        for conn_id, query, k, flt in singles:
+            start = time.perf_counter()
+            try:
+                with state.lock.read():
+                    results = state.store.search_with_filter(query, k, flt)
+            except Exception as e:
+                self._respond(conn_id, 400, {"error": str(e)})
+                continue
+            state.metrics.record_query(time.perf_counter() - start)
+            self._respond(conn_id, 200,
+                          [{"id": r.id, "distance": r.distance}
+                           for r in results])
+
+    # -- lifecycle -----------------------------------------------------------
+
+    def serve_forever(self) -> None:
+        # adaptive straggler-catch: when device cycles are slow (tens of ms
+        # on relayed chips), clients answered by the previous cycle re-send
+        # ~1-2 ms later and would otherwise miss this drain and wait a full
+        # extra cycle. A short post-drain merge window (scaled to the last
+        # cycle time, capped at 3 ms) folds them in; when cycles are fast
+        # (CPU-local stores) the window collapses to zero.
+        last_cycle = 0.0
+        while self._running:
+            n = self._lib.vdb_http_next_jobs(self._handle, self._buf,
+                                             _BUF_CAP, 500)
+            if n < 0:
+                break
+            if n == 0:
+                continue
+            raw = bytes(bytearray(self._buf[:n]))
+            catch = min(last_cycle / 10.0, 0.003)
+            if catch > 0.0005:
+                time.sleep(catch)
+                n2 = self._lib.vdb_http_next_jobs(self._handle, self._buf,
+                                                  _BUF_CAP, 0)
+                if n2 > 0:
+                    raw += bytes(bytearray(self._buf[:n2]))
+            start = time.perf_counter()
+            try:
+                self._handle_batch(self._parse_jobs(raw))
+            except Exception:
+                # a malformed frame must not kill the worker loop
+                continue
+            last_cycle = time.perf_counter() - start
+
+    def start_background(self) -> threading.Thread:
+        thread = threading.Thread(target=self.serve_forever, daemon=True)
+        thread.start()
+        return thread
+
+    def shutdown(self) -> None:
+        self._running = False
+        if self._handle:
+            self._lib.vdb_http_stop(self._handle)
+            self._handle = None
+
+    def __del__(self):
+        try:
+            if getattr(self, "_handle", None):
+                self._lib.vdb_http_stop(self._handle)
+        except Exception:
+            pass
+
+
+__all__ = ["NativeHttpServer", "native_http_available"]
