@@ -205,3 +205,51 @@ def test_uncertified_queries_fall_back_and_stay_exact(rng, monkeypatch):
     np.testing.assert_allclose(dists[:, :k], want_d, rtol=2e-5, atol=2e-3)
     for qi in range(3):
         assert set(idx[qi, :k].tolist()) <= set(tie_slots.tolist())
+
+
+def _state_f32(rng, n, d, dead_frac=0.0):
+    """Device state using the f32-source coarse path (no mirrors)."""
+    db, valid, state = _state(rng, n, d, dead_frac)
+    state = {k: v for k, v in state.items() if k not in ("hi", "lo")}
+    state["coarse_f32"] = True
+    return db, valid, state
+
+
+@pytest.mark.parametrize("metric", list(DistanceMetric))
+def test_f32_source_certified_exact_matches_oracle(rng, metric):
+    n, d, q, k = 1024, 32, 8, 5
+    db, valid, state = _state_f32(rng, n, d, dead_frac=0.1)
+    queries = rng.standard_normal((q, d)).astype(np.float32)
+    dists, idx = flat_search_batched(queries, state, metric, k, mode="exact")
+    want_d, want_i = _oracle(queries, db, valid, metric, k)
+    assert np.array_equal(idx[:, :k], want_i)
+    np.testing.assert_allclose(dists[:, :k], want_d, rtol=2e-5, atol=2e-5)
+
+
+def test_f32_source_fast_mode(rng):
+    n, d, q, k = 1024, 32, 4, 10
+    db, valid, state = _state_f32(rng, n, d)
+    queries = rng.standard_normal((q, d)).astype(np.float32)
+    dists, idx = flat_search_batched(queries, state,
+                                     DistanceMetric.EUCLIDEAN, k,
+                                     mode="fast")
+    _, want_i = _oracle(queries, db, valid, DistanceMetric.EUCLIDEAN, k)
+    overlap = np.mean([len(set(a[:k]) & set(b)) / k
+                       for a, b in zip(idx, want_i)])
+    assert overlap >= 0.9, overlap
+
+
+def test_flat_index_uses_f32_source_above_memory_gate(rng, monkeypatch):
+    from vectordb_tpu.index import flat as flat_mod
+    from vectordb_tpu.index.flat import FlatIndex
+    from vectordb_tpu.vector import Vector
+
+    monkeypatch.setattr(flat_mod, "_PALLAS_MEM_LIMIT", 1)  # mirrors never fit
+    d, k = 16, 3
+    idx = FlatIndex(DistanceMetric.EUCLIDEAN, search_mode="exact")
+    data = rng.standard_normal((100, d)).astype(np.float32)
+    idx.add_batch([(i, data[i]) for i in range(100)])
+    res = idx.search(Vector(data[42] + 0.0005), k)
+    assert res[0][0] == 42
+    dev = idx._sync_device()
+    assert "hi" not in dev and dev.get("coarse_f32") is True

@@ -42,22 +42,29 @@ _PALLAS_MEM_LIMIT = int(
     __import__("os").environ.get("VDB_TPU_PALLAS_MEM_LIMIT", 12 * 10 ** 9))
 
 
-def _pallas_mirrors_enabled(capacity: int, dim: int, mesh) -> bool:
-    """Maintain bf16 hi/lo mirrors for the fused coarse kernel? On by
-    default on TPU backends (and on CPU when the interpret-mode test flag
-    is set); VDB_TPU_NO_PALLAS=1 opts out."""
+def _pallas_enabled(mesh) -> bool:
+    """Is the fused coarse kernel usable at all? On by default on TPU
+    backends (and on CPU when the interpret-mode test flag is set);
+    VDB_TPU_NO_PALLAS=1 opts out."""
     import os
 
     import jax
 
     if mesh is not None or os.environ.get("VDB_TPU_NO_PALLAS"):
         return False
-    if capacity * dim * 8 > _PALLAS_MEM_LIMIT:
-        return False
     from ..ops import coarse_kernel
     if coarse_kernel.interpret_mode():
         return True
     return jax.default_backend() == "tpu"
+
+
+def _pallas_mirrors_enabled(capacity: int, dim: int, mesh) -> bool:
+    """Maintain bf16 hi/lo mirrors (fastest path, +4 bytes/element)? Above
+    the memory gate the kernel streams the f32 database instead (the
+    coarse_f32 flag — zero extra HBM, in-VMEM hi/lo split)."""
+    if not _pallas_enabled(mesh):
+        return False
+    return capacity * dim * 8 <= _PALLAS_MEM_LIMIT
 
 
 class FlatIndex(Index):
@@ -268,6 +275,8 @@ class FlatIndex(Index):
                 hi, lo = split_hi_lo(self._device["db"])
                 self._device["hi"] = hi
                 self._device["lo"] = lo
+            elif _pallas_enabled(self._mesh):
+                self._device["coarse_f32"] = True
             self._dirty_slots.clear()
             return self._device
         if self._dirty_slots:

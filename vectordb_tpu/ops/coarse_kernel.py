@@ -93,11 +93,15 @@ def _coarse_kernel(qhi_ref, qlo_ref, qrow_ref, hi_ref, lo_ref, col_ref,
     qhi/qlo: (d, QB) bf16 queries (hi/lo split; lo unused when passes=1)
     qrow:    (1, QB) f32 per-query term (|q|^2 euclid, 1/|q| cosine)
     hi/lo:   (TN, d) bf16 db tile (natural MXU lhs layout)
-    col:     (TN, 1) f32 per-row term (|x|^2 euclid, 1/|x| cosine)
-    inv:     (TN, 1) f32 1.0 for dead/padded rows
+    col:     (1, TN) f32 per-row term (|x|^2 euclid, 1/|x| cosine),
+             transposed to (TN, 1) in VMEM — an (N, 1) HBM operand would be
+             lane-padded 128x by the TPU tiled layout (2 GB at N=4M)
+    inv:     (1, TN) f32 1.0 for dead/padded rows (same layout story)
     out:     (TN//SUB, QB) f32 minima — reduces over the SUBLANE axis, so
              no lane-splitting reshape (which Mosaic rejects) is needed.
     """
+    col_t = col_ref[:].T
+    inv_t = inv_ref[:].T
     dots = jax.lax.dot_general(
         hi_ref[:], qhi_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)            # (TN, QB)
@@ -109,12 +113,12 @@ def _coarse_kernel(qhi_ref, qlo_ref, qrow_ref, hi_ref, lo_ref, col_ref,
             hi_ref[:], qlo_ref[:], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
     if mode == "euclidean":
-        score = col_ref[:] + qrow_ref[:] - 2.0 * dots
+        score = col_t + qrow_ref[:] - 2.0 * dots
     elif mode == "dot":
         score = -dots
     else:  # cosine: col = 1/|x|, qrow = 1/|q| -> -similarity
-        score = -(dots * col_ref[:] * qrow_ref[:])
-    score += inv_ref[:] * PENALTY
+        score = -(dots * col_t * qrow_ref[:])
+    score += inv_t * PENALTY
     qb = score.shape[1]
     out_ref[:] = score.reshape(tn // SUB, SUB, qb).min(axis=1)
 
@@ -144,9 +148,9 @@ def _coarse_minima(qThi, qTlo, qrow, db_hi, db_lo, col, inv_col,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tn, d), lambda qi, ti: (ti, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tn, 1), lambda qi, ti: (ti, 0),
+            pl.BlockSpec((1, tn), lambda qi, ti: (0, ti),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tn, 1), lambda qi, ti: (ti, 0),
+            pl.BlockSpec((1, tn), lambda qi, ti: (0, ti),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tn // SUB, qb), lambda qi, ti: (ti, qi),
@@ -170,12 +174,89 @@ def _coarse_minima(qThi, qTlo, qrow, db_hi, db_lo, col, inv_col,
     return jax.lax.optimization_barrier(minima_tq.T)
 
 
+def _coarse_kernel_f32(qhi_ref, qlo_ref, qrow_ref, db_ref, col_ref,
+                       inv_ref, out_ref, *, passes: int, mode: str, tn: int):
+    """f32-source variant: reads the primary f32 database tile and performs
+    the hi/lo split in VMEM — zero extra HBM, so it serves capacities where
+    the bf16 mirrors don't fit (e.g. 4M x 768 = 12 GB f32)."""
+    tile = db_ref[:]
+    hi = tile.astype(jnp.bfloat16)
+    dots = jax.lax.dot_general(
+        hi, qhi_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)            # (TN, QB)
+    if passes == 3:
+        lo = (tile - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        dots += jax.lax.dot_general(
+            lo, qhi_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dots += jax.lax.dot_general(
+            hi, qlo_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    col_t = col_ref[:].T
+    inv_t = inv_ref[:].T
+    if mode == "euclidean":
+        score = col_t + qrow_ref[:] - 2.0 * dots
+    elif mode == "dot":
+        score = -dots
+    else:
+        score = -(dots * col_t * qrow_ref[:])
+    score += inv_t * PENALTY
+    qb = score.shape[1]
+    out_ref[:] = score.reshape(tn // SUB, SUB, qb).min(axis=1)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("passes", "mode", "interpret"))
+def _coarse_minima_f32(qThi, qTlo, qrow, db, col, inv_col,
+                       passes: int, mode: str, interpret: bool):
+    """Like _coarse_minima but streaming the f32 database directly."""
+    d, qp = qThi.shape
+    n = db.shape[0]
+    tn = _tile_cols(d)
+    qb = _query_block(qp, d, tn)
+    t = n // tn
+    grid_spec = pl.GridSpec(
+        grid=(qp // qb, t),
+        in_specs=[
+            pl.BlockSpec((d, qb), lambda qi, ti: (0, qi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, qb), lambda qi, ti: (0, qi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, qb), lambda qi, ti: (0, qi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, d), lambda qi, ti: (ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn), lambda qi, ti: (0, ti),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn), lambda qi, ti: (0, ti),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tn // SUB, qb), lambda qi, ti: (ti, qi),
+                               memory_space=pltpu.VMEM),
+    )
+    minima_tq = pl.pallas_call(
+        functools.partial(_coarse_kernel_f32, passes=passes, mode=mode,
+                          tn=tn),
+        out_shape=jax.ShapeDtypeStruct((n // SUB, qp), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * qp * n * d * passes,
+            bytes_accessed=n * d * 4 * (qp // qb) + qp * d * 4
+            + qp * (n // SUB) * 4,
+            transcendentals=0,
+        ),
+    )(qThi, qTlo, qrow, db, col, inv_col)
+    # same load-bearing barrier as _coarse_minima
+    return jax.lax.optimization_barrier(minima_tq.T)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("metric_name", "k", "m_tiles", "passes",
-                                    "interpret", "with_cert"))
+                                    "interpret", "with_cert", "src"))
 def _coarse_search_jit(queries, db, db_sq, db_norms, valid, db_hi, db_lo,
                        metric_name: str, k: int, m_tiles: int, passes: int,
-                       interpret: bool, with_cert: bool):
+                       interpret: bool, with_cert: bool, src: str):
     mode = _metric_mode(metric_name)
     qp, d = queries.shape
     n = db.shape[0]
@@ -186,19 +267,23 @@ def _coarse_search_jit(queries, db, db_sq, db_norms, valid, db_hi, db_lo,
     qn = jnp.sqrt(qsq)
     if mode == "euclidean":
         qrow = qsq[None, :]
-        col = db_sq.reshape(n, 1)
+        col = db_sq.reshape(1, n)
     elif mode == "dot":
         qrow = jnp.zeros((1, qp), jnp.float32)
-        col = jnp.zeros((n, 1), jnp.float32)
+        col = jnp.zeros((1, n), jnp.float32)
     else:
         qinv = jnp.where(qn == 0.0, 0.0, 1.0 / qn)
         rinv = jnp.where(db_norms == 0.0, 0.0, 1.0 / db_norms)
         qrow = qinv[None, :]
-        col = rinv.reshape(n, 1)
-    inv_col = (1.0 - valid.astype(jnp.float32)).reshape(n, 1)
+        col = rinv.reshape(1, n)
+    inv_col = (1.0 - valid.astype(jnp.float32)).reshape(1, n)
 
-    minima = _coarse_minima(qThi, qTlo, qrow, db_hi, db_lo, col, inv_col,
-                            passes, mode, interpret)    # (Qp, N//SUB)
+    if src == "f32":
+        minima = _coarse_minima_f32(qThi, qTlo, qrow, db, col, inv_col,
+                                    passes, mode, interpret)
+    else:
+        minima = _coarse_minima(qThi, qTlo, qrow, db_hi, db_lo, col,
+                                inv_col, passes, mode, interpret)
     # indices only: consuming top_k's VALUES over the big minima array picks
     # a far slower codegen path (measured +81 ms); the certification
     # boundary is recovered from the refined scores instead
@@ -264,15 +349,20 @@ def coarse_search(queries, db, db_sq, db_norms, valid, db_hi, db_lo,
 
     ``exact=True`` runs the bf16x3 certified pipeline; ``exact=False`` runs
     the single-pass bf16 fast pipeline (certified output is meaningless
-    there and comes back all-False).
+    there and comes back all-False). With ``db_hi is None`` the kernel
+    streams the f32 database and splits hi/lo in VMEM (zero extra HBM).
     """
     n = db.shape[0]
     t = n // SUB
     m_tiles = min(max(16, int(k) + 6), t)
     passes = 3 if exact else 1
+    src = "mirrors" if db_hi is not None else "f32"
+    if db_hi is None:
+        db_hi = db_lo = db  # placeholders; DCE'd under src="f32"
     return _coarse_search_jit(
         queries, db, db_sq, db_norms, valid, db_hi, db_lo, metric.value,
-        int(k), m_tiles, passes, interpret_mode(), with_cert=exact)
+        int(k), m_tiles, passes, interpret_mode(), with_cert=exact,
+        src=src)
 
 
 @jax.jit

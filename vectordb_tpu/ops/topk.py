@@ -212,7 +212,7 @@ def flat_search_batched(queries_np: np.ndarray, device_state: dict,
     k_eff = min(next_pow2(k, floor=1), capacity)
     queries_dev = jnp.asarray(queries_np)
 
-    if "hi" in device_state:
+    if "hi" in device_state or device_state.get("coarse_f32"):
         from . import coarse_kernel
         # the pallas path takes k unbucketed (one compile per distinct k is
         # cheaper than the larger refine pool a pow2-bucketed k drags in)
@@ -221,8 +221,8 @@ def flat_search_batched(queries_np: np.ndarray, device_state: dict,
             dists, idx, certified = coarse_kernel.coarse_search(
                 queries_dev, device_state["db"], device_state["sq_norms"],
                 device_state["norms"], device_state["valid"],
-                device_state["hi"], device_state["lo"], metric, k_pallas,
-                exact=(mode != "fast"))
+                device_state.get("hi"), device_state.get("lo"), metric,
+                k_pallas, exact=(mode != "fast"))
             if mode == "fast":
                 dists, idx = jax.device_get((dists, idx))
                 return dists[:q], idx[:q]
