@@ -185,22 +185,45 @@ def flat_search_exact_tiled(queries, db, db_sq_norms, db_norms, valid,
                                         valid, metric.value, int(k))
 
 
-def flat_search_batched(queries_np: np.ndarray, device_state: dict,
-                        metric: DistanceMetric, k: int,
-                        mode: str = "exact"):
-    """Bucketed entry point used by FlatIndex.
+class SearchHandle:
+    """An in-flight batched search launched by flat_search_batched_submit.
 
-    Pads Q up to a power of two and buckets k to bound jit recompiles, then
-    returns host numpy (dists, idx) trimmed back to the true Q. Entries with
-    dist == +inf are "missing" (fewer than k live rows). ``mode`` selects
-    the full-precision scan ("exact") or the two-tier coarse+re-rank path
-    ("fast").
+    ``collect()`` blocks on the device result, runs the certified path's
+    XLA fallback for any uncertified queries, and returns host numpy
+    (dists, idx). Keeping two handles in flight pipelines D2H transfer +
+    host post-processing of batch i under device compute of batch i+1
+    (the ~25 ms relay round-trip per fetch is then fully hidden)."""
+
+    __slots__ = ("_collect", "_done")
+
+    def __init__(self, collect_fn):
+        self._collect = collect_fn
+        self._done = None
+
+    def collect(self):
+        if self._done is None:
+            self._done = self._collect()
+        return self._done
+
+
+def flat_search_batched_submit(queries_np: np.ndarray, device_state: dict,
+                               metric: DistanceMetric, k: int,
+                               mode: str = "exact") -> SearchHandle:
+    """Asynchronous entry point used by FlatIndex (and the pipelined
+    benchmark): launches the device program and returns a SearchHandle
+    without waiting for results.
+
+    Pads Q up to a power of two and buckets k to bound jit recompiles;
+    collect() returns host numpy (dists, idx) trimmed back to the true Q.
+    Entries with dist == +inf are "missing" (fewer than k live rows).
+    ``mode`` selects the full-precision scan ("exact") or the two-tier
+    coarse+re-rank path ("fast").
 
     When the index maintains bf16 hi/lo mirrors ("hi"/"lo" in
     ``device_state``), both modes route through the fused Pallas coarse
-    kernel (ops/coarse_kernel.py): "fast" as a single bf16 pass, "exact" as
-    the certified bf16x3 pipeline with an automatic per-batch fallback to
-    this module's full-precision scan for any uncertified query batch.
+    kernel (ops/coarse_kernel.py): "fast" as a single bf16 pass, "exact"
+    as the certified bf16x3 pipeline with an automatic per-batch fallback
+    to this module's full-precision scan for any uncertified query batch.
     """
     capacity = int(device_state["db"].shape[0])
     q = queries_np.shape[0]
@@ -224,34 +247,39 @@ def flat_search_batched(queries_np: np.ndarray, device_state: dict,
                 device_state.get("hi"), device_state.get("lo"), metric,
                 k_pallas, exact=(mode != "fast"))
             if mode == "fast":
-                dists, idx = jax.device_get((dists, idx))
-                return dists[:q], idx[:q]
-            # one device_get for all three outputs: separate np.asarray
-            # fetches pay the relay round-trip each (~25 ms apiece here)
-            dists, idx, cert = jax.device_get((dists, idx, certified))
-            cert = cert[:q]
-            if bool(np.all(cert)):
-                return dists[:q], idx[:q]
-            # Certification failed for some queries (k-th neighbor within
-            # the rounding margin of the selection boundary — rare, but the
-            # exactness contract is unconditional). Recompute ONLY those
-            # queries through the full-precision XLA scan, in bounded
-            # chunks: a whole-batch rerun at large Q would materialize a
-            # (Q, N) matrix on top of the resident mirrors and can exceed
-            # HBM.
-            dists = dists[:q].copy()
-            idx = idx[:q].copy()
-            bad = np.nonzero(~cert)[0]
-            for start in range(0, bad.shape[0], _FALLBACK_CHUNK):
-                rows = bad[start:start + _FALLBACK_CHUNK]
-                sub_d, sub_i = flat_search_batched(
-                    np.ascontiguousarray(np.asarray(queries_np)[rows]),
-                    {kk: vv for kk, vv in device_state.items()
-                     if kk not in ("hi", "lo")},
-                    metric, k, mode="exact")
-                dists[rows] = sub_d[:, : dists.shape[1]]
-                idx[rows] = sub_i[:, : idx.shape[1]]
-            return dists, idx
+                def collect_fast():
+                    d_, i_ = jax.device_get((dists, idx))
+                    return d_[:q], i_[:q]
+                return SearchHandle(collect_fast)
+
+            def collect_exact():
+                # one device_get for all three outputs: separate np.asarray
+                # fetches pay the relay round-trip each (~25 ms apiece)
+                d_, i_, cert = jax.device_get((dists, idx, certified))
+                cert = cert[:q]
+                if bool(np.all(cert)):
+                    return d_[:q], i_[:q]
+                # Certification failed for some queries (k-th neighbor
+                # within the rounding margin of the selection boundary —
+                # rare, but the exactness contract is unconditional).
+                # Recompute ONLY those queries through the full-precision
+                # XLA scan, in bounded chunks: a whole-batch rerun at large
+                # Q would materialize a (Q, N) matrix on top of the
+                # resident mirrors and can exceed HBM.
+                d_ = d_[:q].copy()
+                i_ = i_[:q].copy()
+                bad = np.nonzero(~cert)[0]
+                for start in range(0, bad.shape[0], _FALLBACK_CHUNK):
+                    rows = bad[start:start + _FALLBACK_CHUNK]
+                    sub_d, sub_i = flat_search_batched(
+                        np.ascontiguousarray(np.asarray(queries_np)[rows]),
+                        {kk: vv for kk, vv in device_state.items()
+                         if kk not in ("hi", "lo")},
+                        metric, k, mode="exact")
+                    d_[rows] = sub_d[:, : d_.shape[1]]
+                    i_[rows] = sub_i[:, : i_.shape[1]]
+                return d_, i_
+            return SearchHandle(collect_exact)
 
     if mode == "fast":
         search_fn = flat_search_fast
@@ -260,10 +288,23 @@ def flat_search_batched(queries_np: np.ndarray, device_state: dict,
         search_fn = flat_search_exact_tiled
     else:
         search_fn = flat_search
-    dists, idx = jax.device_get(search_fn(
+    out = search_fn(
         queries_dev, device_state["db"], device_state["sq_norms"],
-        device_state["norms"], device_state["valid"], metric, k_eff))
-    return dists[:q], idx[:q]
+        device_state["norms"], device_state["valid"], metric, k_eff)
+
+    def collect_xla():
+        d_, i_ = jax.device_get(out)
+        return d_[:q], i_[:q]
+    return SearchHandle(collect_xla)
 
 
-__all__ = ["flat_search", "flat_search_batched", "next_pow2"]
+def flat_search_batched(queries_np: np.ndarray, device_state: dict,
+                        metric: DistanceMetric, k: int,
+                        mode: str = "exact"):
+    """Synchronous wrapper over flat_search_batched_submit (see there)."""
+    return flat_search_batched_submit(queries_np, device_state, metric, k,
+                                      mode=mode).collect()
+
+
+__all__ = ["flat_search", "flat_search_batched",
+           "flat_search_batched_submit", "SearchHandle", "next_pow2"]

@@ -23,6 +23,7 @@ import time
 from typing import List, Optional, Tuple
 from urllib.parse import unquote
 
+from ..errors import VectorDbError
 from ..persistence.native_lib import get_native
 from .routes import Api, _parse_filter, _parse_vector
 
@@ -133,8 +134,10 @@ class NativeHttpServer:
                         all_results = state.store.search_batch(
                             [(query, k) for _, query in members])
             except Exception as e:
+                status = 400 if isinstance(e, (VectorDbError, ValueError,
+                                               KeyError, TypeError)) else 500
                 for conn_id, _ in members:
-                    self._respond(conn_id, 400, {"error": str(e)})
+                    self._respond(conn_id, status, {"error": str(e)})
                 continue
             elapsed = time.perf_counter() - start
             for (conn_id, _), results in zip(members, all_results):
@@ -149,7 +152,9 @@ class NativeHttpServer:
                 with state.lock.read():
                     results = state.store.search_with_filter(query, k, flt)
             except Exception as e:
-                self._respond(conn_id, 400, {"error": str(e)})
+                status = 400 if isinstance(e, (VectorDbError, ValueError,
+                                               KeyError, TypeError)) else 500
+                self._respond(conn_id, status, {"error": str(e)})
                 continue
             state.metrics.record_query(time.perf_counter() - start)
             self._respond(conn_id, 200,
