@@ -35,7 +35,8 @@ def tpu_flat_search_qps(n, d, q, k, iters=6):
     uncertified-batch fallback included in the measurement — so the
     persistent compile cache is shared with the framework."""
     from vectordb_tpu.distance import DistanceMetric
-    from vectordb_tpu.ops.coarse_kernel import split_hi_lo
+    from vectordb_tpu.ops.coarse_kernel import (residual_max_norm,
+                                                split_hi_lo)
     from vectordb_tpu.ops.topk import (flat_search_batched,
                                        flat_search_batched_submit)
 
@@ -45,7 +46,8 @@ def tpu_flat_search_qps(n, d, q, k, iters=6):
     sq = jnp.sum(db * db, axis=1)
     hi, lo = split_hi_lo(db)
     state = {"db": db, "sq_norms": sq, "norms": jnp.sqrt(sq),
-             "valid": jnp.ones((n,), dtype=bool), "hi": hi, "lo": lo}
+             "valid": jnp.ones((n,), dtype=bool), "hi": hi, "lo": lo,
+             "elo_max": residual_max_norm(db, hi)}
     qbase = jax.random.normal(kq, (q, d), dtype=jnp.float32)
     np.asarray(jnp.sum(db) + jnp.sum(hi.astype(jnp.float32)))  # materialize
 

@@ -1,0 +1,163 @@
+"""1-pass certified exact tier (ops/coarse_kernel.coarse_search_1p).
+
+Runs in Pallas interpreter mode on CPU with the capacity gate lowered so
+the dispatcher routes through tier 1 (1-pass certified) -> tier 2 (bf16x3
+certified) -> tier 3 (XLA scan). Exactness must hold unconditionally no
+matter which tier serves a query.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from vectordb_tpu.distance import DistanceMetric
+from vectordb_tpu.ops import coarse_kernel
+from vectordb_tpu.ops import topk as topk_mod
+
+from test_coarse_kernel import _oracle, _state, _state_f32
+
+
+@pytest.fixture(autouse=True)
+def _enable_1p(monkeypatch):
+    monkeypatch.setenv("VDB_TPU_PALLAS_INTERPRET", "1")
+    monkeypatch.setattr(topk_mod, "_EXACT1P_MIN_N", 512)
+
+
+def _with_elo(state):
+    state = dict(state)
+    if "hi" in state:
+        state["elo_max"] = coarse_kernel.residual_max_norm(
+            state["db"], state["hi"])
+    else:
+        state["elo_max"] = coarse_kernel.residual_max_norm_f32(state["db"])
+    return state
+
+
+@pytest.mark.parametrize("metric", list(DistanceMetric))
+def test_exact1p_matches_oracle(rng, metric):
+    n, d, q, k = 1024, 32, 8, 5
+    db, valid, state = _state(rng, n, d, dead_frac=0.1)
+    state = _with_elo(state)
+    queries = rng.standard_normal((q, d)).astype(np.float32)
+    dists, idx = topk_mod.flat_search_batched(queries, state, metric, k,
+                                              mode="exact")
+    want_d, want_i = _oracle(queries, db, valid, metric, k)
+    assert np.array_equal(idx[:, :k], want_i), (idx, want_i)
+    np.testing.assert_allclose(dists[:, :k], want_d, rtol=2e-5, atol=2e-5)
+
+
+def test_tier1_engages(rng, monkeypatch):
+    n, d, q, k = 1024, 32, 4, 5
+    db, valid, state = _state(rng, n, d)
+    state = _with_elo(state)
+    calls = []
+    real = coarse_kernel.coarse_search_1p
+
+    def spy(*args, **kwargs):
+        calls.append(True)
+        return real(*args, **kwargs)
+
+    # topk.py resolves coarse_kernel lazily via `from . import`, so patching
+    # the module attribute intercepts the dispatcher's call
+    monkeypatch.setattr(coarse_kernel, "coarse_search_1p", spy)
+    queries = rng.standard_normal((q, d)).astype(np.float32)
+    dists, idx = topk_mod.flat_search_batched(queries, state,
+                                              DistanceMetric.EUCLIDEAN, k,
+                                              mode="exact")
+    assert calls, "tier 1 (1-pass certified) should have engaged"
+    want_d, want_i = _oracle(queries, db, valid, DistanceMetric.EUCLIDEAN, k)
+    assert np.array_equal(idx[:, :k], want_i)
+
+
+def test_huge_elo_forces_fallback_and_stays_exact(rng):
+    """An absurd residual bound makes every query uncertified; the tiered
+    fallback (bf16x3, then XLA if needed) must still return exact results."""
+    n, d, q, k = 1024, 16, 6, 4
+    db, valid, state = _state(rng, n, d)
+    state = dict(state)
+    state["elo_max"] = jnp.float32(1e9)
+    queries = rng.standard_normal((q, d)).astype(np.float32)
+    dists, idx = topk_mod.flat_search_batched(queries, state,
+                                              DistanceMetric.EUCLIDEAN, k,
+                                              mode="exact")
+    want_d, want_i = _oracle(queries, db, valid, DistanceMetric.EUCLIDEAN, k)
+    assert np.array_equal(idx[:, :k], want_i)
+    np.testing.assert_allclose(dists[:, :k], want_d, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("metric", list(DistanceMetric))
+def test_exact1p_f32_source(rng, metric):
+    n, d, q, k = 1024, 32, 8, 5
+    db, valid, state = _state_f32(rng, n, d, dead_frac=0.1)
+    state = _with_elo(state)
+    queries = rng.standard_normal((q, d)).astype(np.float32)
+    dists, idx = topk_mod.flat_search_batched(queries, state, metric, k,
+                                              mode="exact")
+    want_d, want_i = _oracle(queries, db, valid, metric, k)
+    assert np.array_equal(idx[:, :k], want_i)
+
+
+def test_exact1p_fewer_live_rows_than_k(rng):
+    """< k live rows: results exhaust the live set; the degenerate-cert
+    reasoning (boundary must be dead) must not mark stranded live rows as
+    covered."""
+    n, d, k = 1024, 8, 8
+    db, valid, state = _state(rng, n, d)
+    state = _with_elo(state)
+    mask = np.zeros(n, dtype=bool)
+    mask[[3, 700, 1001]] = True
+    state["valid"] = jnp.asarray(mask)
+    queries = rng.standard_normal((2, d)).astype(np.float32)
+    dists, idx = topk_mod.flat_search_batched(queries, state,
+                                              DistanceMetric.EUCLIDEAN, k,
+                                              mode="exact")
+    finite = np.isfinite(dists[0])
+    assert finite.sum() == 3
+    assert set(idx[0][finite].tolist()) == {3, 700, 1001}
+
+
+def test_exact1p_filters(rng):
+    n, d, q, k = 1024, 16, 4, 3
+    db, valid, state = _state(rng, n, d)
+    state = _with_elo(state)
+    mask = np.zeros(n, dtype=bool)
+    mask[:64] = True
+    state["valid"] = jnp.logical_and(state["valid"], jnp.asarray(mask))
+    queries = rng.standard_normal((q, d)).astype(np.float32)
+    dists, idx = topk_mod.flat_search_batched(queries, state,
+                                              DistanceMetric.EUCLIDEAN, k,
+                                              mode="exact")
+    assert (idx[:, :k] < 64).all()
+    want_d, want_i = _oracle(queries, db, valid & mask,
+                             DistanceMetric.EUCLIDEAN, k)
+    assert np.array_equal(idx[:, :k], want_i)
+
+
+def test_supports_1p_gating():
+    assert coarse_kernel.supports_1p(1024, 64, 16)
+    assert not coarse_kernel.supports_1p(1000, 64, 16)
+    assert not coarse_kernel.supports_1p(256, 64, 5)   # < 2 super-tiles
+    assert coarse_kernel.supports_1p(1 << 20, 768, 10)
+
+
+def test_flat_index_maintains_elo_max(rng, monkeypatch):
+    from vectordb_tpu.index.flat import FlatIndex
+    from vectordb_tpu.vector import Vector
+
+    d = 16
+    idx = FlatIndex(DistanceMetric.EUCLIDEAN, search_mode="exact")
+    data = rng.standard_normal((200, d)).astype(np.float32)
+    idx.add_batch([(i, data[i]) for i in range(200)])
+    dev = idx._sync_device()
+    assert "elo_max" in dev
+    elo0 = float(dev["elo_max"])
+    assert 0.0 < elo0 < 2.0 ** -7 * float(np.linalg.norm(data, axis=1).max())
+    # scatter a much larger row: the bound must not shrink and must cover it
+    big = (rng.standard_normal(d) * 1e4).astype(np.float32)
+    idx.add(900, big)
+    dev = idx._sync_device()
+    resid = big - np.float32(np.asarray(
+        jnp.asarray(big).astype(jnp.bfloat16).astype(jnp.float32)))
+    assert float(dev["elo_max"]) >= np.linalg.norm(resid) * 0.99
+    assert float(dev["elo_max"]) >= elo0

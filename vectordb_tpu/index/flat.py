@@ -271,12 +271,18 @@ class FlatIndex(Index):
                 "valid": jnp.asarray(self._valid),
             }
             if _pallas_mirrors_enabled(self._capacity, self._dim, self._mesh):
-                from ..ops.coarse_kernel import split_hi_lo
+                from ..ops.coarse_kernel import (residual_max_norm,
+                                                 split_hi_lo)
                 hi, lo = split_hi_lo(self._device["db"])
                 self._device["hi"] = hi
                 self._device["lo"] = lo
+                self._device["elo_max"] = residual_max_norm(
+                    self._device["db"], hi)
             elif _pallas_enabled(self._mesh):
+                from ..ops.coarse_kernel import residual_max_norm_f32
                 self._device["coarse_f32"] = True
+                self._device["elo_max"] = residual_max_norm_f32(
+                    self._device["db"])
             self._dirty_slots.clear()
             return self._device
         if self._dirty_slots:
@@ -300,8 +306,15 @@ class FlatIndex(Index):
                                                  scatter_hi_lo_copy)
                 s_hl = (scatter_hi_lo_copy if self._searches_in_flight > 0
                         else scatter_hi_lo)
+                rows_dev = jnp.asarray(rows)
                 dev["hi"], dev["lo"] = s_hl(dev["hi"], dev["lo"], idx,
-                                            jnp.asarray(rows))
+                                            rows_dev)
+            if "elo_max" in dev:
+                # patched rows can only RAISE the recorded residual bound
+                # (stale-high is safe: the 1-pass margin just widens)
+                from ..ops.coarse_kernel import residual_max_norm_f32
+                dev["elo_max"] = jnp.maximum(
+                    dev["elo_max"], residual_max_norm_f32(jnp.asarray(rows)))
             self._dirty_slots.clear()
         return self._device
 

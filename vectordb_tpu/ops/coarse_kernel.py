@@ -435,6 +435,229 @@ def _coarse_search_jit(queries, db, db_sq, db_norms, valid, db_hi, db_lo,
     return dists, idx_out, certified
 
 
+# ---------------------------------------------------------------------------
+# 1-pass certified exact pipeline
+#
+# The bf16x3 pipeline above buys its tiny (~2^-17-relative) margin with 3 MXU
+# passes. A single bf16 pass has worst-case dot error ~2^-7|q||x| — but the
+# *computed* residual norms give a far tighter rigorous per-instance bound:
+#
+#   x.q − fl(hi(x)·hi(q)) = xlo·hi(q) + x·qlo + accum
+#   |err| <= |xlo|(|q|+|qlo|) + |x||qlo| + d·2^-24·(|x|+|xlo|)(|q|+|qlo|)
+#
+# with |xlo| <= elo_max (a scalar max over rows, maintained by the index as
+# an upper bound) and |qlo| computed exactly per query. On gaussian data
+# elo_max ≈ 2^-9.3·xmax, ~5x below the worst case, which makes the margin
+# small enough that a ~24-tile refine pool certifies essentially every query
+# (measured 100% at N=2^20 x 768 iid — the worst case for boundary gaps;
+# benchmarks/exp_exact1p2.py). Tile selection is hierarchical (super-tiles
+# of SUPER tiles -> top-m2 supers -> top-m tiles inside them) so the exact
+# top_k runs over N/256 lanes instead of N/16, and the refine gather is
+# chunked over queries to bound its peak memory. Uncertified queries fall
+# back to the bf16x3 certified pipeline (ops/topk.py), so exactness stays
+# unconditional. Measured 80.6 ms vs 139 ms (3-pass) per 4096-query batch.
+# ---------------------------------------------------------------------------
+
+SUPER = 16              # tiles per super-tile in the hierarchical selection
+_REFINE_BYTES = int(2.5e9)   # peak refine-gather budget -> query chunking
+# margin scale on err_dot: rigorous floor is 2 for euclidean (score error =
+# 2x dot error) and 1 for dot/cosine; 3.0/1.5 carry a 1.5x slack that also
+# absorbs the refine einsum's ~d·2^-24 error and f32 score arithmetic.
+_MARGIN_SCALE_EUCLID = 3.0
+_MARGIN_SCALE_DOT = 1.5
+
+
+def _exact1p_pool(k: int, t_all: int) -> tuple[int, int]:
+    """(m2 supers, m tiles) for the 1-pass certified refine pool. 32 is
+    the measured knee: at N=2^20 x 768 iid, m=24 leaves 0.4% of queries
+    uncertified (a ~35 ms bf16x3 fallback chunk on almost every 4096-query
+    batch) while m=32 certified 32768/32768 (benchmarks/exp_exact1p2.py +
+    /tmp cert-rate sweeps, 2026-08)."""
+    t2 = t_all // SUPER
+    m = min(max(32, int(k) + 8), t_all)
+    m2 = min(max(32, int(k) + 8), t2)
+    return m2, min(m, m2 * SUPER)
+
+
+def supports_1p(capacity: int, d: int, k_eff: int) -> bool:
+    """The hierarchical selection needs whole super-tiles."""
+    return (supports(capacity, d, k_eff)
+            and capacity % (SUB * SUPER) == 0
+            and capacity // (SUB * SUPER) >= 2)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("metric_name", "k", "m2", "m",
+                                    "interpret", "src"))
+def _coarse_search_1p_jit(queries, db, db_sq, db_norms, valid, db_hi,
+                          elo_max, metric_name: str, k: int, m2: int,
+                          m: int, interpret: bool, src: str):
+    mode = _metric_mode(metric_name)
+    qp, d = queries.shape
+    n = db.shape[0]
+    t_all = n // SUB
+    qT = queries.T
+    qThi = qT.astype(jnp.bfloat16)
+    qlo = qT - qThi.astype(jnp.float32)
+    qlo_n = jnp.sqrt(jnp.sum(qlo * qlo, axis=0))         # (Qp,) exact
+    qsq = jnp.sum(queries * queries, axis=1)
+    qn = jnp.sqrt(qsq)
+    if mode == "euclidean":
+        qrow = qsq[None, :]
+        col = db_sq.reshape(1, n)
+    elif mode == "dot":
+        qrow = jnp.zeros((1, qp), jnp.float32)
+        col = jnp.zeros((1, n), jnp.float32)
+    else:
+        qinv = jnp.where(qn == 0.0, 0.0, 1.0 / qn)
+        rinv = jnp.where(db_norms == 0.0, 0.0, 1.0 / db_norms)
+        qrow = qinv[None, :]
+        col = rinv.reshape(1, n)
+    inv_col = (1.0 - valid.astype(jnp.float32)).reshape(1, n)
+
+    if src == "f32":
+        qTlo = qlo.astype(jnp.bfloat16)
+        minima = _coarse_minima_f32(qThi, qTlo, qrow, db, col, inv_col,
+                                    1, mode, interpret)
+    else:
+        minima = _coarse_minima_1p(qThi, qrow, db_hi, col, inv_col, mode,
+                                   interpret)
+
+    # hierarchical selection: top-m2 supers, then top-m tiles inside them
+    minima3 = minima.reshape(qp, t_all // SUPER, SUPER)
+    minima2 = minima3.min(axis=-1)                       # (Qp, T/SUPER)
+    neg_sup, sup_idx = jax.lax.top_k(-minima2, m2)
+    sel = jnp.take_along_axis(minima3, sup_idx[:, :, None], axis=1)
+    sel = sel.reshape(qp, m2 * SUPER)
+    neg_t, loc = jax.lax.top_k(-sel, m)
+    sup_of = jnp.take_along_axis(sup_idx, loc // SUPER, axis=1)
+    tile_idx = sup_of * SUPER + (loc % SUPER)            # (Qp, m) global
+
+    # smallest coarse minimum over everything NOT refined: non-selected
+    # supers are bounded by the m2-th super min, non-selected tiles inside
+    # selected supers by the m-th tile min (either bound is +inf when its
+    # stratum is fully selected)
+    inf_col = jnp.full((qp,), jnp.inf, jnp.float32)
+    sup_boundary = -neg_sup[:, -1] if m2 < t_all // SUPER else inf_col
+    tile_boundary = -neg_t[:, -1] if m < m2 * SUPER else inf_col
+    b = jnp.minimum(sup_boundary, tile_boundary)
+
+    offs = jnp.arange(SUB, dtype=jnp.int32)
+    cand = (tile_idx[:, :, None] * SUB + offs[None, None, :]).reshape(
+        qp, m * SUB)
+
+    db3 = db.reshape(t_all, SUB, d)
+    sq2 = db_sq.reshape(t_all, SUB)
+    nrm2 = db_norms.reshape(t_all, SUB)
+    vld2 = valid.reshape(t_all, SUB)
+
+    def refine_chunk(args):
+        t_i, q_i, qs_i, qn_i = args
+        rows = db3[t_i].reshape(-1, m * SUB, d)
+        dots = jnp.einsum("qcd,qd->qc", rows, q_i,
+                          preferred_element_type=jnp.float32,
+                          precision="highest")
+        if mode == "euclidean":
+            s2 = qs_i[:, None] + sq2[t_i].reshape(-1, m * SUB) - 2.0 * dots
+        elif mode == "dot":
+            s2 = -dots
+        else:
+            qinv_i = jnp.where(qn_i == 0.0, 0.0, 1.0 / qn_i)
+            rn = nrm2[t_i].reshape(-1, m * SUB)
+            rinv_i = jnp.where(rn == 0.0, 0.0, 1.0 / rn)
+            s2 = -(dots * qinv_i[:, None] * rinv_i)
+        s2 = jnp.where(vld2[t_i].reshape(-1, m * SUB), s2, jnp.inf)
+        neg, pos = jax.lax.top_k(-s2, k)
+        return -neg, pos
+
+    chunk = qp
+    while chunk > 256 and chunk * m * SUB * d * 4 > _REFINE_BYTES:
+        chunk //= 2
+    if chunk < qp:
+        c = chunk
+        sk, pos = jax.lax.map(
+            refine_chunk,
+            (tile_idx.reshape(qp // c, c, m),
+             queries.reshape(qp // c, c, d),
+             qsq.reshape(qp // c, c), qn.reshape(qp // c, c)))
+        sk = sk.reshape(qp, k)
+        pos = pos.reshape(qp, k)
+    else:
+        sk, pos = refine_chunk((tile_idx, queries, qsq, qn))
+    idx_out = jnp.take_along_axis(cand, pos, axis=1)
+
+    # rigorous per-query margin from computed residual norms (module
+    # docstring + benchmarks/exp_exact1p.py for the derivation)
+    xmax = jnp.sqrt(jnp.max(jnp.where(valid, db_sq, 0.0)))
+    err_dot = (elo_max * (qn + qlo_n) + xmax * qlo_n
+               + d * 2.0 ** -24 * (xmax + elo_max) * (qn + qlo_n))
+    if mode == "euclidean":
+        margin = _MARGIN_SCALE_EUCLID * err_dot
+    elif mode == "dot":
+        margin = _MARGIN_SCALE_DOT * err_dot
+    else:
+        xnmin = jnp.min(jnp.where(valid & (db_norms > 0.0), db_norms,
+                                  jnp.inf))
+        qinv_m = jnp.where(qn == 0.0, jnp.inf, 1.0 / qn)
+        margin = _MARGIN_SCALE_DOT * err_dot * qinv_m / xnmin
+
+    last = sk[:, -1]
+    # Non-finite last = fewer than k live rows in the refined pool. Unlike
+    # the flat selection (where a selected dead tile proves no live tile
+    # was left out), hierarchical selection can strand live tiles in
+    # non-selected supers — so the degenerate case certifies only when the
+    # boundary itself is dead (>= PENALTY/2 can only come from invalid
+    # slots; live coarse scores are bounded far below it).
+    certified = jnp.where(jnp.isfinite(last), last <= b - margin,
+                          b >= 0.5 * PENALTY)
+
+    if mode == "euclidean":
+        dists = jnp.where(jnp.isfinite(sk),
+                          jnp.sqrt(jnp.maximum(sk, 0.0)), jnp.inf)
+    elif mode == "dot":
+        dists = sk
+    else:
+        dists = jnp.where(jnp.isfinite(sk),
+                          1.0 + jnp.clip(sk, -1.0, 1.0), jnp.inf)
+    return dists, idx_out, certified
+
+
+def coarse_search_1p(queries, db, db_sq, db_norms, valid, db_hi, elo_max,
+                     metric: DistanceMetric, k: int):
+    """1-pass certified-exact search: (dists, idx, certified).
+
+    ``elo_max`` is an upper bound on max_r |row_r - bf16(row_r)| (the index
+    maintains it; stale-high is safe — the margin only widens). With
+    ``db_hi is None`` the f32-source kernel streams the database and splits
+    in VMEM. Uncertified queries must be re-run by the caller through the
+    bf16x3 certified path.
+    """
+    n = db.shape[0]
+    m2, m = _exact1p_pool(k, n // SUB)
+    src = "mirrors" if db_hi is not None else "f32"
+    if db_hi is None:
+        db_hi = db
+    return _coarse_search_1p_jit(queries, db, db_sq, db_norms, valid,
+                                 db_hi, elo_max, metric.value, int(k),
+                                 m2, m, interpret_mode(), src)
+
+
+@jax.jit
+def residual_max_norm(db, hi):
+    """Upper bound max_r |db_r - hi_r| for the 1-pass certificate."""
+    resid = db - hi.astype(jnp.float32)
+    return jnp.sqrt(jnp.max(jnp.sum(resid * resid, axis=1)))
+
+
+@jax.jit
+def residual_max_norm_f32(db):
+    """residual_max_norm with the bf16 split fused in (no hi mirror
+    materialized — used by the f32-source / large-N path)."""
+    hi = db.astype(jnp.bfloat16)
+    resid = db - hi.astype(jnp.float32)
+    return jnp.sqrt(jnp.max(jnp.sum(resid * resid, axis=1)))
+
+
 def coarse_search(queries, db, db_sq, db_norms, valid, db_hi, db_lo,
                   metric: DistanceMetric, k: int, exact: bool):
     """(dists (Q,k) asc, idx (Q,k), certified (Q,) bool).
@@ -487,6 +710,7 @@ def scatter_hi_lo_copy(hi, lo, idx, rows_f32):
     return hi.at[idx].set(rhi), lo.at[idx].set(rlo)
 
 
-__all__ = ["coarse_search", "split_hi_lo", "scatter_hi_lo",
-           "scatter_hi_lo_copy", "supports", "interpret_mode", "SUB",
-           "MAX_K", "PENALTY"]
+__all__ = ["coarse_search", "coarse_search_1p", "split_hi_lo",
+           "scatter_hi_lo", "scatter_hi_lo_copy", "supports",
+           "supports_1p", "residual_max_norm", "residual_max_norm_f32",
+           "interpret_mode", "SUB", "SUPER", "MAX_K", "PENALTY"]

@@ -18,6 +18,7 @@ dispatch point.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -136,9 +137,52 @@ def flat_search_fast(queries, db, db_sq_norms, db_norms, valid,
                                  metric.value, int(k))
 
 
-# Max queries per XLA-fallback chunk when certification fails for a few
+# Max queries per fallback chunk when certification fails for a few
 # queries in a large batch (bounds the (chunk, N) distance matrix).
 _FALLBACK_CHUNK = 256
+
+# Below this capacity the 1-pass certified tier is skipped: the bf16x3
+# pipeline is already sub-ms there and the extra tier only adds a possible
+# fallback round-trip. Overridable for tests.
+_EXACT1P_MIN_N = int(os.environ.get("VDB_TPU_EXACT1P_MIN_N", 1 << 18))
+
+
+def _use_exact1p(device_state: dict, capacity: int, d: int,
+                 k_eff: int) -> bool:
+    from . import coarse_kernel
+    return ("elo_max" in device_state
+            and capacity >= _EXACT1P_MIN_N
+            and coarse_kernel.supports_1p(capacity, d, k_eff)
+            and os.environ.get("VDB_TPU_EXACT1P", "1") != "0")
+
+
+def _collect_certified(dists, idx, certified, queries_np, q, fb_state,
+                       metric, k):
+    """Fetch a certified search's outputs; re-run uncertified rows through
+    the next tier (whatever ``fb_state`` still routes to: the bf16x3
+    pipeline when only elo_max was stripped, the XLA scan when the mirrors
+    were). One device_get for all three outputs — separate fetches pay the
+    ~25 ms relay round-trip apiece."""
+    d_, i_, cert = jax.device_get((dists, idx, certified))
+    cert = cert[:q]
+    if bool(np.all(cert)):
+        return d_[:q], i_[:q]
+    # Certification failed for some queries (k-th neighbor within the
+    # rounding margin of the selection boundary). Recompute ONLY those
+    # queries, in bounded chunks: a whole-batch rerun at large Q would
+    # materialize a (Q, N) matrix on top of the resident mirrors and can
+    # exceed HBM.
+    d_ = d_[:q].copy()
+    i_ = i_[:q].copy()
+    bad = np.nonzero(~cert)[0]
+    for start in range(0, bad.shape[0], _FALLBACK_CHUNK):
+        rows = bad[start:start + _FALLBACK_CHUNK]
+        sub_d, sub_i = flat_search_batched(
+            np.ascontiguousarray(np.asarray(queries_np)[rows]),
+            fb_state, metric, k, mode="exact")
+        d_[rows] = sub_d[:, : d_.shape[1]]
+        i_[rows] = sub_i[:, : i_.shape[1]]
+    return d_, i_
 
 # Row-tile size for the exact tiled path: small tiles keep the refine pool
 # (k * EXACT_TILE_ROWS rows/query) tiny while the tile-min reduce fuses
@@ -241,45 +285,46 @@ def flat_search_batched_submit(queries_np: np.ndarray, device_state: dict,
         # cheaper than the larger refine pool a pow2-bucketed k drags in)
         k_pallas = min(int(k), capacity)
         if coarse_kernel.supports(capacity, queries_np.shape[1], k_pallas):
-            dists, idx, certified = coarse_kernel.coarse_search(
-                queries_dev, device_state["db"], device_state["sq_norms"],
-                device_state["norms"], device_state["valid"],
-                device_state.get("hi"), device_state.get("lo"), metric,
-                k_pallas, exact=(mode != "fast"))
             if mode == "fast":
+                dists, idx, _ = coarse_kernel.coarse_search(
+                    queries_dev, device_state["db"],
+                    device_state["sq_norms"], device_state["norms"],
+                    device_state["valid"], device_state.get("hi"),
+                    device_state.get("lo"), metric, k_pallas, exact=False)
+
                 def collect_fast():
                     d_, i_ = jax.device_get((dists, idx))
                     return d_[:q], i_[:q]
                 return SearchHandle(collect_fast)
 
-            def collect_exact():
-                # one device_get for all three outputs: separate np.asarray
-                # fetches pay the relay round-trip each (~25 ms apiece)
-                d_, i_, cert = jax.device_get((dists, idx, certified))
-                cert = cert[:q]
-                if bool(np.all(cert)):
-                    return d_[:q], i_[:q]
-                # Certification failed for some queries (k-th neighbor
-                # within the rounding margin of the selection boundary —
-                # rare, but the exactness contract is unconditional).
-                # Recompute ONLY those queries through the full-precision
-                # XLA scan, in bounded chunks: a whole-batch rerun at large
-                # Q would materialize a (Q, N) matrix on top of the
-                # resident mirrors and can exceed HBM.
-                d_ = d_[:q].copy()
-                i_ = i_[:q].copy()
-                bad = np.nonzero(~cert)[0]
-                for start in range(0, bad.shape[0], _FALLBACK_CHUNK):
-                    rows = bad[start:start + _FALLBACK_CHUNK]
-                    sub_d, sub_i = flat_search_batched(
-                        np.ascontiguousarray(np.asarray(queries_np)[rows]),
-                        {kk: vv for kk, vv in device_state.items()
-                         if kk not in ("hi", "lo")},
-                        metric, k, mode="exact")
-                    d_[rows] = sub_d[:, : d_.shape[1]]
-                    i_[rows] = sub_i[:, : i_.shape[1]]
-                return d_, i_
-            return SearchHandle(collect_exact)
+            if _use_exact1p(device_state, capacity, queries_np.shape[1],
+                            k_pallas):
+                # tier 1: single-pass certified pipeline; uncertified rows
+                # re-run through the bf16x3 pipeline (same state minus
+                # elo_max), which itself falls back to the XLA scan
+                dists, idx, certified = coarse_kernel.coarse_search_1p(
+                    queries_dev, device_state["db"],
+                    device_state["sq_norms"], device_state["norms"],
+                    device_state["valid"], device_state.get("hi"),
+                    device_state["elo_max"], metric, k_pallas)
+                fb_state = {kk: vv for kk, vv in device_state.items()
+                            if kk != "elo_max"}
+                return SearchHandle(functools.partial(
+                    _collect_certified, dists, idx, certified, queries_np,
+                    q, fb_state, metric, k))
+
+            # tier 2: bf16x3 certified pipeline; uncertified rows re-run
+            # through the full-precision XLA scan (mirrors stripped)
+            dists, idx, certified = coarse_kernel.coarse_search(
+                queries_dev, device_state["db"], device_state["sq_norms"],
+                device_state["norms"], device_state["valid"],
+                device_state.get("hi"), device_state.get("lo"), metric,
+                k_pallas, exact=True)
+            fb_state = {kk: vv for kk, vv in device_state.items()
+                        if kk not in ("hi", "lo", "elo_max", "coarse_f32")}
+            return SearchHandle(functools.partial(
+                _collect_certified, dists, idx, certified, queries_np, q,
+                fb_state, metric, k))
 
     if mode == "fast":
         search_fn = flat_search_fast
