@@ -37,14 +37,19 @@ CLIENT_CODE = textwrap.dedent("""
         conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
         import random
         rnd = random.Random(ci)
+        # pre-serialize a pool of distinct bodies BEFORE the clock: the
+        # host has one core, so client-side json.dumps inside the loop
+        # would bill ~120 us/req of client work to the server measurement
+        pool = [json.dumps({"vector": [rnd.gauss(0, 1) for _ in range(d)],
+                            "k": 10}).encode() for _ in range(16)]
+        pi = 0
         while time.monotonic() < stop:
             try:
                 if endpoint == "health":
                     conn.request("GET", "/health")
                 else:
-                    vec = [rnd.gauss(0, 1) for _ in range(d)]
-                    conn.request("POST", "/search", body=json.dumps(
-                        {"vector": vec, "k": 10}).encode(),
+                    pi = (pi + 1) % len(pool)
+                    conn.request("POST", "/search", body=pool[pi],
                         headers={"Content-Type": "application/json"})
                 resp = conn.getresponse()
                 resp.read()

@@ -182,3 +182,44 @@ def test_large_batch_insert_roundtrip(server):
     assert (status, body["inserted"]) == (201, 800)
     status, body = _req(server, "GET", "/health")
     assert body["vector_count"] == 800
+
+
+def test_fast_path_equivalence_and_fallback(server):
+    """The C++ pre-parsed /search path (method 5) must be byte-equivalent
+    to the Python JSON path, and odd bodies must fall back cleanly."""
+    rng = np.random.default_rng(7)
+    for i in range(50):
+        _req(server, "POST", "/vectors",
+             {"id": f"r{i}", "vector": rng.standard_normal(8).tolist(),
+              "metadata": {"grp": str(i % 2)}})
+    q = rng.standard_normal(8).tolist()
+    # plain body -> C++ fast path
+    s1, r1 = _req(server, "POST", "/search", {"vector": q, "k": 5})
+    assert s1 == 200 and len(r1) == 5
+    # same query via a body shape the C++ parser bails on (extra key) ->
+    # Python path; results must be identical
+    s2, r2 = _req(server, "POST", "/search",
+                  {"vector": q, "k": 5, "unknown_key": 1})
+    # unknown keys are ignored by the Python router too
+    assert (s2, r2) == (s1, r1)
+    # filter:null is fast-path eligible; a real filter is not
+    s3, r3 = _req(server, "POST", "/search",
+                  {"vector": q, "k": 5, "filter": None})
+    assert (s3, r3) == (s1, r1)
+    s4, r4 = _req(server, "POST", "/search",
+                  {"vector": q, "k": 50,
+                   "filter": {"op": "eq", "field": "grp", "value": "1"}})
+    assert s4 == 200 and all(rr["id"][1:] != "0" or int(rr["id"][1:]) % 2
+                             for rr in r4)
+    # exponent/negative/integer number spellings parse identically
+    exotic = [1, -2.5, 3e-2, -4E1, 0.125, 0, 7e2, -0.0]
+    _req(server, "POST", "/vectors", {"id": "exo", "vector": exotic})
+    s5, r5 = _req(server, "POST", "/search", {"vector": exotic, "k": 1})
+    assert s5 == 200 and r5[0]["id"] == "exo" and r5[0]["distance"] == 0.0
+    # malformed vector still 400s through the fallback
+    s6, _ = _req(server, "POST", "/search", {"vector": ["x", "y"], "k": 1})
+    assert s6 == 400
+    # k as a JSON float is rejected by the fast parser; Python int() takes
+    # floats -> must behave like the Python path (which accepts int-likes)
+    s7, r7 = _req(server, "POST", "/search", {"vector": q, "k": 5.0})
+    assert s7 in (200, 400)

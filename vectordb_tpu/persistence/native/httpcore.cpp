@@ -14,7 +14,14 @@
 // Exposed through ctypes (see server/native_http.py). Job wire format, all
 // little-endian:
 //   [conn_id u64][method u8][path_len u16][path][body_len u32][body]
-// method: 0=GET 1=POST 2=DELETE 3=PUT 4=other
+// method: 0=GET 1=POST 2=DELETE 3=PUT 4=other 5=pre-parsed POST /search
+//
+// Method 5 is the hot-path optimization: simple {"vector":[...], "k":n}
+// search bodies are parsed here in C++ (the Python worker shares this
+// single core with everything else; json.loads alone costs ~150 us per
+// 768-d request) and delivered as packed [k i32][n u32][f32*n]. Anything
+// unexpected — a filter, an extra key, a syntax oddity — falls back to
+// the raw body so the Python router keeps full semantics.
 
 #include <arpa/inet.h>
 #include <atomic>
@@ -63,6 +70,105 @@ struct Resp {
     int status;
     std::string body;
 };
+
+// Strict JSON-number span: '-'? int ('.' digits)? ([eE][+-]? digits)?.
+// Returns the end of the token, or nullptr if it isn't a JSON number
+// (rejects the hex/inf/nan spellings strtof would otherwise accept).
+const char* json_number_end(const char* p, const char* end) {
+    if (p < end && *p == '-') p++;
+    if (p >= end || *p < '0' || *p > '9') return nullptr;
+    if (*p == '0') { p++; }
+    else { while (p < end && *p >= '0' && *p <= '9') p++; }
+    if (p < end && *p == '.') {
+        p++;
+        if (p >= end || *p < '0' || *p > '9') return nullptr;
+        while (p < end && *p >= '0' && *p <= '9') p++;
+    }
+    if (p < end && (*p == 'e' || *p == 'E')) {
+        p++;
+        if (p < end && (*p == '+' || *p == '-')) p++;
+        if (p >= end || *p < '0' || *p > '9') return nullptr;
+        while (p < end && *p >= '0' && *p <= '9') p++;
+    }
+    return p;
+}
+
+// Parse exactly {"vector":[numbers...]} with optional "k":int and
+// "filter":null, in any order. Any other shape -> false (Python handles
+// it, including proper 400s and real filters).
+bool parse_search_fast(const std::string& b, std::vector<float>& out,
+                       int32_t& k) {
+    const char* p = b.data();
+    const char* end = p + b.size();
+    auto ws = [&] {
+        while (p < end && (*p == ' ' || *p == '\t' || *p == '\n' ||
+                           *p == '\r')) p++;
+    };
+    ws();
+    if (p >= end || *p != '{') return false;
+    p++;
+    k = 10;
+    bool have_vector = false;
+    for (;;) {
+        ws();
+        if (p < end && *p == '}') { p++; break; }
+        if (p >= end || *p != '"') return false;
+        const char* ks = ++p;
+        while (p < end && *p != '"') {
+            if (*p == '\\') return false;
+            p++;
+        }
+        if (p >= end) return false;
+        size_t klen = (size_t)(p - ks);
+        p++;
+        ws();
+        if (p >= end || *p != ':') return false;
+        p++;
+        ws();
+        if (klen == 6 && memcmp(ks, "vector", 6) == 0) {
+            if (have_vector || p >= end || *p != '[') return false;
+            p++;
+            for (;;) {
+                ws();
+                if (p < end && *p == ']') { p++; break; }
+                const char* tok_end = json_number_end(p, end);
+                if (!tok_end) return false;
+                char buf[64];
+                size_t tl = (size_t)(tok_end - p);
+                if (tl >= sizeof buf) return false;
+                memcpy(buf, p, tl);
+                buf[tl] = 0;
+                out.push_back(strtof(buf, nullptr));
+                p = tok_end;
+                ws();
+                if (p < end && *p == ',') { p++; continue; }
+                if (p < end && *p == ']') { p++; break; }
+                return false;
+            }
+            have_vector = true;
+        } else if (klen == 1 && *ks == 'k') {
+            const char* tok_end = json_number_end(p, end);
+            if (!tok_end) return false;
+            char* q = nullptr;
+            long kv = strtol(p, &q, 10);
+            if (q != tok_end || kv < 0 || kv > 1000000000L) return false;
+            k = (int32_t)kv;
+            p = tok_end;
+        } else if (klen == 6 && memcmp(ks, "filter", 6) == 0) {
+            if (end - p >= 4 && memcmp(p, "null", 4) == 0) p += 4;
+            else return false;
+        } else {
+            return false;
+        }
+        ws();
+        if (p < end && *p == ',') { p++; continue; }
+        if (p < end && *p == '}') { p++; break; }
+        return false;
+    }
+    ws();
+    if (p != end) return false;
+    return have_vector && !out.empty();
+}
 
 const char* reason_of(int status) {
     switch (status) {
@@ -167,6 +273,26 @@ struct Server {
                    : method == "DELETE" ? 2 : method == "PUT" ? 3 : 4;
         job.path = std::move(path);
         job.body = c->in.substr(hdr_end + 4, body_len);
+        if (job.method == 1) {
+            // strip query string + trailing slash for the hot-path match
+            std::string route = job.path.substr(0, job.path.find('?'));
+            while (route.size() > 1 && route.back() == '/')
+                route.pop_back();
+            if (route == "/search") {
+                std::vector<float> floats;
+                int32_t kval = 10;
+                if (parse_search_fast(job.body, floats, kval)) {
+                    std::string packed;
+                    packed.resize(8 + floats.size() * 4);
+                    uint32_t n = (uint32_t)floats.size();
+                    memcpy(&packed[0], &kval, 4);
+                    memcpy(&packed[4], &n, 4);
+                    memcpy(&packed[8], floats.data(), floats.size() * 4);
+                    job.method = 5;
+                    job.body = std::move(packed);
+                }
+            }
+        }
         c->in.erase(0, total);
         c->want_close = c->want_close || close_conn_hdr;
         c->processing = true;  // park reads until the response is sent

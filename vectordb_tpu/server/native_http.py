@@ -23,11 +23,15 @@ import time
 from typing import List, Optional, Tuple
 from urllib.parse import unquote
 
+import numpy as np
+
 from ..errors import VectorDbError
 from ..persistence.native_lib import get_native
+from ..vector import Vector
 from .routes import Api, _parse_filter, _parse_vector
 
-_METHODS = {0: "GET", 1: "POST", 2: "DELETE", 3: "PUT", 4: "OTHER"}
+_METHODS = {0: "GET", 1: "POST", 2: "DELETE", 3: "PUT", 4: "OTHER",
+            5: "SEARCH_FAST"}   # POST /search pre-parsed in C++
 _BUF_CAP = 64 * 1024 * 1024
 
 
@@ -81,9 +85,12 @@ class NativeHttpServer:
     def _handle_batch(self, jobs) -> None:
         searches = []
         for conn_id, method, path, body in jobs:
+            if method == "SEARCH_FAST":
+                searches.append((conn_id, body, True))
+                continue
             path = unquote(path.partition("?")[0])
             if method == "POST" and path.rstrip("/") == "/search":
-                searches.append((conn_id, body))
+                searches.append((conn_id, body, False))
                 continue
             try:
                 parsed = json.loads(body) if body else None
@@ -104,17 +111,24 @@ class NativeHttpServer:
         # parse first; invalid ones answered immediately
         groups: dict = {}  # k -> list[(conn_id, Vector)]
         singles = []       # (conn_id, Vector, k, filter)
-        for conn_id, body in searches:
+        for conn_id, body, pre_parsed in searches:
             try:
-                parsed = json.loads(body) if body else None
-                if not isinstance(parsed, dict) or "vector" not in parsed:
-                    self._respond(conn_id, 400,
-                                  {"error": "'vector' is required"})
-                    continue
-                query = _parse_vector(parsed["vector"])
-                raw_k = parsed.get("k")
-                k = 10 if raw_k is None else int(raw_k)
-                flt = _parse_filter(parsed.get("filter"))
+                if pre_parsed:
+                    # C++ packed [k i32][n u32][f32*n] (httpcore.cpp)
+                    k, n = struct.unpack_from("<iI", body, 0)
+                    query = Vector(np.frombuffer(body, np.float32,
+                                                 count=n, offset=8))
+                    flt = None
+                else:
+                    parsed = json.loads(body) if body else None
+                    if not isinstance(parsed, dict) or "vector" not in parsed:
+                        self._respond(conn_id, 400,
+                                      {"error": "'vector' is required"})
+                        continue
+                    query = _parse_vector(parsed["vector"])
+                    raw_k = parsed.get("k")
+                    k = 10 if raw_k is None else int(raw_k)
+                    flt = _parse_filter(parsed.get("filter"))
             except Exception as e:
                 self._respond(conn_id, 400, {"error": str(e)})
                 continue
@@ -178,14 +192,14 @@ class NativeHttpServer:
                 break
             if n == 0:
                 continue
-            raw = bytes(bytearray(self._buf[:n]))
+            raw = ctypes.string_at(self._buf, n)
             catch = min(last_cycle / 10.0, 0.003)
             if catch > 0.0005:
                 time.sleep(catch)
                 n2 = self._lib.vdb_http_next_jobs(self._handle, self._buf,
                                                   _BUF_CAP, 0)
                 if n2 > 0:
-                    raw += bytes(bytearray(self._buf[:n2]))
+                    raw += ctypes.string_at(self._buf, n2)
             start = time.perf_counter()
             try:
                 self._handle_batch(self._parse_jobs(raw))
