@@ -239,3 +239,66 @@ def test_engine_recovery_hydrates_sharded_devices(mesh8, rng, tmp_path):
         assert len(dev["db"].sharding.device_set) == 8
         assert all(h.id != "v0"
                    for h in eng.search(Vector(data[0]), 5))
+
+
+class TestShardedCoarse:
+    """Sharded 1-pass certified coarse path (make_sharded_search_coarse)."""
+
+    @pytest.fixture(autouse=True)
+    def _interpret(self, monkeypatch):
+        monkeypatch.setenv("VDB_TPU_PALLAS_INTERPRET", "1")
+
+    @pytest.mark.parametrize("metric", list(DistanceMetric))
+    def test_matches_oracle_and_engages(self, mesh8, metric, rng,
+                                        monkeypatch):
+        from vectordb_tpu.parallel import distributed as dist_mod
+
+        n, d, q, k = 3000, 32, 6, 10
+        db = rng.standard_normal((n, d)).astype(np.float32) + 2.0
+        queries = rng.standard_normal((q, d)).astype(np.float32) + 2.0
+        calls = []
+        real = dist_mod.make_sharded_search_coarse
+
+        def spy(*a, **kw):
+            calls.append(True)
+            return real(*a, **kw)
+
+        monkeypatch.setattr(dist_mod, "make_sharded_search_coarse", spy)
+        idx = DistributedFlatIndex(mesh8, metric)
+        idx.load(db)
+        assert idx._elo_max is not None
+        assert idx._block_rows % 1024 == 0
+        results = idx.search_batch(queries, k)
+        assert calls, "coarse sharded searcher should have been built"
+        oracle = pairwise_distances(np, queries, db, metric)
+        for qi in range(q):
+            got_ids = [r[0] for r in results[qi]]
+            want = np.argsort(oracle[qi], kind="stable")[:k]
+            assert got_ids == [int(w) for w in want]
+
+    def test_uncertified_falls_back_exact(self, mesh8, rng):
+        import jax.numpy as jnp
+
+        n, d, q, k = 2048, 16, 4, 5
+        db = rng.standard_normal((n, d)).astype(np.float32)
+        queries = rng.standard_normal((q, d)).astype(np.float32)
+        idx = DistributedFlatIndex(mesh8, DistanceMetric.EUCLIDEAN)
+        idx.load(db)
+        idx._elo_max = jnp.float32(1e9)   # absurd bound -> nothing certifies
+        results = idx.search_batch(queries, k)
+        oracle = pairwise_distances(np, queries, db, DistanceMetric.EUCLIDEAN)
+        for qi in range(q):
+            got_ids = [r[0] for r in results[qi]]
+            want = np.argsort(oracle[qi], kind="stable")[:k]
+            assert got_ids == [int(w) for w in want]
+
+    def test_padding_rows_never_surface(self, mesh8, rng):
+        n, d, k = 1000, 8, 10   # pads to 8 x 1024 blocks, 7192 dead rows
+        db = rng.standard_normal((n, d)).astype(np.float32)
+        idx = DistributedFlatIndex(mesh8, DistanceMetric.EUCLIDEAN)
+        idx.load(db)
+        res = idx.search_batch(rng.standard_normal((3, d)).astype(np.float32),
+                               k)
+        for row in res:
+            assert len(row) == k
+            assert all(0 <= rid < n for rid, _ in row)

@@ -9,5 +9,5 @@ distributed top-k.
 
 from .mesh import make_mesh  # noqa: F401
 from .distributed import (DistributedFlatIndex, make_sharded_search,  # noqa: F401
-                          shard_rows)
+                          make_sharded_search_coarse, shard_rows)
 from .hnsw_shards import ShardedHnswIndex  # noqa: F401

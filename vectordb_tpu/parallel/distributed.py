@@ -27,16 +27,22 @@ from ..errors import DimensionMismatchError
 from ..ops.topk import MATMUL_PRECISION, next_pow2
 
 
-def shard_rows(mesh: Mesh, row_axis: str, *arrays):
-    """Pad the leading (row) axis to a multiple of the shard count and
-    device_put each array with rows sharded over ``row_axis``.
+def shard_rows(mesh: Mesh, row_axis: str, *arrays, block_multiple: int = 1):
+    """Pad the leading (row) axis to a multiple of the shard count (and of
+    ``block_multiple`` rows per shard) and device_put each array with rows
+    sharded over ``row_axis``.
 
     Returns (padded_rows, sharded_arrays...). Boolean arrays pad with False
     (so padding rows never match), numeric arrays pad with zeros.
+    ``block_multiple=512`` makes every shard block tile-divisible for the
+    Pallas coarse kernel (any _tile_cols value divides 512).
     """
     n_shards = mesh.shape[row_axis]
     n = arrays[0].shape[0]
-    padded = ((n + n_shards - 1) // n_shards) * n_shards
+    per_shard = (n + n_shards - 1) // n_shards
+    per_shard = ((per_shard + block_multiple - 1)
+                 // block_multiple) * block_multiple
+    padded = max(per_shard, block_multiple) * n_shards
     out = []
     for arr in arrays:
         if arr.shape[0] != n:
@@ -98,6 +104,67 @@ def make_sharded_search(mesh: Mesh, metric: DistanceMetric, k: int,
     return search
 
 
+def make_sharded_search_coarse(mesh: Mesh, metric: DistanceMetric, k: int,
+                               block_rows: int, row_axis: str = "shard",
+                               interpret: bool = False):
+    """Sharded search through the 1-pass certified coarse kernel.
+
+    Each shard runs the same certified pipeline as the single-chip path
+    (ops/coarse_kernel.py, f32-source variant: no mirrors, hi/lo split in
+    VMEM) over its row block, with its own rigorous margin from its own
+    row norms. Cross-shard exactness composes cleanly: the merged global
+    k-th distance is <= every shard's local k-th, so if every shard
+    certifies locally, no non-refined row anywhere can enter the top-k —
+    the global certificate is just the AND of the shard certificates.
+
+    Returns fn(queries, db, sq, norms, valid, elo_max) ->
+    (dists (Q,k), global idx (Q,k), certified (Q,)). Uncertified queries
+    must be re-run by the caller through the XLA sharded scan.
+    """
+    from ..ops import coarse_kernel as ck
+
+    n_row_shards = mesh.shape[row_axis]
+    k_local = min(k, block_rows)
+    m2, m = ck._exact1p_pool(k_local, block_rows // ck.SUB)
+
+    def local_coarse(queries_blk, db_blk, sq_blk, norms_blk, valid_blk,
+                     elo_max):
+        d_, i_, c_ = ck._coarse_search_1p_jit(
+            queries_blk, db_blk, sq_blk, norms_blk, valid_blk, db_blk,
+            elo_max, metric.value, k_local, m2, m, interpret, "f32")
+        my_shard = jax.lax.axis_index(row_axis)
+        return d_[None], (i_ + my_shard * block_rows)[None], c_[None]
+
+    in_specs = (P(None, None), P(row_axis, None), P(row_axis,),
+                P(row_axis,), P(row_axis,), P())
+    out_specs = (P(row_axis, None, None), P(row_axis, None, None),
+                 P(row_axis, None))
+    # check_vma=False: pallas_call's out_shape carries no varying-mesh-axes
+    # annotation, which the default vma checker rejects inside shard_map
+    mapped = jax.shard_map(local_coarse, mesh=mesh, in_specs=in_specs,
+                           out_specs=out_specs, check_vma=False)
+
+    @jax.jit
+    def search(queries, db, sq_norms, norms, valid, elo_max):
+        cand_vals, cand_idx, cand_cert = mapped(queries, db, sq_norms,
+                                                norms, valid, elo_max)
+        s, q, kl = cand_vals.shape
+        flat_vals = jnp.transpose(cand_vals, (1, 0, 2)).reshape(q, s * kl)
+        flat_idx = jnp.transpose(cand_idx, (1, 0, 2)).reshape(q, s * kl)
+        k_final = min(k, s * kl)
+        neg_vals, pos = jax.lax.top_k(-flat_vals, k_final)
+        certified = jnp.all(cand_cert, axis=0)
+        return (-neg_vals, jnp.take_along_axis(flat_idx, pos, axis=1),
+                certified)
+
+    return search
+
+
+def sharded_coarse_supported(block_rows: int, d: int, k: int) -> bool:
+    from ..ops import coarse_kernel as ck
+    return ck.supports_1p(block_rows, d, min(k, block_rows))
+
+
 class DistributedFlatIndex:
     """A bulk-loaded, mesh-sharded exact index for large-scale serving.
 
@@ -116,6 +183,7 @@ class DistributedFlatIndex:
         self._dim: Optional[int] = None
         self._block_rows = 0
         self._device = None
+        self._elo_max = None
         self._search_cache = {}
 
     def load(self, vectors: np.ndarray) -> None:
@@ -126,11 +194,25 @@ class DistributedFlatIndex:
         norms = np.sqrt(sq)
         valid = np.ones(n, dtype=bool)
         padded, db, sqs, nrm, vld = shard_rows(
-            self.mesh, self.row_axis, vectors, sq, norms, valid)
+            self.mesh, self.row_axis, vectors, sq, norms, valid,
+            block_multiple=1024 if self._coarse_enabled() else 1)
         self._n, self._dim = n, d
         self._block_rows = padded // self.mesh.shape[self.row_axis]
         self._device = (db, sqs, nrm, vld)
+        self._elo_max = None
+        if self._coarse_enabled():
+            from ..ops.coarse_kernel import residual_max_norm_f32
+            # global residual bound; every shard's margin uses its own
+            # norms but shares this (stale-high-safe) residual max
+            self._elo_max = residual_max_norm_f32(db)
         self._search_cache.clear()
+
+    def _coarse_enabled(self) -> bool:
+        from ..ops.coarse_kernel import interpret_mode
+        import os
+        if os.environ.get("VDB_TPU_NO_PALLAS"):
+            return False
+        return jax.default_backend() == "tpu" or interpret_mode()
 
     @property
     def num_rows(self) -> int:
@@ -146,6 +228,17 @@ class DistributedFlatIndex:
             self._search_cache[key] = fn
         return fn
 
+    def _coarse_searcher(self, k: int):
+        key = ("coarse", int(k))
+        fn = self._search_cache.get(key)
+        if fn is None:
+            from ..ops.coarse_kernel import interpret_mode
+            fn = make_sharded_search_coarse(
+                self.mesh, self.metric, int(k), self._block_rows,
+                self.row_axis, interpret_mode())
+            self._search_cache[key] = fn
+        return fn
+
     def search_batch(self, queries: np.ndarray,
                      k: int) -> List[List[Tuple[int, float]]]:
         """Exact k-NN for Q queries; returns (row_id, distance) ascending."""
@@ -156,7 +249,6 @@ class DistributedFlatIndex:
             raise DimensionMismatchError(
                 self._dim or 0,
                 queries.shape[1] if queries.ndim == 2 else 0)
-        k_eff = min(next_pow2(k), max(self._n, 1))
         # pad Q so a batch axis always divides evenly
         q = queries.shape[0]
         q_mult = self.mesh.shape[self.batch_axis] if self.batch_axis else 1
@@ -164,11 +256,31 @@ class DistributedFlatIndex:
         if q_pad != q:
             queries = np.concatenate(
                 [queries, np.zeros((q_pad - q, self._dim), np.float32)])
-        dists, idx = self._searcher(k_eff)(jnp.asarray(queries), *self._device)
-        dists = np.asarray(dists)[:q]
-        idx = np.asarray(idx)[:q]
+
+        k_true = min(int(k), max(self._n, 1))
+        use_coarse = (self._elo_max is not None
+                      and self.batch_axis is None
+                      and sharded_coarse_supported(self._block_rows,
+                                                   self._dim, k_true))
+        if use_coarse:
+            dists, idx, cert = self._coarse_searcher(k_true)(
+                jnp.asarray(queries), *self._device, self._elo_max)
+            dists, idx, cert = (np.asarray(dists)[:q], np.asarray(idx)[:q],
+                                np.asarray(cert)[:q])
+            bad = np.nonzero(~cert)[0]
+            if bad.size:
+                # rare: re-run uncertified queries through the XLA scan
+                sub_d, sub_i = self._search_xla(
+                    np.ascontiguousarray(queries[bad]), k_true)
+                dists = dists.copy(); idx = idx.copy()
+                dists[bad] = sub_d[:, : dists.shape[1]]
+                idx[bad] = sub_i[:, : idx.shape[1]]
+        else:
+            dists, idx = self._search_xla(queries, k_true)
+            dists, idx = dists[:q], idx[:q]
+
         out: List[List[Tuple[int, float]]] = []
-        for qi in range(q):
+        for qi in range(min(q, dists.shape[0])):
             row = []
             for j in range(dists.shape[1]):
                 d = float(dists[qi, j])
@@ -177,6 +289,12 @@ class DistributedFlatIndex:
                 row.append((int(idx[qi, j]), d))
             out.append(row)
         return out
+
+    def _search_xla(self, queries: np.ndarray, k: int):
+        k_eff = min(next_pow2(k), max(self._n, 1))
+        dists, idx = self._searcher(k_eff)(jnp.asarray(queries),
+                                           *self._device)
+        return np.asarray(dists), np.asarray(idx)
 
 
 __all__ = ["shard_rows", "make_sharded_search", "DistributedFlatIndex"]
