@@ -9,6 +9,7 @@ matter which tier serves a query.
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from vectordb_tpu.distance import DistanceMetric
@@ -161,3 +162,72 @@ def test_flat_index_maintains_elo_max(rng, monkeypatch):
         jnp.asarray(big).astype(jnp.bfloat16).astype(jnp.float32)))
     assert float(dev["elo_max"]) >= np.linalg.norm(resid) * 0.99
     assert float(dev["elo_max"]) >= elo0
+
+
+def test_chunked_refine_non_divisible_q(rng, monkeypatch):
+    """Review regression: a non-pow2 Q with refine chunking must not crash
+    on the lax.map reshape (the sharded path doesn't pow2-pad)."""
+    monkeypatch.setattr(coarse_kernel, "_REFINE_BYTES", 1)
+    n, d, q, k = 1024, 16, 301, 5   # 301 -> chunk 150, 301 % 150 != 0
+    db, valid, state = _state(rng, n, d)
+    state = _with_elo(state)
+    queries = rng.standard_normal((q, d)).astype(np.float32)
+    m2, m = coarse_kernel._exact1p_pool(k, n // coarse_kernel.SUB)
+    dists, idx, cert = coarse_kernel._coarse_search_1p_jit(
+        jnp.asarray(queries), state["db"], state["sq_norms"],
+        state["norms"], state["valid"], state["hi"], state["elo_max"],
+        "euclidean", k, m2, m, True, "mirrors")
+    dists, idx, cert = jax.device_get((dists, idx, cert))
+    want_d, want_i = _oracle(queries, db, valid, DistanceMetric.EUCLIDEAN, k)
+    assert np.array_equal(np.asarray(idx)[cert], want_i[cert])
+
+
+def test_extreme_magnitudes_refuse_certificate(rng):
+    """Review regression: live scores near PENALTY (norms ~1e15) must not
+    certify — the additive dead-penalty masking is unsound there. The
+    tiered fallback (inf-masked XLA scan) serves those queries exactly."""
+    n, d, q, k = 1024, 16, 4, 3
+    db = (rng.standard_normal((n, d)) * 1e15).astype(np.float32)
+    valid = np.ones(n, dtype=bool)
+    sq = np.einsum("ij,ij->i", db.astype(np.float64),
+                   db.astype(np.float64)).astype(np.float32)
+    dbj = jnp.asarray(db)
+    hi, lo = coarse_kernel.split_hi_lo(dbj)
+    state = {"db": dbj, "sq_norms": jnp.asarray(sq),
+             "norms": jnp.asarray(np.sqrt(sq)),
+             "valid": jnp.asarray(valid), "hi": hi, "lo": lo}
+    state = _with_elo(state)
+    queries = (rng.standard_normal((q, d)) * 1e15).astype(np.float32)
+    m2, m = coarse_kernel._exact1p_pool(k, n // coarse_kernel.SUB)
+    _, _, cert = jax.device_get(coarse_kernel._coarse_search_1p_jit(
+        jnp.asarray(queries), state["db"], state["sq_norms"],
+        state["norms"], state["valid"], state["hi"], state["elo_max"],
+        "euclidean", k, m2, m, True, "mirrors"))
+    assert not np.asarray(cert).any()
+    # end-to-end: dispatcher must still return exact results via fallback
+    dists, idx = topk_mod.flat_search_batched(queries, state,
+                                              DistanceMetric.EUCLIDEAN, k,
+                                              mode="exact")
+    want_d, want_i = _oracle(queries, db, valid, DistanceMetric.EUCLIDEAN, k)
+    assert np.array_equal(idx[:, :k], want_i)
+
+
+def test_bf16_exact_data_margin_is_rigorous(rng):
+    """Review regression: with elo_max = 0 and integer queries (qlo = 0)
+    the margin must still cover the f32 accumulation error."""
+    n, d, q, k = 1024, 32, 8, 5
+    db = rng.integers(-8, 9, size=(n, d)).astype(np.float32)
+    valid = np.ones(n, dtype=bool)
+    sq = np.einsum("ij,ij->i", db, db).astype(np.float32)
+    dbj = jnp.asarray(db)
+    hi, lo = coarse_kernel.split_hi_lo(dbj)
+    state = _with_elo({"db": dbj, "sq_norms": jnp.asarray(sq),
+                       "norms": jnp.asarray(np.sqrt(sq)),
+                       "valid": jnp.asarray(valid), "hi": hi, "lo": lo})
+    assert float(np.asarray(state["elo_max"])) == 0.0
+    queries = rng.integers(-8, 9, size=(q, d)).astype(np.float32)
+    dists, idx = topk_mod.flat_search_batched(queries, state,
+                                              DistanceMetric.EUCLIDEAN, k,
+                                              mode="exact")
+    want_d, want_i = _oracle(queries, db, valid, DistanceMetric.EUCLIDEAN, k)
+    assert np.array_equal(idx[:, :k], want_i)

@@ -296,8 +296,11 @@ class FlatIndex(Index):
                 s_rows, s_vals = scatter_rows_copy, scatter_values_copy
             else:
                 s_rows, s_vals = scatter_rows, scatter_values
-            rows = self._vectors[idx]
-            dev["db"] = s_rows(dev["db"], idx, rows)
+            # ONE H2D transfer of the patched rows, shared by the db
+            # scatter, the mirror scatter, and the residual-bound update
+            # (each transfer costs a ~25 ms relay round-trip)
+            rows_dev = jnp.asarray(self._vectors[idx])
+            dev["db"] = s_rows(dev["db"], idx, rows_dev)
             dev["sq_norms"] = s_vals(dev["sq_norms"], idx, self._sq_norms[idx])
             dev["norms"] = s_vals(dev["norms"], idx, self._norms[idx])
             dev["valid"] = s_vals(dev["valid"], idx, self._valid[idx])
@@ -306,7 +309,6 @@ class FlatIndex(Index):
                                                  scatter_hi_lo_copy)
                 s_hl = (scatter_hi_lo_copy if self._searches_in_flight > 0
                         else scatter_hi_lo)
-                rows_dev = jnp.asarray(rows)
                 dev["hi"], dev["lo"] = s_hl(dev["hi"], dev["lo"], idx,
                                             rows_dev)
             if "elo_max" in dev:
@@ -314,7 +316,7 @@ class FlatIndex(Index):
                 # (stale-high is safe: the 1-pass margin just widens)
                 from ..ops.coarse_kernel import residual_max_norm_f32
                 dev["elo_max"] = jnp.maximum(
-                    dev["elo_max"], residual_max_norm_f32(jnp.asarray(rows)))
+                    dev["elo_max"], residual_max_norm_f32(rows_dev))
             self._dirty_slots.clear()
         return self._device
 

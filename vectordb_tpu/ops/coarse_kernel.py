@@ -420,18 +420,26 @@ def _coarse_search_jit(queries, db, db_sq, db_norms, valid, db_hi, db_lo,
     xmax = jnp.sqrt(jnp.max(jnp.where(valid, db_sq, 0.0)))
     if mode == "euclidean":
         margin = 8.0 * eps * qn * xmax                  # d2 error x2, safety 2
+        smax = qsq + xmax * (xmax + 2.0 * qn)
     elif mode == "dot":
         margin = 4.0 * eps * qn * xmax
+        smax = xmax * qn * 1.001
     else:
         xnmin = jnp.min(jnp.where(valid & (db_norms > 0.0), db_norms,
                                   jnp.inf))
         margin = 4.0 * eps * xmax / xnmin
+        smax = jnp.full_like(qn, 2.0)
+    # additive-PENALTY dead masking (and the dead-selected => none-live-
+    # outside argument below) is sound only while live coarse scores stay
+    # far below PENALTY; extreme-magnitude data must take the fallback
+    sane = smax < 0.25 * PENALTY
     w = jnp.min(score2[:, (m_tiles - 1) * SUB:], axis=1)
     last = sk[:, -1]
     # a non-finite k-th score means fewer than k live candidates; with
     # m_tiles >= k (enforced by the caller) every live row is then already
     # a candidate, so the result is exact
-    certified = jnp.where(jnp.isfinite(last), last <= w - margin, True)
+    certified = sane & jnp.where(jnp.isfinite(last), last <= w - margin,
+                                 True)
     return dists, idx_out, certified
 
 
@@ -575,41 +583,67 @@ def _coarse_search_1p_jit(queries, db, db_sq, db_norms, valid, db_hi,
         chunk //= 2
     if chunk < qp:
         c = chunk
+        # non-pow2 qp (the sharded path doesn't pow2-pad): pad the refine
+        # inputs up to a chunk multiple; padded rows compute junk that is
+        # sliced away and never touches real queries' results or certs
+        qp2 = ((qp + c - 1) // c) * c
+        if qp2 != qp:
+            pad = qp2 - qp
+            t_pad = jnp.concatenate(
+                [tile_idx, jnp.zeros((pad, m), tile_idx.dtype)], axis=0)
+            q_pad_arr = jnp.concatenate(
+                [queries, jnp.zeros((pad, d), queries.dtype)], axis=0)
+            qsq_pad = jnp.concatenate([qsq, jnp.zeros((pad,), qsq.dtype)])
+            qn_pad = jnp.concatenate([qn, jnp.zeros((pad,), qn.dtype)])
+        else:
+            t_pad, q_pad_arr, qsq_pad, qn_pad = tile_idx, queries, qsq, qn
         sk, pos = jax.lax.map(
             refine_chunk,
-            (tile_idx.reshape(qp // c, c, m),
-             queries.reshape(qp // c, c, d),
-             qsq.reshape(qp // c, c), qn.reshape(qp // c, c)))
-        sk = sk.reshape(qp, k)
-        pos = pos.reshape(qp, k)
+            (t_pad.reshape(qp2 // c, c, m),
+             q_pad_arr.reshape(qp2 // c, c, d),
+             qsq_pad.reshape(qp2 // c, c), qn_pad.reshape(qp2 // c, c)))
+        sk = sk.reshape(qp2, k)[:qp]
+        pos = pos.reshape(qp2, k)[:qp]
     else:
         sk, pos = refine_chunk((tile_idx, queries, qsq, qn))
     idx_out = jnp.take_along_axis(cand, pos, axis=1)
 
     # rigorous per-query margin from computed residual norms (module
-    # docstring + benchmarks/exp_exact1p.py for the derivation)
+    # docstring + benchmarks/exp_exact1p.py for the derivation). The
+    # accumulation term carries a 4x coefficient so the margin stays
+    # rigorous even when elo_max and qlo_n are BOTH ~0 (bf16-exact data):
+    # the requirement is 2*e_coarse + 2*e_refine and each error is bounded
+    # by one accumulation term, so 4x covers it on its own.
     xmax = jnp.sqrt(jnp.max(jnp.where(valid, db_sq, 0.0)))
     err_dot = (elo_max * (qn + qlo_n) + xmax * qlo_n
-               + d * 2.0 ** -24 * (xmax + elo_max) * (qn + qlo_n))
+               + 4.0 * d * 2.0 ** -24 * (xmax + elo_max) * (qn + qlo_n))
     if mode == "euclidean":
         margin = _MARGIN_SCALE_EUCLID * err_dot
+        smax = qsq + xmax * (xmax + 2.0 * qn)   # |live coarse score| bound
     elif mode == "dot":
         margin = _MARGIN_SCALE_DOT * err_dot
+        smax = xmax * qn * 1.001
     else:
         xnmin = jnp.min(jnp.where(valid & (db_norms > 0.0), db_norms,
                                   jnp.inf))
         qinv_m = jnp.where(qn == 0.0, jnp.inf, 1.0 / qn)
         margin = _MARGIN_SCALE_DOT * err_dot * qinv_m / xnmin
+        smax = jnp.full_like(qn, 2.0)
 
+    # The additive PENALTY masking (and with it every dead-vs-live
+    # selection argument) is only sound while live coarse scores stay far
+    # below it; data with |score| approaching PENALTY/4 (norms ~1e15)
+    # must take the fallback instead of a certificate.
+    sane = smax < 0.25 * PENALTY
     last = sk[:, -1]
     # Non-finite last = fewer than k live rows in the refined pool. Unlike
     # the flat selection (where a selected dead tile proves no live tile
     # was left out), hierarchical selection can strand live tiles in
     # non-selected supers — so the degenerate case certifies only when the
     # boundary itself is dead (>= PENALTY/2 can only come from invalid
-    # slots; live coarse scores are bounded far below it).
-    certified = jnp.where(jnp.isfinite(last), last <= b - margin,
-                          b >= 0.5 * PENALTY)
+    # slots once `sane` bounds live scores below PENALTY/4).
+    certified = sane & jnp.where(jnp.isfinite(last), last <= b - margin,
+                                 b >= 0.5 * PENALTY)
 
     if mode == "euclidean":
         dists = jnp.where(jnp.isfinite(sk),

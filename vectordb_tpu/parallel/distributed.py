@@ -123,7 +123,6 @@ def make_sharded_search_coarse(mesh: Mesh, metric: DistanceMetric, k: int,
     """
     from ..ops import coarse_kernel as ck
 
-    n_row_shards = mesh.shape[row_axis]
     k_local = min(k, block_rows)
     m2, m = ck._exact1p_pool(k_local, block_rows // ck.SUB)
 
@@ -263,8 +262,18 @@ class DistributedFlatIndex:
                       and sharded_coarse_supported(self._block_rows,
                                                    self._dim, k_true))
         if use_coarse:
+            # pow2-pad Q: bounds the jit-signature count AND keeps the
+            # refine chunking on even splits (same policy as the
+            # single-chip dispatcher in ops/topk.py)
+            qc = queries.shape[0]
+            qc_pad = next_pow2(qc, floor=1)
+            cq = queries
+            if qc_pad != qc:
+                cq = np.concatenate(
+                    [queries, np.zeros((qc_pad - qc, self._dim),
+                                       np.float32)])
             dists, idx, cert = self._coarse_searcher(k_true)(
-                jnp.asarray(queries), *self._device, self._elo_max)
+                jnp.asarray(cq), *self._device, self._elo_max)
             dists, idx, cert = (np.asarray(dists)[:q], np.asarray(idx)[:q],
                                 np.asarray(cert)[:q])
             bad = np.nonzero(~cert)[0]

@@ -25,6 +25,9 @@
 
 #include <arpa/inet.h>
 #include <atomic>
+#include <clocale>
+#include <cstdlib>
+#include <locale.h>
 #include <chrono>
 #include <cerrno>
 #include <cstdint>
@@ -70,6 +73,16 @@ struct Resp {
     int status;
     std::string body;
 };
+
+// Locale-independent strtof: a host process may setlocale() to a comma-
+// decimal LC_NUMERIC, under which plain strtof("0.75") stops at the dot
+// and returns 0 — wrong results with status 200. Parse under a pinned
+// "C" locale instead.
+float strtof_c(const char* s, char** endp) {
+    static locale_t c_loc = newlocale(LC_ALL_MASK, "C", (locale_t)0);
+    if (c_loc != (locale_t)0) return strtof_l(s, endp, c_loc);
+    return strtof(s, endp);  // newlocale failed: degraded but functional
+}
 
 // Strict JSON-number span: '-'? int ('.' digits)? ([eE][+-]? digits)?.
 // Returns the end of the token, or nullptr if it isn't a JSON number
@@ -138,7 +151,12 @@ bool parse_search_fast(const std::string& b, std::vector<float>& out,
                 if (tl >= sizeof buf) return false;
                 memcpy(buf, p, tl);
                 buf[tl] = 0;
-                out.push_back(strtof(buf, nullptr));
+                char* fend = nullptr;
+                float v = strtof_c(buf, &fend);
+                // a short parse means the locale or grammar disagreed
+                // with json_number_end — bail to the Python path
+                if (fend != buf + tl) return false;
+                out.push_back(v);
                 p = tok_end;
                 ws();
                 if (p < end && *p == ',') { p++; continue; }
