@@ -58,6 +58,13 @@ def _pallas_enabled(mesh) -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _quantize_bf16(arr: np.ndarray) -> np.ndarray:
+    """Round-trip f32 -> bf16 -> f32 (the stored value set for
+    storage=\"bf16\")."""
+    import ml_dtypes
+    return arr.astype(ml_dtypes.bfloat16).astype(np.float32)
+
+
 def _pallas_mirrors_enabled(capacity: int, dim: int, mesh) -> bool:
     """Maintain bf16 hi/lo mirrors (fastest path, +4 bytes/element)? Above
     the memory gate the kernel streams the f32 database instead (the
@@ -71,13 +78,26 @@ class FlatIndex(Index):
     """Exact k-NN via fused device flat scan."""
 
     def __init__(self, metric: DistanceMetric, search_mode: str = "exact",
-                 mesh=None, row_axis: str = "shard"):
+                 mesh=None, row_axis: str = "shard",
+                 storage: str = "f32"):
         if search_mode not in ("exact", "fast"):
             raise ValueError(f"unknown search_mode: {search_mode!r}")
+        if storage not in ("f32", "bf16"):
+            raise ValueError(f"unknown storage: {storage!r}")
+        if storage == "bf16" and mesh is not None:
+            raise ValueError("storage='bf16' is single-chip for now; "
+                             "shard with DistributedFlatIndex instead")
         # "exact": full-f32 MXU scan + exact top_k. "fast": same scan
         # reduced with approx_min_k into a candidate pool + exact re-rank
         # (~1.4x throughput, exact distances, ~99% top-k id agreement).
         self.search_mode = search_mode
+        # storage="bf16": vectors are quantized to bfloat16 AT INSERT
+        # (get_vector returns the quantized values) and the device holds a
+        # single 2-byte/element buffer — double the rows per chip (8M x
+        # 768-d on one 16 GB v5e). Search stays certified-exact with
+        # respect to the STORED values: the db is its own hi mirror, so
+        # the 1-pass certificate runs with elo_max = 0.
+        self.storage = storage
         # With a jax.sharding.Mesh, the packed arrays live sharded over the
         # mesh's row axis and searches run the distributed per-shard scan +
         # top-k merge (parallel/distributed.py). CRUD semantics unchanged.
@@ -197,6 +217,8 @@ class FlatIndex(Index):
                 self._write_slot(slot, internal_id, arr)
 
     def _write_slot(self, slot: int, internal_id: int, arr: np.ndarray) -> None:
+        if self.storage == "bf16":
+            arr = _quantize_bf16(arr)   # norms below see the stored values
         self._vectors[slot] = arr
         sq = float(np.dot(arr, arr))
         self._sq_norms[slot] = sq
@@ -264,6 +286,24 @@ class FlatIndex(Index):
                 self._dirty_slots.clear()
             return self._device
         if self._device is None:
+            if self.storage == "bf16":
+                import ml_dtypes
+                # host-side cast: a 2-byte transfer and no f32 device temp
+                db16 = jnp.asarray(self._vectors.astype(ml_dtypes.bfloat16))
+                self._device = {
+                    "db": db16,
+                    "sq_norms": jnp.asarray(self._sq_norms),
+                    "norms": jnp.asarray(self._norms),
+                    "valid": jnp.asarray(self._valid),
+                }
+                if _pallas_enabled(self._mesh):
+                    # the db IS its own hi mirror; certified-exact over
+                    # the stored values with a zero residual bound
+                    self._device["hi"] = db16
+                    self._device["bf16_storage"] = True
+                    self._device["elo_max"] = jnp.float32(0.0)
+                self._dirty_slots.clear()
+                return self._device
             self._device = {
                 "db": jnp.asarray(self._vectors),
                 "sq_norms": jnp.asarray(self._sq_norms),
@@ -300,6 +340,20 @@ class FlatIndex(Index):
             # scatter, the mirror scatter, and the residual-bound update
             # (each transfer costs a ~25 ms relay round-trip)
             rows_dev = jnp.asarray(self._vectors[idx])
+            if self.storage == "bf16":
+                # exact cast (values were quantized at insert); db and hi
+                # alias the same buffer, so both keys track the new array
+                new_db = s_rows(dev["db"], idx,
+                                rows_dev.astype(jnp.bfloat16))
+                dev["db"] = new_db
+                if "hi" in dev:
+                    dev["hi"] = new_db
+                dev["sq_norms"] = s_vals(dev["sq_norms"], idx,
+                                         self._sq_norms[idx])
+                dev["norms"] = s_vals(dev["norms"], idx, self._norms[idx])
+                dev["valid"] = s_vals(dev["valid"], idx, self._valid[idx])
+                self._dirty_slots.clear()
+                return self._device
             dev["db"] = s_rows(dev["db"], idx, rows_dev)
             dev["sq_norms"] = s_vals(dev["sq_norms"], idx, self._sq_norms[idx])
             dev["norms"] = s_vals(dev["norms"], idx, self._norms[idx])

@@ -197,10 +197,12 @@ def _coarse_kernel_1p(qhi_ref, qrow_ref, hi_ref, col_ref, inv_ref, out_ref,
     out_ref[:] = score.reshape(tn // SUB, SUB, qb).min(axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("mode", "interpret"))
-def _coarse_minima_1p(qThi, qrow, db_hi, col, inv_col, mode: str,
-                      interpret: bool):
-    """Fast-mode coarse minima: one bf16 pass, hi mirror only."""
+def _coarse_minima_1p_tq(qThi, qrow, db_hi, col, inv_col, mode: str,
+                         interpret: bool):
+    """Single-pass coarse subtile minima in the kernel's natural (T, Qp)
+    layout (no materialized transpose). Used by the bf16-storage path,
+    where the (T, Qp) array at 8M rows is 2+ GB and doubling it for a
+    transpose would break the HBM budget."""
     d, qp = qThi.shape
     n = db_hi.shape[0]
     tn = _tile_cols(d)
@@ -235,6 +237,15 @@ def _coarse_minima_1p(qThi, qrow, db_hi, col, inv_col, mode: str,
             transcendentals=0,
         ),
     )(qThi, qrow, db_hi, col, inv_col)
+    return minima_tq
+
+
+@functools.partial(jax.jit, static_argnames=("mode", "interpret"))
+def _coarse_minima_1p(qThi, qrow, db_hi, col, inv_col, mode: str,
+                      interpret: bool):
+    """Fast-mode coarse minima: one bf16 pass, hi mirror only, (Qp, T)."""
+    minima_tq = _coarse_minima_1p_tq(qThi, qrow, db_hi, col, inv_col, mode,
+                                     interpret)
     # same load-bearing barrier as _coarse_minima
     return jax.lax.optimization_barrier(minima_tq.T)
 
@@ -523,20 +534,36 @@ def _coarse_search_1p_jit(queries, db, db_sq, db_norms, valid, db_hi,
         col = rinv.reshape(1, n)
     inv_col = (1.0 - valid.astype(jnp.float32)).reshape(1, n)
 
-    if src == "f32":
-        qTlo = qlo.astype(jnp.bfloat16)
-        minima = _coarse_minima_f32(qThi, qTlo, qrow, db, col, inv_col,
-                                    1, mode, interpret)
+    if src == "bf16":
+        # bf16 storage: the db IS its own hi mirror — one buffer serves
+        # the scan AND the refine (passing it twice would bill HBM twice
+        # in the compiled program's arguments: 24 GB at 8M x 768).
+        # Selection works from the kernel's natural (T, Qp) layout: the
+        # materialized transpose the mirrors path uses would double the
+        # 2+ GB minima array at 8M rows.
+        minima_tq = _coarse_minima_1p_tq(qThi, qrow, db, col, inv_col,
+                                         mode, interpret)
+        m3_tq = minima_tq.reshape(t_all // SUPER, SUPER, qp)
+        minima2 = jax.lax.optimization_barrier(
+            m3_tq.min(axis=1).T)                         # (Qp, T2) small
+        neg_sup, sup_idx = jax.lax.top_k(-minima2, m2)
+        sel = m3_tq[sup_idx, :, jnp.arange(qp)[:, None]]  # (Qp, m2, SUPER)
+        sel = sel.reshape(qp, m2 * SUPER)
     else:
-        minima = _coarse_minima_1p(qThi, qrow, db_hi, col, inv_col, mode,
-                                   interpret)
+        if src == "f32":
+            qTlo = qlo.astype(jnp.bfloat16)
+            minima = _coarse_minima_f32(qThi, qTlo, qrow, db, col, inv_col,
+                                        1, mode, interpret)
+        else:
+            minima = _coarse_minima_1p(qThi, qrow, db_hi, col, inv_col,
+                                       mode, interpret)
 
-    # hierarchical selection: top-m2 supers, then top-m tiles inside them
-    minima3 = minima.reshape(qp, t_all // SUPER, SUPER)
-    minima2 = minima3.min(axis=-1)                       # (Qp, T/SUPER)
-    neg_sup, sup_idx = jax.lax.top_k(-minima2, m2)
-    sel = jnp.take_along_axis(minima3, sup_idx[:, :, None], axis=1)
-    sel = sel.reshape(qp, m2 * SUPER)
+        # hierarchical selection: top-m2 supers, then top-m tiles inside
+        minima3 = minima.reshape(qp, t_all // SUPER, SUPER)
+        minima2 = minima3.min(axis=-1)                   # (Qp, T/SUPER)
+        neg_sup, sup_idx = jax.lax.top_k(-minima2, m2)
+        sel = jnp.take_along_axis(minima3, sup_idx[:, :, None], axis=1)
+        sel = sel.reshape(qp, m2 * SUPER)
     neg_t, loc = jax.lax.top_k(-sel, m)
     sup_of = jnp.take_along_axis(sup_idx, loc // SUPER, axis=1)
     tile_idx = sup_of * SUPER + (loc % SUPER)            # (Qp, m) global
@@ -668,8 +695,16 @@ def coarse_search_1p(queries, db, db_sq, db_norms, valid, db_hi, elo_max,
     """
     n = db.shape[0]
     m2, m = _exact1p_pool(k, n // SUB)
-    src = "mirrors" if db_hi is not None else "f32"
-    if db_hi is None:
+    if db_hi is db and db.dtype == jnp.bfloat16:
+        # bf16 storage: one buffer, one jit argument (a tiny placeholder
+        # replaces db_hi; the src="bf16" trace never touches it, so jit
+        # prunes it from the compiled program)
+        src = "bf16"
+        db_hi = jnp.zeros((1, 1), jnp.bfloat16)
+    elif db_hi is not None:
+        src = "mirrors"
+    else:
+        src = "f32"
         db_hi = db
     return _coarse_search_1p_jit(queries, db, db_sq, db_norms, valid,
                                  db_hi, elo_max, metric.value, int(k),
@@ -703,6 +738,8 @@ def coarse_search(queries, db, db_sq, db_norms, valid, db_hi, db_lo,
     """
     n = db.shape[0]
     t = n // SUB
+    if db_lo is None and db_hi is not None:
+        db_lo = db_hi   # bf16 storage: db IS its own hi, no lo mirror
     if exact:
         m_tiles = min(max(16, int(k) + 6), t)
     else:

@@ -150,8 +150,12 @@ _EXACT1P_MIN_N = int(os.environ.get("VDB_TPU_EXACT1P_MIN_N", 1 << 18))
 def _use_exact1p(device_state: dict, capacity: int, d: int,
                  k_eff: int) -> bool:
     from . import coarse_kernel
+    # bf16 storage ignores the capacity gate: tier 1 IS its exact path
+    # (the stored db is its own hi mirror, elo_max = 0)
+    big_enough = (capacity >= _EXACT1P_MIN_N
+                  or bool(device_state.get("bf16_storage")))
     return ("elo_max" in device_state
-            and capacity >= _EXACT1P_MIN_N
+            and big_enough
             and coarse_kernel.supports_1p(capacity, d, k_eff)
             and os.environ.get("VDB_TPU_EXACT1P", "1") != "0")
 
@@ -229,6 +233,56 @@ def flat_search_exact_tiled(queries, db, db_sq_norms, db_norms, valid,
                                         valid, metric.value, int(k))
 
 
+# Row-block size for the bf16-storage XLA scan: each block is widened to
+# f32 on the fly, so the peak extra memory is block * d * 4 bytes.
+_BF16_SCAN_BLOCK = 1 << 16
+
+
+@functools.partial(jax.jit, static_argnames=("metric_name", "k"))
+def _flat_search_bf16_jit(queries, db16, db_sq_norms, db_norms, valid,
+                          metric_name, k):
+    """Exact scan over a bf16-stored database (storage=\"bf16\"): widens
+    one row block at a time (a wholesale .astype(f32) would double the
+    database's HBM footprint), computes full-precision distances over the
+    widened block, and keeps a running top-k across blocks. Exact with
+    respect to the stored bf16 values."""
+    metric = DistanceMetric(metric_name)
+    n = db16.shape[0]
+    q = queries.shape[0]
+    b = min(_BF16_SCAN_BLOCK, n)
+    nb = n // b          # capacity is pow2 >= 1024, so b divides n
+    kk = min(k, n)
+
+    def scan_block(carry, blk):
+        run_d, run_i = carry
+        db_blk, sq_blk, nrm_blk, v_blk, base = blk
+        dists = pairwise_distances(
+            jnp, queries, db_blk.astype(jnp.float32), metric,
+            db_sq_norms=sq_blk, db_norms=nrm_blk,
+            precision=MATMUL_PRECISION)
+        dists = jnp.where(v_blk[None, :], dists, jnp.inf)
+        neg, idx = jax.lax.top_k(-dists, min(kk, b))
+        all_d = jnp.concatenate([run_d, -neg], axis=1)
+        all_i = jnp.concatenate([run_i, idx + base], axis=1)
+        neg2, pos = jax.lax.top_k(-all_d, kk)
+        return (-neg2, jnp.take_along_axis(all_i, pos, axis=1)), None
+
+    init = (jnp.full((q, kk), jnp.inf, jnp.float32),
+            jnp.zeros((q, kk), jnp.int32))
+    blocks = (db16.reshape(nb, b, -1), db_sq_norms.reshape(nb, b),
+              db_norms.reshape(nb, b), valid.reshape(nb, b),
+              jnp.arange(nb, dtype=jnp.int32) * b)
+    (dists, idx), _ = jax.lax.scan(scan_block, init, blocks)
+    return dists, idx
+
+
+def flat_search_bf16(queries, db16, db_sq_norms, db_norms, valid,
+                     metric: DistanceMetric, k: int):
+    """Blockwise exact scan for bf16-stored databases."""
+    return _flat_search_bf16_jit(queries, db16, db_sq_norms, db_norms,
+                                 valid, metric.value, int(k))
+
+
 class SearchHandle:
     """An in-flight batched search launched by flat_search_batched_submit.
 
@@ -285,6 +339,12 @@ def flat_search_batched_submit(queries_np: np.ndarray, device_state: dict,
         # cheaper than the larger refine pool a pow2-bucketed k drags in)
         k_pallas = min(int(k), capacity)
         if coarse_kernel.supports(capacity, queries_np.shape[1], k_pallas):
+            # bf16 storage: "fast" aliases the 1-pass certified path — it
+            # is already a single MXU pass over the only stored precision,
+            # and the mirrors-layout fast kernel would bill the db buffer
+            # twice in the compiled program's arguments (24 GB at 8M)
+            if device_state.get("bf16_storage"):
+                mode = "exact"
             if mode == "fast":
                 dists, idx, _ = coarse_kernel.coarse_search(
                     queries_dev, device_state["db"],
@@ -301,14 +361,23 @@ def flat_search_batched_submit(queries_np: np.ndarray, device_state: dict,
                             k_pallas):
                 # tier 1: single-pass certified pipeline; uncertified rows
                 # re-run through the bf16x3 pipeline (same state minus
-                # elo_max), which itself falls back to the XLA scan
+                # elo_max), which itself falls back to the XLA scan.
+                # bf16 storage has no lo mirror (the db IS its own hi, so
+                # tier 1 is already exact-over-stored with elo_max = 0);
+                # its uncertified rows go straight to the blockwise bf16
+                # XLA scan.
                 dists, idx, certified = coarse_kernel.coarse_search_1p(
                     queries_dev, device_state["db"],
                     device_state["sq_norms"], device_state["norms"],
                     device_state["valid"], device_state.get("hi"),
                     device_state["elo_max"], metric, k_pallas)
+                if device_state.get("bf16_storage"):
+                    drop = ("hi", "lo", "elo_max", "coarse_f32",
+                            "bf16_storage")
+                else:
+                    drop = ("elo_max",)
                 fb_state = {kk: vv for kk, vv in device_state.items()
-                            if kk != "elo_max"}
+                            if kk not in drop}
                 return SearchHandle(functools.partial(
                     _collect_certified, dists, idx, certified, queries_np,
                     q, fb_state, metric, k))
@@ -326,7 +395,11 @@ def flat_search_batched_submit(queries_np: np.ndarray, device_state: dict,
                 _collect_certified, dists, idx, certified, queries_np, q,
                 fb_state, metric, k))
 
-    if mode == "fast":
+    if device_state["db"].dtype == jnp.bfloat16:
+        # bf16 storage without a usable pallas path: blockwise widening
+        # scan, exact over the stored values (serves both modes)
+        search_fn = flat_search_bf16
+    elif mode == "fast":
         search_fn = flat_search_fast
     elif capacity % EXACT_TILE_ROWS == 0:
         # fused tile-min + refine: exact, skips the O(N) top_k
@@ -351,5 +424,5 @@ def flat_search_batched(queries_np: np.ndarray, device_state: dict,
                                       mode=mode).collect()
 
 
-__all__ = ["flat_search", "flat_search_batched",
+__all__ = ["flat_search", "flat_search_bf16", "flat_search_batched",
            "flat_search_batched_submit", "SearchHandle", "next_pow2"]

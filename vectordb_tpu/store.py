@@ -69,8 +69,14 @@ class VectorStore:
         return cls.with_flat_index(metric)
 
     @classmethod
-    def with_flat_index(cls, metric: DistanceMetric) -> "VectorStore":
-        return cls(FlatIndex(metric))
+    def with_flat_index(cls, metric: DistanceMetric,
+                        search_mode: str = "exact",
+                        storage: str = "f32") -> "VectorStore":
+        """``storage="bf16"`` halves device memory (double the rows per
+        chip); vectors are quantized to bfloat16 at insert and search is
+        certified-exact over the stored values."""
+        return cls(FlatIndex(metric, search_mode=search_mode,
+                             storage=storage))
 
     @classmethod
     def with_index(cls, index: Index) -> "VectorStore":
