@@ -223,3 +223,32 @@ def test_fast_path_equivalence_and_fallback(server):
     # floats -> must behave like the Python path (which accepts int-likes)
     s7, r7 = _req(server, "POST", "/search", {"vector": q, "k": 5.0})
     assert s7 in (200, 400)
+
+
+def test_batch_fast_path_equivalence(server):
+    """The C++ pre-parsed /search/batch path (method 6) must match the
+    Python JSON route, including per-query k and fallback cases."""
+    rng = np.random.default_rng(11)
+    for i in range(30):
+        _req(server, "POST", "/vectors",
+             {"id": f"b{i}", "vector": rng.standard_normal(6).tolist(),
+              "metadata": {"grp": str(i % 2)}})
+    q1, q2 = (rng.standard_normal(6).tolist() for _ in range(2))
+    body = {"queries": [{"vector": q1, "k": 3}, {"vector": q2}]}
+    s1, r1 = _req(server, "POST", "/search/batch", body)
+    assert s1 == 200 and len(r1) == 2
+    assert len(r1[0]) == 3 and len(r1[1]) == 10   # per-query k, default 10
+    # same body with an unknown key -> C++ bails -> Python route; identical
+    s2, r2 = _req(server, "POST", "/search/batch", {**body, "zz": 1})
+    assert (s2, r2) == (s1, r1)
+    # real filter is not fast-path eligible but must still work
+    s3, r3 = _req(server, "POST", "/search/batch",
+                  {**body, "filter": {"op": "eq", "field": "grp",
+                                      "value": "0"}})
+    assert s3 == 200 and len(r3) == 2
+    # malformed query object still 400s
+    s4, _ = _req(server, "POST", "/search/batch", {"queries": [{"k": 3}]})
+    assert s4 == 400
+    # metrics: exactly one query sample per batch call
+    _, m = _req(server, "GET", "/metrics")
+    assert m["total_queries"] == 3

@@ -106,50 +106,54 @@ const char* json_number_end(const char* p, const char* end) {
     return p;
 }
 
-// Parse exactly {"vector":[numbers...]} with optional "k":int and
-// "filter":null, in any order. Any other shape -> false (Python handles
-// it, including proper 400s and real filters).
-bool parse_search_fast(const std::string& b, std::vector<float>& out,
-                       int32_t& k) {
-    const char* p = b.data();
-    const char* end = p + b.size();
-    auto ws = [&] {
+// Shared scanner state for the fast JSON parsers below.
+struct Scan {
+    const char* p;
+    const char* end;
+    void ws() {
         while (p < end && (*p == ' ' || *p == '\t' || *p == '\n' ||
                            *p == '\r')) p++;
-    };
-    ws();
-    if (p >= end || *p != '{') return false;
-    p++;
+    }
+};
+
+// One {"vector":[numbers...]} object with optional "k":int and
+// "filter":null, keys in any order; advances s past the closing '}'.
+// Any other shape -> false.
+bool parse_query_object(Scan& s, std::vector<float>& out, int32_t& k) {
+    s.ws();
+    if (s.p >= s.end || *s.p != '{') return false;
+    s.p++;
     k = 10;
+    size_t start_count = out.size();
     bool have_vector = false;
     for (;;) {
-        ws();
-        if (p < end && *p == '}') { p++; break; }
-        if (p >= end || *p != '"') return false;
-        const char* ks = ++p;
-        while (p < end && *p != '"') {
-            if (*p == '\\') return false;
-            p++;
+        s.ws();
+        if (s.p < s.end && *s.p == '}') { s.p++; break; }
+        if (s.p >= s.end || *s.p != '"') return false;
+        const char* ks = ++s.p;
+        while (s.p < s.end && *s.p != '"') {
+            if (*s.p == '\\') return false;
+            s.p++;
         }
-        if (p >= end) return false;
-        size_t klen = (size_t)(p - ks);
-        p++;
-        ws();
-        if (p >= end || *p != ':') return false;
-        p++;
-        ws();
+        if (s.p >= s.end) return false;
+        size_t klen = (size_t)(s.p - ks);
+        s.p++;
+        s.ws();
+        if (s.p >= s.end || *s.p != ':') return false;
+        s.p++;
+        s.ws();
         if (klen == 6 && memcmp(ks, "vector", 6) == 0) {
-            if (have_vector || p >= end || *p != '[') return false;
-            p++;
+            if (have_vector || s.p >= s.end || *s.p != '[') return false;
+            s.p++;
             for (;;) {
-                ws();
-                if (p < end && *p == ']') { p++; break; }
-                const char* tok_end = json_number_end(p, end);
+                s.ws();
+                if (s.p < s.end && *s.p == ']') { s.p++; break; }
+                const char* tok_end = json_number_end(s.p, s.end);
                 if (!tok_end) return false;
                 char buf[64];
-                size_t tl = (size_t)(tok_end - p);
+                size_t tl = (size_t)(tok_end - s.p);
                 if (tl >= sizeof buf) return false;
-                memcpy(buf, p, tl);
+                memcpy(buf, s.p, tl);
                 buf[tl] = 0;
                 char* fend = nullptr;
                 float v = strtof_c(buf, &fend);
@@ -157,35 +161,102 @@ bool parse_search_fast(const std::string& b, std::vector<float>& out,
                 // with json_number_end — bail to the Python path
                 if (fend != buf + tl) return false;
                 out.push_back(v);
-                p = tok_end;
-                ws();
-                if (p < end && *p == ',') { p++; continue; }
-                if (p < end && *p == ']') { p++; break; }
+                s.p = tok_end;
+                s.ws();
+                if (s.p < s.end && *s.p == ',') { s.p++; continue; }
+                if (s.p < s.end && *s.p == ']') { s.p++; break; }
                 return false;
             }
             have_vector = true;
         } else if (klen == 1 && *ks == 'k') {
-            const char* tok_end = json_number_end(p, end);
+            const char* tok_end = json_number_end(s.p, s.end);
             if (!tok_end) return false;
             char* q = nullptr;
-            long kv = strtol(p, &q, 10);
+            long kv = strtol(s.p, &q, 10);
             if (q != tok_end || kv < 0 || kv > 1000000000L) return false;
             k = (int32_t)kv;
-            p = tok_end;
+            s.p = tok_end;
         } else if (klen == 6 && memcmp(ks, "filter", 6) == 0) {
-            if (end - p >= 4 && memcmp(p, "null", 4) == 0) p += 4;
+            if (s.end - s.p >= 4 && memcmp(s.p, "null", 4) == 0) s.p += 4;
             else return false;
         } else {
             return false;
         }
-        ws();
-        if (p < end && *p == ',') { p++; continue; }
-        if (p < end && *p == '}') { p++; break; }
+        s.ws();
+        if (s.p < s.end && *s.p == ',') { s.p++; continue; }
+        if (s.p < s.end && *s.p == '}') { s.p++; break; }
         return false;
     }
-    ws();
-    if (p != end) return false;
-    return have_vector && !out.empty();
+    return have_vector && out.size() > start_count;
+}
+
+// Parse exactly one {"vector":[...], "k"?, "filter":null?} body.
+bool parse_search_fast(const std::string& b, std::vector<float>& out,
+                       int32_t& k) {
+    Scan s{b.data(), b.data() + b.size()};
+    if (!parse_query_object(s, out, k)) return false;
+    s.ws();
+    return s.p == s.end;
+}
+
+// Parse {"queries":[obj, obj, ...]} with optional "filter":null; each obj
+// as in parse_query_object. Outputs per-query (k, float count) plus one
+// flat float buffer. Any surprise -> false (Python path).
+bool parse_batch_search_fast(const std::string& b, std::vector<float>& out,
+                             std::vector<int32_t>& ks,
+                             std::vector<uint32_t>& lens) {
+    Scan s{b.data(), b.data() + b.size()};
+    s.ws();
+    if (s.p >= s.end || *s.p != '{') return false;
+    s.p++;
+    bool have_queries = false;
+    for (;;) {
+        s.ws();
+        if (s.p < s.end && *s.p == '}') { s.p++; break; }
+        if (s.p >= s.end || *s.p != '"') return false;
+        const char* ks_ = ++s.p;
+        while (s.p < s.end && *s.p != '"') {
+            if (*s.p == '\\') return false;
+            s.p++;
+        }
+        if (s.p >= s.end) return false;
+        size_t klen = (size_t)(s.p - ks_);
+        s.p++;
+        s.ws();
+        if (s.p >= s.end || *s.p != ':') return false;
+        s.p++;
+        s.ws();
+        if (klen == 7 && memcmp(ks_, "queries", 7) == 0) {
+            if (have_queries || s.p >= s.end || *s.p != '[') return false;
+            s.p++;
+            for (;;) {
+                s.ws();
+                if (s.p < s.end && *s.p == ']') { s.p++; break; }
+                size_t before = out.size();
+                int32_t k = 10;
+                if (!parse_query_object(s, out, k)) return false;
+                ks.push_back(k);
+                lens.push_back((uint32_t)(out.size() - before));
+                s.ws();
+                if (s.p < s.end && *s.p == ',') { s.p++; continue; }
+                if (s.p < s.end && *s.p == ']') { s.p++; break; }
+                return false;
+            }
+            have_queries = true;
+        } else if (klen == 6 && memcmp(ks_, "filter", 6) == 0) {
+            if (s.end - s.p >= 4 && memcmp(s.p, "null", 4) == 0) s.p += 4;
+            else return false;
+        } else {
+            return false;
+        }
+        s.ws();
+        if (s.p < s.end && *s.p == ',') { s.p++; continue; }
+        if (s.p < s.end && *s.p == '}') { s.p++; break; }
+        return false;
+    }
+    s.ws();
+    if (s.p != s.end) return false;
+    return have_queries && !ks.empty();
 }
 
 const char* reason_of(int status) {
@@ -307,6 +378,25 @@ struct Server {
                     memcpy(&packed[4], &n, 4);
                     memcpy(&packed[8], floats.data(), floats.size() * 4);
                     job.method = 5;
+                    job.body = std::move(packed);
+                }
+            } else if (route == "/search/batch") {
+                std::vector<float> floats;
+                std::vector<int32_t> ks;
+                std::vector<uint32_t> lens;
+                if (parse_batch_search_fast(job.body, floats, ks, lens)) {
+                    // [nq u32] then nq x [k i32][n u32], then the floats
+                    std::string packed;
+                    packed.resize(4 + ks.size() * 8 + floats.size() * 4);
+                    uint32_t nq = (uint32_t)ks.size();
+                    size_t off = 0;
+                    memcpy(&packed[off], &nq, 4); off += 4;
+                    for (size_t i = 0; i < ks.size(); i++) {
+                        memcpy(&packed[off], &ks[i], 4); off += 4;
+                        memcpy(&packed[off], &lens[i], 4); off += 4;
+                    }
+                    memcpy(&packed[off], floats.data(), floats.size() * 4);
+                    job.method = 6;
                     job.body = std::move(packed);
                 }
             }

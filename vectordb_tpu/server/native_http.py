@@ -31,7 +31,8 @@ from ..vector import Vector
 from .routes import Api, _parse_filter, _parse_vector
 
 _METHODS = {0: "GET", 1: "POST", 2: "DELETE", 3: "PUT", 4: "OTHER",
-            5: "SEARCH_FAST"}   # POST /search pre-parsed in C++
+            5: "SEARCH_FAST",    # POST /search pre-parsed in C++
+            6: "BATCH_FAST"}     # POST /search/batch pre-parsed in C++
 _BUF_CAP = 64 * 1024 * 1024
 
 
@@ -88,6 +89,9 @@ class NativeHttpServer:
             if method == "SEARCH_FAST":
                 searches.append((conn_id, body, True))
                 continue
+            if method == "BATCH_FAST":
+                self._batch_search_fast(conn_id, body)
+                continue
             path = unquote(path.partition("?")[0])
             if method == "POST" and path.rstrip("/") == "/search":
                 searches.append((conn_id, body, False))
@@ -104,6 +108,43 @@ class NativeHttpServer:
             self._respond(conn_id, status, payload)
         if searches:
             self._handle_searches(searches)
+
+    def _batch_search_fast(self, conn_id: int, body: bytes) -> None:
+        """POST /search/batch pre-parsed in C++ (method 6): packed
+        [nq u32] + nq x [k i32][len u32] + f32 floats. Same semantics as
+        routes.Api.batch_search: per-query k (default 10), one latency
+        sample for the whole batch."""
+        state = self.api.state
+        try:
+            nq, = struct.unpack_from("<I", body, 0)
+            off = 4
+            metas = []
+            for _ in range(nq):
+                k, ln = struct.unpack_from("<iI", body, off)
+                off += 8
+                metas.append((k, ln))
+            queries = []
+            for k, ln in metas:
+                arr = np.frombuffer(body, np.float32, count=ln, offset=off)
+                off += ln * 4
+                queries.append((Vector(arr), k))
+        except Exception as e:
+            self._respond(conn_id, 400, {"error": str(e)})
+            return
+        start = time.perf_counter()
+        try:
+            with state.lock.read():
+                all_results = state.store.search_batch(queries)
+        except Exception as e:
+            status = 400 if isinstance(e, (VectorDbError, ValueError,
+                                           KeyError, TypeError)) else 500
+            self._respond(conn_id, status, {"error": str(e)})
+            return
+        # one latency sample for the whole batch (routes.rs:365-369)
+        state.metrics.record_query(time.perf_counter() - start)
+        self._respond(conn_id, 200,
+                      [[{"id": r.id, "distance": r.distance} for r in batch]
+                       for batch in all_results])
 
     def _handle_searches(self, searches) -> None:
         """Group compatible /search requests into fused device calls."""
