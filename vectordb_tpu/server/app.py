@@ -149,9 +149,13 @@ def _split_addr(addr: str) -> Tuple[str, int]:
 
 
 def start_flat(addr: str, metric: DistanceMetric,
-               batch_window_ms: float = 0.0, backend: str = "auto") -> None:
+               batch_window_ms: float = 0.0, backend: str = "auto",
+               search_mode: str = "exact", storage: str = "f32") -> None:
     """Serve an in-memory flat-index store (reference: src/server/mod.rs:19-31)."""
-    serve(addr, AppState(VectorStore.with_flat_index(metric)),
+    serve(addr,
+          AppState(VectorStore.with_flat_index(metric,
+                                               search_mode=search_mode,
+                                               storage=storage)),
           batch_window_ms=batch_window_ms, backend=backend)
 
 
