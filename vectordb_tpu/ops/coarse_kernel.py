@@ -738,8 +738,6 @@ def coarse_search(queries, db, db_sq, db_norms, valid, db_hi, db_lo,
     """
     n = db.shape[0]
     t = n // SUB
-    if db_lo is None and db_hi is not None:
-        db_lo = db_hi   # bf16 storage: db IS its own hi, no lo mirror
     if exact:
         m_tiles = min(max(16, int(k) + 6), t)
     else:
@@ -749,9 +747,13 @@ def coarse_search(queries, db, db_sq, db_norms, valid, db_hi, db_lo,
         # 57.3 ms, overlap 0.9988 both at rt=0.99)
         m_tiles = min(max(12, int(k) + 2), t)
     passes = 3 if exact else 1
-    src = "mirrors" if db_hi is not None else "f32"
     if db_hi is None:
+        src = "f32"
         db_hi = db_lo = db  # placeholders; DCE'd under src="f32"
+    else:
+        src = "mirrors"
+        if db_lo is None:   # bf16 storage: db IS its own hi, no lo mirror
+            db_lo = db_hi
     return _coarse_search_jit(
         queries, db, db_sq, db_norms, valid, db_hi, db_lo, metric.value,
         int(k), m_tiles, passes, interpret_mode(), with_cert=exact,

@@ -188,6 +188,7 @@ def _collect_certified(dists, idx, certified, queries_np, q, fb_state,
         i_[rows] = sub_i[:, : i_.shape[1]]
     return d_, i_
 
+
 # Row-tile size for the exact tiled path: small tiles keep the refine pool
 # (k * EXACT_TILE_ROWS rows/query) tiny while the tile-min reduce fuses
 # into the distance matmul.

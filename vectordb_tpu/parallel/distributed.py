@@ -14,7 +14,7 @@ row axis; collectives over ICI instead of a communication backend).
 
 from __future__ import annotations
 
-import functools
+import os
 from typing import List, Optional, Tuple
 
 import jax
@@ -208,7 +208,6 @@ class DistributedFlatIndex:
 
     def _coarse_enabled(self) -> bool:
         from ..ops.coarse_kernel import interpret_mode
-        import os
         if os.environ.get("VDB_TPU_NO_PALLAS"):
             return False
         return jax.default_backend() == "tpu" or interpret_mode()
