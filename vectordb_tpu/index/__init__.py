@@ -3,8 +3,12 @@
 Parity with the reference index layer (src/index.rs, src/flat_index.rs,
 src/hnsw/): an abstract ``Index`` contract plus ``FlatIndex`` (exact,
 device flat scan) and ``HnswIndex`` (approximate, graph traversal).
+``IvfFlatIndex`` goes beyond the reference: a TPU-native inverted-file
+index whose k-means build runs on the MXU (seconds for a million rows)
+with exact per-candidate refine at search.
 """
 
 from .base import Index  # noqa: F401
 from .flat import FlatIndex  # noqa: F401
 from .hnsw import HnswIndex, HnswParams  # noqa: F401
+from .ivf import IvfFlatIndex  # noqa: F401

@@ -81,6 +81,14 @@ class Index(abc.ABC):
         """Size of the slot space masks must cover. 0 until first add."""
         return 0
 
+    @property
+    def slot_layout_version(self) -> int:
+        """Bumped whenever existing IDs' slots are REORDERED wholesale
+        (e.g. an IVF repack). Slot-addressed caches (the store's columnar
+        filter mirror) must rebuild when this changes. Indexes that never
+        move a live ID's slot keep it at 0."""
+        return 0
+
     def slot_of(self, internal_id: int) -> Optional[int]:
         """Packed-storage slot currently holding this internal ID."""
         return None

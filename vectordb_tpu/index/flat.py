@@ -117,6 +117,9 @@ class FlatIndex(Index):
         self._slot_of_id: dict[int, int] = {}
         self._free_slots: list[int] = []
         self._zero_norm_live = 0  # live rows with zero norm (cosine validation)
+        # subclasses that never use the coarse kernel (e.g. IVF) set this
+        # False so sync skips the bf16 mirrors / residual bound
+        self._want_mirrors = True
         # device mirror + dirty tracking
         self._device: Optional[dict] = None
         self._dirty_slots: set[int] = set()
@@ -206,6 +209,12 @@ class FlatIndex(Index):
             if self._dim is not None and dim != self._dim:
                 raise DimensionMismatchError(self._dim, dim)
             self._ensure_storage(dim, self._len + len(items))
+            if self._len == 0 and not self._slot_of_id:
+                ids = np.fromiter((int(i) for i, _ in items), dtype=np.int64,
+                                  count=len(items))
+                if np.unique(ids).size == len(items):
+                    self._bulk_load_fresh(ids, items, dim)
+                    return
             for internal_id, vector in items:
                 arr = as_f32_array(vector)
                 if arr.shape[0] != self._dim:
@@ -215,6 +224,34 @@ class FlatIndex(Index):
                     self._clear_slot(old_slot)
                 slot = self._take_slot()
                 self._write_slot(slot, internal_id, arr)
+
+    def _bulk_load_fresh(self, ids: np.ndarray, items, dim: int) -> None:
+        """Vectorized first-load: an empty index ingesting n distinct IDs
+        fills slots 0..n-1 with array slices instead of n Python-level
+        _write_slot calls (the per-row path costs minutes at 10^6 rows on
+        a single-core host; this is ~100x faster). Called with the lock
+        held, after _ensure_storage."""
+        n = len(items)
+        mat = np.empty((n, dim), dtype=np.float32)
+        for j, (_, vector) in enumerate(items):
+            row = as_f32_array(vector)
+            if row.shape[0] != dim:
+                raise DimensionMismatchError(dim, row.shape[0])
+            mat[j] = row
+        if self.storage == "bf16":
+            mat = _quantize_bf16(mat)
+        self._vectors[:n] = mat
+        sq = np.einsum("ij,ij->i", mat, mat).astype(np.float32)
+        self._sq_norms[:n] = sq
+        self._norms[:n] = np.sqrt(sq)
+        self._valid[:n] = True
+        self._id_of_slot[:n] = ids
+        self._slot_of_id = {int(ids[j]): j for j in range(n)}
+        self._free_slots = [s for s in self._free_slots if s >= n]
+        self._len = n
+        self._zero_norm_live = int((sq == 0.0).sum())
+        self._device = None
+        self._dirty_slots.clear()
 
     def _write_slot(self, slot: int, internal_id: int, arr: np.ndarray) -> None:
         if self.storage == "bf16":
@@ -310,7 +347,10 @@ class FlatIndex(Index):
                 "norms": jnp.asarray(self._norms),
                 "valid": jnp.asarray(self._valid),
             }
-            if _pallas_mirrors_enabled(self._capacity, self._dim, self._mesh):
+            if not self._want_mirrors:
+                pass
+            elif _pallas_mirrors_enabled(self._capacity, self._dim,
+                                         self._mesh):
                 from ..ops.coarse_kernel import (residual_max_norm,
                                                  split_hi_lo)
                 hi, lo = split_hi_lo(self._device["db"])

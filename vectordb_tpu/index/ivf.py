@@ -1,0 +1,342 @@
+"""IVF-Flat: a TPU-native ANN index family beyond the reference.
+
+Motivation (the reference ships flat + HNSW, src/lib.rs:30-47): HNSW's
+sequential pointer-chasing build is host-bound (~10^2 vec/s at 768-d
+scale) while k-means training is pure MXU work — Lloyd iterations are
+matmuls, so an IVF index over a million rows trains in seconds on one
+chip. Search probes the nprobe nearest clusters and exact-refines their
+rows with the same tile-granular gather + f32-highest machinery as the
+flat coarse kernel: returned distances are exact; recall is governed by
+nprobe (tunable per query batch).
+
+Storage reuses FlatIndex wholesale (packed arrays, slot allocator,
+validity mask, device sync, exact masked search). Training reorders the
+packed rows so cluster c owns the contiguous SUB-row tiles
+[c*t_c, (c+1)*t_c) — every cluster padded to the same t_c with dead
+slots (balanced assignment caps skew) — plus a shared spill region that
+every search scans; post-train inserts go to their cluster's free slots,
+then the spill, and the index retrains itself when the spill fills.
+
+Filtered searches (search_masked / store filters) intentionally take the
+exact flat path, so filters stay exact even on this approximate index.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..distance import DistanceMetric
+from ..errors import IndexOpError
+from ..vector import Vector, as_f32_array
+from .flat import FlatIndex
+
+SUB = 16                    # rows per tile (matches ops/coarse_kernel.SUB)
+_TRAIN_SAMPLE_MAX = 1 << 18
+_BALANCE_SLACK = 1.5        # cluster capacity = mean size * slack
+_CANDIDATE_CLUSTERS = 16    # per-row alternatives for balanced assignment
+
+
+class IvfFlatIndex(FlatIndex):
+    """Inverted-file index with exact per-candidate refine."""
+
+    def __init__(self, metric: DistanceMetric, nlist: Optional[int] = None,
+                 nprobe: int = 8, train_iters: int = 10,
+                 spill_frac: float = 0.02, auto_train_min: int = 4096,
+                 seed: int = 0):
+        super().__init__(metric, search_mode="exact")
+        self._want_mirrors = False
+        if nlist is not None and nlist < 2:
+            raise ValueError("nlist must be >= 2")
+        self._nlist_arg = nlist
+        self.nprobe = int(nprobe)
+        self.train_iters = int(train_iters)
+        self.spill_frac = float(spill_frac)
+        self.auto_train_min = int(auto_train_min)
+        self._seed = int(seed)
+        self._layout_version = 0
+        # trained-state
+        self._trained = False
+        self._nlist = 0
+        self._t_c = 0                    # tiles per cluster
+        self._s_t = 0                    # spill tiles
+        self._centroids: Optional[np.ndarray] = None
+        self._centroids_dev = None
+        self._cluster_free: List[List[int]] = []
+        self._spill_free: List[int] = []
+        self._slot_cluster: Optional[np.ndarray] = None
+
+    # -- training ------------------------------------------------------------
+
+    @property
+    def is_trained(self) -> bool:
+        return self._trained
+
+    @property
+    def slot_layout_version(self) -> int:
+        return self._layout_version
+
+    def _auto_nlist(self, n: int) -> int:
+        if self._nlist_arg:
+            return self._nlist_arg
+        return max(8, min(1 << 15, n // 256))
+
+    def train(self) -> None:
+        """Fit centroids on the live rows and repack by cluster."""
+        with self._lock:
+            n = self._len
+            if n < 32:
+                raise IndexOpError("need at least 32 vectors to train IVF")
+            nlist = min(self._auto_nlist(n), n // 4,
+                        min(n, _TRAIN_SAMPLE_MAX))
+            nlist = max(nlist, 2)
+            live = np.nonzero(self._valid)[0]
+            rows = self._vectors[live]                     # (n, d) f32
+            d = rows.shape[1]
+
+            # everything big stays on device: reuse the buffer the index
+            # already syncs for search (the host link is bursty; shipping
+            # the dataset again for training costs minutes at 3 GB)
+            from ..ops.ivf import kmeans_assign_topk_all, kmeans_fit
+            dev_db = self._sync_device()["db"]
+            key = jax.random.PRNGKey(self._seed)
+            if n > _TRAIN_SAMPLE_MAX:
+                sel = np.random.default_rng(self._seed).choice(
+                    live, _TRAIN_SAMPLE_MAX, replace=False)
+                sample = dev_db[jnp.asarray(sel)]         # device gather
+            elif n == self._capacity:
+                sample = dev_db
+            else:
+                sample = dev_db[jnp.asarray(live)]
+            centroids_dev = kmeans_fit(sample, key, nlist,
+                                       self.train_iters)
+            centroids = np.asarray(jax.device_get(centroids_dev))
+
+            # -- balanced assignment (host logic, device scoring) --------
+            cand = min(_CANDIDATE_CLUSTERS, nlist)
+            chunk = max(256, min(1 << 16,
+                                 (1 << 28) // max(nlist, 1)))
+            pref_all = np.asarray(jax.device_get(kmeans_assign_topk_all(
+                dev_db, centroids_dev, cand, chunk)))
+            pref = pref_all[live]
+            cap_rows = int(math.ceil(n / nlist * _BALANCE_SLACK))
+            t_c = max(1, math.ceil(cap_rows / SUB))
+            cap_rows = t_c * SUB
+            # vectorized greedy balance: round r offers every unassigned
+            # row its r-th preference; each cluster takes rows up to its
+            # remaining capacity (grouped positional ranks via argsort)
+            counts = np.zeros(nlist, dtype=np.int64)
+            assign = np.full(n, -1, dtype=np.int64)
+            for r in range(cand):
+                un = np.nonzero(assign < 0)[0]
+                if un.size == 0:
+                    break
+                pc = pref[un, r]
+                order = np.argsort(pc, kind="stable")
+                rows_s, c_s = un[order], pc[order]
+                first = np.r_[True, c_s[1:] != c_s[:-1]]
+                grp_start = np.maximum.accumulate(
+                    np.where(first, np.arange(c_s.size), 0))
+                pos = np.arange(c_s.size) - grp_start
+                take = pos < (cap_rows - counts[c_s])
+                assign[rows_s[take]] = c_s[take]
+                counts += np.bincount(c_s[take], minlength=nlist)
+            # rows whose preferred clusters were all full go to the spill
+            # region, which EVERY search scans — recall-safe by
+            # construction (arbitrary placement would silently hide them
+            # from probing)
+            spill_rows = np.nonzero(assign < 0)[0]
+
+            s_t = max(2, math.ceil(n * self.spill_frac / SUB),
+                      math.ceil(len(spill_rows) / SUB) + 1)
+
+            # -- repack --------------------------------------------------
+            new_cap = (nlist * t_c + s_t) * SUB
+            nv = np.zeros((new_cap, d), np.float32)
+            nvalid = np.zeros(new_cap, bool)
+            nsq = np.zeros(new_cap, np.float32)
+            nnorm = np.zeros(new_cap, np.float32)
+            nids = np.full(new_cap, -1, np.int64)
+            slot_cluster = np.full(new_cap, -1, np.int32)
+            cluster_free: List[List[int]] = []
+            new_slot = np.empty(n, dtype=np.int64)
+            assigned = np.nonzero(assign >= 0)[0]
+            order = np.argsort(assign[assigned], kind="stable")
+            rows_s = assigned[order]
+            c_s = assign[rows_s]
+            first = np.r_[True, c_s[1:] != c_s[:-1]] if c_s.size else \
+                np.zeros(0, bool)
+            grp_start = np.maximum.accumulate(
+                np.where(first, np.arange(c_s.size), 0)) if c_s.size else \
+                np.zeros(0, np.int64)
+            rank = np.arange(c_s.size) - grp_start
+            new_slot[rows_s] = c_s * (t_c * SUB) + rank
+            fill = counts
+            spill_base = nlist * t_c * SUB
+            new_slot[spill_rows] = spill_base + np.arange(len(spill_rows))
+            ns = new_slot
+            nv[ns] = rows
+            nvalid[ns] = True
+            nsq[ns] = self._sq_norms[live]
+            nnorm[ns] = self._norms[live]
+            old_ids = self._id_of_slot[live]
+            nids[ns] = old_ids
+            for c in range(nlist):
+                base = c * t_c * SUB
+                slot_cluster[base:base + t_c * SUB] = c
+                cluster_free.append(
+                    list(range(base + int(fill[c]), base + t_c * SUB)))
+            slot_cluster[spill_base:] = nlist
+            spill_free = list(range(spill_base + len(spill_rows), new_cap))
+
+            self._vectors, self._valid = nv, nvalid
+            self._sq_norms, self._norms, self._id_of_slot = nsq, nnorm, nids
+            self._slot_of_id = {int(old_ids[i]): int(ns[i])
+                                for i in range(n)}
+            self._free_slots = []        # unused while trained
+            self._capacity = new_cap
+            self._device = None
+            self._dirty_slots.clear()
+            self._trained = True
+            self._layout_version += 1   # slots reordered: slot-addressed
+            self._nlist, self._t_c, self._s_t = nlist, t_c, s_t
+            self._centroids = centroids
+            self._centroids_dev = None
+            self._cluster_free = cluster_free
+            self._spill_free = spill_free
+            self._slot_cluster = slot_cluster
+
+    # -- mutation (post-training routing) ------------------------------------
+
+    def _nearest_cluster(self, arr: np.ndarray) -> int:
+        c = self._centroids
+        return int(np.argmin(np.sum(c * c, axis=1) - 2.0 * (c @ arr)))
+
+    def _ivf_release(self, slot: int) -> None:
+        c = int(self._slot_cluster[slot])
+        if c >= self._nlist:
+            self._spill_free.append(slot)
+        else:
+            self._cluster_free[c].append(slot)
+
+    def add(self, internal_id: int, vector: Vector) -> None:
+        with self._lock:
+            if not self._trained:
+                super().add(internal_id, vector)
+                return
+            arr = as_f32_array(vector)
+            if arr.shape[0] != self._dim:
+                from ..errors import DimensionMismatchError
+                raise DimensionMismatchError(self._dim, arr.shape[0])
+            old = self._slot_of_id.get(internal_id)
+            if old is not None:
+                self._clear_slot(old)
+                self._free_slots.clear()
+                self._ivf_release(old)
+            c = self._nearest_cluster(arr)
+            if self._cluster_free[c]:
+                slot = self._cluster_free[c].pop()
+            elif self._spill_free:
+                slot = self._spill_free.pop()
+            else:
+                # spill exhausted: retrain (rebuilds layout), then retry
+                self.train()
+                self.add(internal_id, vector)
+                return
+            self._write_slot(slot, internal_id, arr)
+
+    def remove(self, internal_id: int) -> None:
+        with self._lock:
+            if not self._trained:
+                super().remove(internal_id)
+                return
+            slot = self._slot_of_id.get(internal_id)
+            if slot is None:
+                return
+            self._clear_slot(slot)
+            self._free_slots.clear()
+            self._ivf_release(slot)
+
+    # -- search --------------------------------------------------------------
+
+    def search_batch(self, queries: np.ndarray, k: int,
+                     slot_mask: Optional[np.ndarray] = None
+                     ) -> List[List[Tuple[int, float]]]:
+        with self._lock:
+            if not self._trained and self._len >= self.auto_train_min:
+                self.train()
+            trained = self._trained
+        if not trained or slot_mask is not None:
+            # untrained: exact flat scan. Filtered: exact masked flat scan
+            # (filters stay exact even on this approximate index).
+            return super().search_batch(queries, k, slot_mask=slot_mask)
+        queries = np.asarray(queries, dtype=np.float32)
+        if queries.ndim != 2:
+            from ..errors import InvalidVectorError
+            raise InvalidVectorError("queries must be a (Q, d) array")
+        with self._lock:
+            if self._len == 0 or k <= 0:
+                return [[] for _ in range(queries.shape[0])]
+            if queries.shape[1] != self._dim:
+                from ..errors import DimensionMismatchError
+                raise DimensionMismatchError(self._dim, queries.shape[1])
+            dev = dict(self._sync_device())
+            if self._centroids_dev is None:
+                self._centroids_dev = jnp.asarray(self._centroids)
+            cdev = self._centroids_dev
+            id_of_slot = self._id_of_slot.copy()
+            nprobe = min(self.nprobe, self._nlist)
+            t_c, s_t = self._t_c, self._s_t
+            k_req = min(int(k), self._len)
+            self._searches_in_flight += 1
+        try:
+            from ..ops.ivf import ivf_search
+            from ..ops.topk import next_pow2
+            q = queries.shape[0]
+            q_pad = next_pow2(q, floor=1)
+            qs = queries
+            if q_pad != q:
+                qs = np.concatenate(
+                    [queries, np.zeros((q_pad - q, queries.shape[1]),
+                                       np.float32)])
+            dists, idx = ivf_search(jnp.asarray(qs), dev["db"],
+                                    dev["sq_norms"], dev["norms"],
+                                    dev["valid"], cdev, self._metric,
+                                    k_req, nprobe, t_c, s_t)
+            dists = np.asarray(jax.device_get(dists))[:q]
+            idx = np.asarray(jax.device_get(idx))[:q]
+        finally:
+            with self._lock:
+                self._searches_in_flight -= 1
+        out: List[List[Tuple[int, float]]] = []
+        for qi in range(q):
+            row: List[Tuple[int, float]] = []
+            for j in range(dists.shape[1]):
+                dv = float(dists[qi, j])
+                if not np.isfinite(dv) or len(row) >= k_req:
+                    break
+                row.append((int(id_of_slot[int(idx[qi, j])]), dv))
+            out.append(row)
+        return out
+
+    def search(self, query: Vector, k: int) -> List[Tuple[int, float]]:
+        return self.search_batch(as_f32_array(query).reshape(1, -1), k)[0]
+
+    def search_with_nprobe(self, query: Vector, k: int,
+                           nprobe: int) -> List[Tuple[int, float]]:
+        """Per-call recall/latency knob (the IVF analogue of HNSW's
+        search_with_ef)."""
+        old = self.nprobe
+        try:
+            self.nprobe = int(nprobe)
+            return self.search(query, k)
+        finally:
+            self.nprobe = old
+
+
+__all__ = ["IvfFlatIndex"]

@@ -1,0 +1,235 @@
+"""Device-side IVF-Flat primitives: k-means training + cluster-pruned search.
+
+An index family beyond the reference (which ships flat + HNSW only),
+motivated by the hardware: HNSW's pointer-chasing build is host-bound
+(~10^2 vec/s at scale) while k-means training is pure MXU work (Lloyd
+iterations are matmuls — millions of rows in seconds), and cluster-pruned
+search reuses the same tile-granular gather + exact f32 refine machinery
+as the flat index's coarse kernel, so returned distances are exact and
+recall is governed only by which clusters are probed (nprobe/nlist).
+
+Layout contract (built by index/ivf.py): the packed database is reordered
+so cluster c owns tiles [c*T_c, (c+1)*T_c) of SUB rows each — every
+cluster padded to the same tile count with dead slots — plus a shared
+spill region of S_t tiles at the end that every search scans (post-train
+inserts land there when their cluster is full).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..distance import DistanceMetric
+from .coarse_kernel import SUB
+
+# Peak refine-gather bytes per chunk (same budget class as coarse_kernel).
+_REFINE_BYTES = int(2.5e9)
+
+
+@functools.partial(jax.jit, static_argnames=("nlist", "iters"))
+def kmeans_fit(data, key, nlist: int, iters: int):
+    """Lloyd's k-means on device. data (S, d) f32 -> centroids (nlist, d).
+
+    Init = random distinct-ish rows (uniform sample); each iteration is an
+    (S, d) @ (d, nlist) MXU matmul + a segment-sum update. Empty clusters
+    keep their previous centroid. Default MXU precision — training
+    tolerates bf16 noise.
+    """
+    s, d = data.shape
+    init_idx = jax.random.choice(key, s, shape=(nlist,), replace=False)
+    centroids = data[init_idx]
+    data_sq = jnp.sum(data * data, axis=1)
+
+    def step(centroids, _):
+        c_sq = jnp.sum(centroids * centroids, axis=1)
+        # argmin_c |x - c|^2 over clusters; -2xc + c^2 suffices
+        scores = data @ centroids.T * -2.0 + c_sq[None, :]
+        assign = jnp.argmin(scores, axis=1)
+        sums = jax.ops.segment_sum(data, assign, num_segments=nlist)
+        counts = jax.ops.segment_sum(jnp.ones((s,), jnp.float32), assign,
+                                     num_segments=nlist)
+        new = sums / jnp.maximum(counts, 1.0)[:, None]
+        return jnp.where(counts[:, None] > 0.0, new, centroids), None
+
+    centroids, _ = jax.lax.scan(step, centroids, None, length=iters)
+    return centroids
+
+
+@jax.jit
+def kmeans_assign_scores(data, centroids):
+    """(S, nlist) anti-affinity scores (-2xc + |c|^2): row argmin = nearest
+    centroid; full sorted order is used for balanced overflow assignment."""
+    c_sq = jnp.sum(centroids * centroids, axis=1)
+    return data @ centroids.T * -2.0 + c_sq[None, :]
+
+
+@functools.partial(jax.jit, static_argnames=("cand",))
+def kmeans_assign_topk(data, centroids, cand: int):
+    """Per-row ``cand`` nearest centroids, ascending — selection happens
+    on DEVICE so only an (S, cand) sliver crosses the host link (the full
+    (S, nlist) score matrix is gigabytes at 1M rows)."""
+    scores = kmeans_assign_scores(data, centroids)
+    neg, idx = jax.lax.top_k(-scores, cand)
+    return idx
+
+
+@functools.partial(jax.jit, static_argnames=("cand", "chunk"))
+def kmeans_assign_topk_all(db, centroids, cand: int, chunk: int):
+    """Preference lists for EVERY slot of a device-resident database in
+    one dispatch: internal lax.map chunking bounds the (chunk, nlist)
+    score matrix, and only (cap, cand) int32 ids come back to the host.
+    Avoids re-shipping the database over the (bursty) host link — the
+    caller reuses the buffer the index already synced for search."""
+    cap, d = db.shape
+    cap2 = ((cap + chunk - 1) // chunk) * chunk
+    if cap2 != cap:
+        db = jnp.concatenate(
+            [db, jnp.zeros((cap2 - cap, d), db.dtype)], axis=0)
+
+    def f(blk):
+        scores = kmeans_assign_scores(blk, centroids)
+        return jax.lax.top_k(-scores, cand)[1]
+
+    pref = jax.lax.map(f, db.reshape(cap2 // chunk, chunk, d))
+    return pref.reshape(cap2, cand)[:cap]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("metric_name", "k", "nprobe", "t_c",
+                                    "s_t"))
+def _ivf_search_jit(queries, db, db_sq, db_norms, valid, centroids,
+                    metric_name: str, k: int, nprobe: int, t_c: int,
+                    s_t: int):
+    """Cluster-pruned search. Probes the nprobe nearest clusters (t_c tiles
+    each) plus the s_t spill tiles at the end of the slot space; exact
+    f32-highest refine over the gathered candidates."""
+    metric = DistanceMetric(metric_name)
+    qp, d = queries.shape
+    n = db.shape[0]
+    t_all = n // SUB
+    qsq = jnp.sum(queries * queries, axis=1)
+    qn = jnp.sqrt(qsq)
+
+    # coarse: nearest centroids (euclidean in centroid space for L2/cosine
+    # parity we use the metric's own affinity)
+    if metric is DistanceMetric.DOT_PRODUCT:
+        cscore = -(queries @ centroids.T)
+    elif metric is DistanceMetric.COSINE:
+        cn = jnp.sqrt(jnp.sum(centroids * centroids, axis=1))
+        denom = jnp.maximum(qn[:, None] * cn[None, :], 1e-30)
+        cscore = -((queries @ centroids.T) / denom)
+    else:
+        c_sq = jnp.sum(centroids * centroids, axis=1)
+        cscore = c_sq[None, :] - 2.0 * (queries @ centroids.T)
+    _, probe = jax.lax.top_k(-cscore, nprobe)            # (Qp, nprobe)
+
+    offs_t = jnp.arange(t_c, dtype=jnp.int32)
+    tiles = (probe[:, :, None] * t_c + offs_t[None, None, :]).reshape(
+        qp, nprobe * t_c)
+    m_t = tiles.shape[1]
+
+    db3 = db.reshape(t_all, SUB, d)
+    sq2 = db_sq.reshape(t_all, SUB)
+    nrm2 = db_norms.reshape(t_all, SUB)
+    vld2 = valid.reshape(t_all, SUB)
+    offs = jnp.arange(SUB, dtype=jnp.int32)
+    cand_all = (tiles[:, :, None] * SUB + offs[None, None, :]).reshape(
+        qp, m_t * SUB)
+
+    def refine_chunk(args):
+        t_i, q_i, qs_i, qn_i = args
+        rows = db3[t_i].reshape(-1, m_t * SUB, d)
+        dots = jnp.einsum("qcd,qd->qc", rows, q_i,
+                          preferred_element_type=jnp.float32,
+                          precision="highest")
+        if metric is DistanceMetric.EUCLIDEAN:
+            s2 = qs_i[:, None] + sq2[t_i].reshape(-1, m_t * SUB) \
+                - 2.0 * dots
+        elif metric is DistanceMetric.DOT_PRODUCT:
+            s2 = -dots
+        else:
+            qinv = jnp.where(qn_i == 0.0, 0.0, 1.0 / qn_i)
+            rn = nrm2[t_i].reshape(-1, m_t * SUB)
+            rinv = jnp.where(rn == 0.0, 0.0, 1.0 / rn)
+            s2 = -(dots * qinv[:, None] * rinv)
+        s2 = jnp.where(vld2[t_i].reshape(-1, m_t * SUB), s2, jnp.inf)
+        neg, pos = jax.lax.top_k(-s2, k)
+        return -neg, pos
+
+    chunk = qp
+    while chunk > 64 and chunk * m_t * SUB * d * 4 > _REFINE_BYTES:
+        chunk //= 2
+    if chunk < qp:
+        c = chunk
+        qp2 = ((qp + c - 1) // c) * c
+        if qp2 != qp:
+            pad = qp2 - qp
+            tiles = jnp.concatenate(
+                [tiles, jnp.zeros((pad, m_t), tiles.dtype)], axis=0)
+            queries = jnp.concatenate(
+                [queries, jnp.zeros((pad, d), queries.dtype)], axis=0)
+            qsq = jnp.concatenate([qsq, jnp.zeros((pad,), qsq.dtype)])
+            qn = jnp.concatenate([qn, jnp.zeros((pad,), qn.dtype)])
+        sk, pos = jax.lax.map(
+            refine_chunk,
+            (tiles.reshape(qp2 // c, c, m_t),
+             queries.reshape(qp2 // c, c, d),
+             qsq.reshape(qp2 // c, c), qn.reshape(qp2 // c, c)))
+        sk = sk.reshape(qp2, k)[:qp]
+        pos = pos.reshape(qp2, k)[:qp]
+    else:
+        sk, pos = refine_chunk((tiles, queries, qsq, qn))
+    idx_out = jnp.take_along_axis(cand_all, pos, axis=1)
+
+    if s_t:
+        # Spill region: the SAME rows for every query, so it is scanned
+        # once as a shared (Q, spill_rows) block — gathering it per query
+        # multiplies the traffic by Q (measured 25 GB at Q=256 with a 2.9%
+        # spill) — and merged into the per-query top-k.
+        base = (t_all - s_t) * SUB
+        db_sp = db[base:]
+        dots = jnp.einsum("qd,cd->qc", queries[:qp], db_sp,
+                          preferred_element_type=jnp.float32,
+                          precision="highest")
+        if metric is DistanceMetric.EUCLIDEAN:
+            s2 = qsq[:qp, None] + db_sq[None, base:] - 2.0 * dots
+        elif metric is DistanceMetric.DOT_PRODUCT:
+            s2 = -dots
+        else:
+            qinv = jnp.where(qn[:qp] == 0.0, 0.0, 1.0 / qn[:qp])
+            rn = db_norms[None, base:]
+            rinv = jnp.where(rn == 0.0, 0.0, 1.0 / rn)
+            s2 = -(dots * qinv[:, None] * rinv)
+        s2 = jnp.where(valid[None, base:], s2, jnp.inf)
+        k_sp = min(k, s_t * SUB)
+        neg_sp, pos_sp = jax.lax.top_k(-s2, k_sp)
+        idx_sp = pos_sp + base
+        all_sk = jnp.concatenate([sk, -neg_sp], axis=1)
+        all_idx = jnp.concatenate([idx_out, idx_sp], axis=1)
+        neg_m, pos_m = jax.lax.top_k(-all_sk, k)
+        sk = -neg_m
+        idx_out = jnp.take_along_axis(all_idx, pos_m, axis=1)
+
+    if metric is DistanceMetric.EUCLIDEAN:
+        dists = jnp.where(jnp.isfinite(sk),
+                          jnp.sqrt(jnp.maximum(sk, 0.0)), jnp.inf)
+    elif metric is DistanceMetric.DOT_PRODUCT:
+        dists = sk
+    else:
+        dists = jnp.where(jnp.isfinite(sk),
+                          1.0 + jnp.clip(sk, -1.0, 1.0), jnp.inf)
+    return dists, idx_out
+
+
+def ivf_search(queries, db, db_sq, db_norms, valid, centroids,
+               metric: DistanceMetric, k: int, nprobe: int, t_c: int,
+               s_t: int):
+    return _ivf_search_jit(queries, db, db_sq, db_norms, valid, centroids,
+                           metric.value, int(k), int(nprobe), int(t_c),
+                           int(s_t))
+
+
+__all__ = ["kmeans_fit", "kmeans_assign_scores", "ivf_search"]

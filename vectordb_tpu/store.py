@@ -61,6 +61,7 @@ class VectorStore:
         self._next_id = 0
         self._dimension: Optional[int] = None
         self._columnar = ColumnarMetadata(0)
+        self._columnar_layout = 0   # index slot-layout version mirrored
 
     # -- constructors (reference: src/storage.rs:97-127) --------------------
 
@@ -127,6 +128,21 @@ class VectorStore:
         self._id_to_internal[id] = internal_id
         self._internal_to_id[internal_id] = id
         return internal_id
+
+    def _ensure_columnar_current(self) -> None:
+        """Rebuild the slot-addressed columnar mirror if the index has
+        reordered its slot layout (IVF repack bumps slot_layout_version)."""
+        ver = getattr(self._index, "slot_layout_version", 0)
+        if ver == self._columnar_layout:
+            return
+        self._columnar = ColumnarMetadata(self._index.capacity)
+        for iid, meta in self._metadata.items():
+            if meta.is_empty():
+                continue
+            slot = self._index.slot_of(iid)
+            if slot is not None:
+                self._columnar.set_slot(slot, meta)
+        self._columnar_layout = ver
 
     def _record_metadata(self, internal_id: int, metadata: Metadata) -> None:
         self._metadata[internal_id] = metadata
@@ -241,6 +257,7 @@ class VectorStore:
         if self.is_empty():
             return []
         self._check_query_dim(query)
+        self._ensure_columnar_current()
         mask = self._columnar.compile_mask(filter) \
             if self._columnar.capacity else None
         if mask is not None:
@@ -290,6 +307,7 @@ class VectorStore:
             return [[] for _ in queries]
         for q, _ in queries:
             self._check_query_dim(q)
+        self._ensure_columnar_current()
         mask = self._columnar.compile_mask(filter) \
             if self._columnar.capacity else None
         if mask is not None and isinstance(self._index, FlatIndex):
@@ -341,6 +359,8 @@ class VectorStore:
             slot = self._index.slot_of(iid)
             if slot is not None:
                 self._columnar.set_slot(slot, meta)
+        self._columnar_layout = getattr(self._index,
+                                        "slot_layout_version", 0)
 
     @property
     def next_internal_id(self) -> int:
