@@ -43,10 +43,11 @@ def test_train_and_recall_euclidean(rng):
     recall = np.mean([len({i for i, _ in got} & set(w.tolist())) / k
                       for got, w in zip(results, want)])
     assert recall >= 0.9, recall
-    # distances of returned ids must be exact
-    for got in results[:5]:
+    # distances of returned ids must be the exact euclidean values
+    for qi, got in enumerate(results[:5]):
         for rid, dist in got:
-            ref = float(np.linalg.norm(queries[0] - db[rid])) if False else None
+            ref = float(np.linalg.norm(queries[qi] - db[rid]))
+            assert abs(dist - ref) < 1e-3, (rid, dist, ref)
     # ascending order
     for got in results:
         dd = [dv for _, dv in got]
@@ -181,3 +182,76 @@ def test_store_with_ivf_and_exact_filters(rng):
     d2 = np.linalg.norm(db[want_pool] - (db[6] + 0.001), axis=1)
     want_ids = [want_pool[j] for j in np.argsort(d2, kind="stable")[:k]]
     assert [int(r.id[1:]) for r in fres] == want_ids
+
+
+def test_filtered_search_does_not_auto_train(rng):
+    """Review regression: a slot mask compiled against the current layout
+    must not be invalidated by auto-training inside the same call."""
+    n, d, k = 4500, 12, 5
+    db = _clustered(rng, n, d)
+    store = VectorStore.with_index(
+        IvfFlatIndex(DistanceMetric.EUCLIDEAN, nlist=16, nprobe=16,
+                     auto_train_min=4096, seed=9))
+    for i in range(n):
+        store.insert_with_metadata(f"v{i}", Vector(db[i]),
+                                   Metadata({"grp": str(i % 3)}))
+    assert not store.index.is_trained
+    # FIRST operation is a filtered search: must be exact, not auto-train
+    flt = MetadataFilter.eq("grp", "1")
+    fres = store.search_with_filter(Vector(db[4] + 0.001), k, flt)
+    assert not store.index.is_trained
+    want_pool = [i for i in range(n) if i % 3 == 1]
+    d2 = np.linalg.norm(db[want_pool] - (db[4] + 0.001), axis=1)
+    want_ids = [want_pool[j] for j in np.argsort(d2, kind="stable")[:k]]
+    assert [int(r.id[1:]) for r in fres] == want_ids
+    # after explicit training, filters must STILL be exact (mask compiled
+    # against the post-repack layout via the version handshake)
+    store.index.train()
+    fres2 = store.search_with_filter(Vector(db[4] + 0.001), k, flt)
+    assert [int(r.id[1:]) for r in fres2] == want_ids
+
+
+def test_k_larger_than_candidate_pool_falls_back_exact(rng):
+    """Review regression: k beyond nprobe*t_c*SUB must not crash top_k —
+    it takes the exact flat scan instead."""
+    n, d = 2000, 16
+    db = _clustered(rng, n, d, n_centers=16)
+    idx = IvfFlatIndex(DistanceMetric.EUCLIDEAN, nlist=32, nprobe=1,
+                       seed=10)
+    idx.add_batch([(i, db[i]) for i in range(n)])
+    idx.train()
+    pool = 1 * idx._t_c * 16
+    k = pool + 50
+    res = idx.search_batch(db[:3] + 0.001, k)
+    want = _flat_topk(db[:3] + 0.001, db, DistanceMetric.EUCLIDEAN, k)
+    for got, w in zip(res, want):
+        assert [i for i, _ in got] == [int(x) for x in w]
+    # nprobe=0 clamps to 1 rather than crashing
+    assert idx.search_with_nprobe(Vector(db[0]), 3, 0)
+
+
+def test_cosine_zero_vector_raises_after_training(rng):
+    from vectordb_tpu.errors import InvalidVectorError
+
+    n, d = 2000, 8
+    db = _clustered(rng, n, d) + 3.0
+    idx = IvfFlatIndex(DistanceMetric.COSINE, nlist=16, nprobe=4, seed=11)
+    idx.add_batch([(i, db[i]) for i in range(n)])
+    idx.train()
+    with pytest.raises(InvalidVectorError):
+        idx.search_batch(np.zeros((1, d), np.float32), 3)
+
+
+def test_bulk_load_applies_prefix_on_dimension_error(rng):
+    """Review regression: the vectorized first-load keeps the reference's
+    apply-prefix-then-raise add_batch semantics."""
+    from vectordb_tpu.errors import DimensionMismatchError
+    from vectordb_tpu.index import FlatIndex
+
+    idx = FlatIndex(DistanceMetric.EUCLIDEAN)
+    good = rng.standard_normal((5, 8)).astype(np.float32)
+    bad = rng.standard_normal(4).astype(np.float32)
+    with pytest.raises(DimensionMismatchError):
+        idx.add_batch([(0, good[0]), (1, good[1]), (2, bad), (3, good[3])])
+    assert len(idx) == 2
+    assert idx.get_vector(1) is not None and idx.get_vector(2) is None

@@ -233,11 +233,20 @@ class FlatIndex(Index):
         held, after _ensure_storage."""
         n = len(items)
         mat = np.empty((n, dim), dtype=np.float32)
+        error = None
         for j, (_, vector) in enumerate(items):
             row = as_f32_array(vector)
             if row.shape[0] != dim:
-                raise DimensionMismatchError(dim, row.shape[0])
+                # reference add_batch semantics: the accepted PREFIX is
+                # applied before the error surfaces (storage.rs:293-298)
+                error = DimensionMismatchError(dim, row.shape[0])
+                n = j
+                mat = mat[:n]
+                ids = ids[:n]
+                break
             mat[j] = row
+        if n == 0 and error is not None:
+            raise error
         if self.storage == "bf16":
             mat = _quantize_bf16(mat)
         self._vectors[:n] = mat
@@ -252,6 +261,8 @@ class FlatIndex(Index):
         self._zero_norm_live = int((sq == 0.0).sum())
         self._device = None
         self._dirty_slots.clear()
+        if error is not None:
+            raise error
 
     def _write_slot(self, slot: int, internal_id: int, arr: np.ndarray) -> None:
         if self.storage == "bf16":

@@ -265,16 +265,21 @@ class IvfFlatIndex(FlatIndex):
     # -- search --------------------------------------------------------------
 
     def search_batch(self, queries: np.ndarray, k: int,
-                     slot_mask: Optional[np.ndarray] = None
+                     slot_mask: Optional[np.ndarray] = None,
+                     nprobe: Optional[int] = None
                      ) -> List[List[Tuple[int, float]]]:
+        if slot_mask is not None:
+            # Exact masked flat scan, and NO auto-train here: the caller
+            # compiled the mask against the CURRENT slot layout, and
+            # training repacks every slot (a stale mask would silently
+            # filter the wrong rows).
+            return super().search_batch(queries, k, slot_mask=slot_mask)
         with self._lock:
             if not self._trained and self._len >= self.auto_train_min:
                 self.train()
             trained = self._trained
-        if not trained or slot_mask is not None:
-            # untrained: exact flat scan. Filtered: exact masked flat scan
-            # (filters stay exact even on this approximate index).
-            return super().search_batch(queries, k, slot_mask=slot_mask)
+        if not trained:
+            return super().search_batch(queries, k)
         queries = np.asarray(queries, dtype=np.float32)
         if queries.ndim != 2:
             from ..errors import InvalidVectorError
@@ -285,14 +290,27 @@ class IvfFlatIndex(FlatIndex):
             if queries.shape[1] != self._dim:
                 from ..errors import DimensionMismatchError
                 raise DimensionMismatchError(self._dim, queries.shape[1])
+            if self._metric is DistanceMetric.COSINE:
+                # reference-parity zero-vector semantics, same as the
+                # flat path
+                from ..distance import validate_cosine_operands
+                qn = np.sqrt(np.sum(queries * queries, axis=1))
+                validate_cosine_operands(self._metric,
+                                         float(qn.min(initial=np.inf)),
+                                         self._zero_norm_live)
+            np_eff = max(1, min(int(nprobe if nprobe is not None
+                                    else self.nprobe), self._nlist))
+            k_req = min(int(k), self._len)
+            if k_req > np_eff * self._t_c * SUB:
+                # candidate pool smaller than k: probing cannot honor the
+                # contract (FlatIndex serves any k <= len) — exact scan
+                return super().search_batch(queries, k)
             dev = dict(self._sync_device())
             if self._centroids_dev is None:
                 self._centroids_dev = jnp.asarray(self._centroids)
             cdev = self._centroids_dev
             id_of_slot = self._id_of_slot.copy()
-            nprobe = min(self.nprobe, self._nlist)
             t_c, s_t = self._t_c, self._s_t
-            k_req = min(int(k), self._len)
             self._searches_in_flight += 1
         try:
             from ..ops.ivf import ivf_search
@@ -307,7 +325,7 @@ class IvfFlatIndex(FlatIndex):
             dists, idx = ivf_search(jnp.asarray(qs), dev["db"],
                                     dev["sq_norms"], dev["norms"],
                                     dev["valid"], cdev, self._metric,
-                                    k_req, nprobe, t_c, s_t)
+                                    k_req, np_eff, t_c, s_t)
             dists = np.asarray(jax.device_get(dists))[:q]
             idx = np.asarray(jax.device_get(idx))[:q]
         finally:
@@ -330,13 +348,10 @@ class IvfFlatIndex(FlatIndex):
     def search_with_nprobe(self, query: Vector, k: int,
                            nprobe: int) -> List[Tuple[int, float]]:
         """Per-call recall/latency knob (the IVF analogue of HNSW's
-        search_with_ef)."""
-        old = self.nprobe
-        try:
-            self.nprobe = int(nprobe)
-            return self.search(query, k)
-        finally:
-            self.nprobe = old
+        search_with_ef). Passed through as an argument — mutating
+        self.nprobe here would race concurrent searches."""
+        return self.search_batch(as_f32_array(query).reshape(1, -1), k,
+                                 nprobe=int(nprobe))[0]
 
 
 __all__ = ["IvfFlatIndex"]

@@ -66,16 +66,6 @@ def kmeans_assign_scores(data, centroids):
     return data @ centroids.T * -2.0 + c_sq[None, :]
 
 
-@functools.partial(jax.jit, static_argnames=("cand",))
-def kmeans_assign_topk(data, centroids, cand: int):
-    """Per-row ``cand`` nearest centroids, ascending — selection happens
-    on DEVICE so only an (S, cand) sliver crosses the host link (the full
-    (S, nlist) score matrix is gigabytes at 1M rows)."""
-    scores = kmeans_assign_scores(data, centroids)
-    neg, idx = jax.lax.top_k(-scores, cand)
-    return idx
-
-
 @functools.partial(jax.jit, static_argnames=("cand", "chunk"))
 def kmeans_assign_topk_all(db, centroids, cand: int, chunk: int):
     """Preference lists for EVERY slot of a device-resident database in
@@ -139,6 +129,10 @@ def _ivf_search_jit(queries, db, db_sq, db_norms, valid, centroids,
     cand_all = (tiles[:, :, None] * SUB + offs[None, None, :]).reshape(
         qp, m_t * SUB)
 
+    # NOTE: this repeats ops/topk._exact_rerank's per-metric refine math
+    # rather than calling it — the tile-granular gather shape (contiguous
+    # (SUB, d) blocks) and the query chunking are deliberate here; keep
+    # the two in sync if the refine conventions ever change.
     def refine_chunk(args):
         t_i, q_i, qs_i, qn_i = args
         rows = db3[t_i].reshape(-1, m_t * SUB, d)
@@ -232,4 +226,4 @@ def ivf_search(queries, db, db_sq, db_norms, valid, centroids,
                            int(s_t))
 
 
-__all__ = ["kmeans_fit", "kmeans_assign_scores", "ivf_search"]
+__all__ = ["kmeans_fit", "kmeans_assign_topk_all", "ivf_search"]
