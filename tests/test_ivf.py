@@ -255,3 +255,32 @@ def test_bulk_load_applies_prefix_on_dimension_error(rng):
         idx.add_batch([(0, good[0]), (1, good[1]), (2, bad), (3, good[3])])
     assert len(idx) == 2
     assert idx.get_vector(1) is not None and idx.get_vector(2) is None
+
+
+def test_engine_ivf_mode_roundtrip(rng, tmp_path):
+    """Persistent mode with --index ivf: vectors+metadata survive reopen;
+    the cluster layout retrains on demand after recovery."""
+    from vectordb_tpu.persistence import EngineConfig, StorageEngine
+
+    cfg = EngineConfig(checkpoint_interval=100,
+                       metric=DistanceMetric.EUCLIDEAN, index_type="ivf")
+    db = _clustered(rng, 300, 8)
+    with StorageEngine.open(tmp_path, cfg) as eng:
+        for i in range(300):
+            eng.insert(f"v{i}", Vector(db[i]))
+        assert eng.search(Vector(db[5] + 0.001), 3)[0].id == "v5"
+    with StorageEngine.open(tmp_path, cfg) as eng:
+        assert len(eng) == 300
+        res = eng.search(Vector(db[5] + 0.001), 3)
+        assert res[0].id == "v5"
+        eng.store.index.train()
+        assert eng.search(Vector(db[7] + 0.001), 1)[0].id == "v7"
+
+
+def test_cli_index_ivf(tmp_path):
+    from vectordb_tpu.cli import main
+    d = tmp_path / "data"
+    assert main(["--index", "ivf", "--data-dir", str(d), "insert", "a",
+                 "--vector", "1,2,3"]) == 0
+    assert main(["--index", "ivf", "--data-dir", str(d), "search", "1,2,3",
+                 "-k", "1"]) == 0

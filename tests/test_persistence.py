@@ -433,7 +433,7 @@ class TestEngineBatchAndHnsw:
 
     def test_engine_unknown_index_type(self, backend, tmp_path):
         with pytest.raises(ValueError):
-            StorageEngine.open(tmp_path, EngineConfig(index_type="ivf"))
+            StorageEngine.open(tmp_path, EngineConfig(index_type="annoy"))
 
 
 class TestCorruptInputs:

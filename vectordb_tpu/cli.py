@@ -28,7 +28,8 @@ def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(
         prog="vectordb-tpu",
         description="A TPU-native vector database built from scratch")
-    parser.add_argument("--index", choices=["flat", "hnsw"], default="flat",
+    parser.add_argument("--index", choices=["flat", "hnsw", "ivf"],
+                        default="flat",
                         help="Index type to use for search")
     parser.add_argument("--data-dir", default=None,
                         help="Data directory for persistence. If set, data "
@@ -129,6 +130,15 @@ def main(argv: Optional[List[str]] = None) -> int:
                       file=sys.stderr)
                 return 1
             from .server import start_flat, start_hnsw
+            if args.index == "ivf":
+                from .index.ivf import IvfFlatIndex
+                from .server.app import AppState, serve
+                serve(args.addr,
+                      AppState(VectorStore.with_index(
+                          IvfFlatIndex(metric))),
+                      batch_window_ms=args.batch_window_ms,
+                      backend=args.http)
+                return 0
             if args.index == "hnsw":
                 start_hnsw(args.addr, metric, HnswParams(),
                            batch_window_ms=args.batch_window_ms,
@@ -150,7 +160,10 @@ def main(argv: Optional[List[str]] = None) -> int:
             with StorageEngine.open(args.data_dir, config) as engine:
                 return _run_commands(engine, args)
 
-        if args.index == "hnsw":
+        if args.index == "ivf":
+            from .index.ivf import IvfFlatIndex
+            store = VectorStore.with_index(IvfFlatIndex(metric))
+        elif args.index == "hnsw":
             store = VectorStore.with_index(HnswIndex(metric, HnswParams()))
         else:
             from .index.flat import FlatIndex

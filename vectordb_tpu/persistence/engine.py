@@ -43,13 +43,15 @@ class EngineConfig:
 
     ``index_type`` extends the reference (which hard-wires persistence to
     the flat index, engine.rs:33): "hnsw" persists the same vector+metadata
-    state and rebuilds the graph on recovery. ``mesh`` (a
+    state and rebuilds the graph on recovery; "ivf" does the same and
+    retrains the cluster layout on first search (MXU k-means — seconds,
+    not the hours an HNSW rebuild costs at scale). ``mesh`` (a
     jax.sharding.Mesh) makes recovery hydrate the packed database directly
     into row-sharded device storage — the multi-chip resume path.
     """
     checkpoint_interval: int = 1000
     metric: DistanceMetric = DistanceMetric.EUCLIDEAN
-    index_type: str = "flat"        # "flat" | "hnsw"
+    index_type: str = "flat"        # "flat" | "hnsw" | "ivf"
     hnsw_params: Optional[object] = None
     mesh: Optional[object] = None   # jax.sharding.Mesh for sharded storage
     search_mode: str = "exact"      # flat scan mode: "exact" | "fast"
@@ -67,6 +69,10 @@ class StorageEngine:
             params = self.config.hnsw_params or HnswParams()
             self.store = VectorStore.with_index(
                 HnswIndex(self.config.metric, params))
+        elif self.config.index_type == "ivf":
+            from ..index.ivf import IvfFlatIndex
+            self.store = VectorStore.with_index(
+                IvfFlatIndex(self.config.metric))
         elif self.config.index_type == "flat":
             from ..index.flat import FlatIndex
             self.store = VectorStore.with_index(FlatIndex(
