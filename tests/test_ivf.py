@@ -284,3 +284,40 @@ def test_cli_index_ivf(tmp_path):
                  "--vector", "1,2,3"]) == 0
     assert main(["--index", "ivf", "--data-dir", str(d), "search", "1,2,3",
                  "-k", "1"]) == 0
+
+
+def test_concurrent_search_during_train(rng):
+    """Searches racing a train() must stay consistent: each search sees
+    either the pre-repack or post-repack snapshot, never a mix."""
+    import threading
+
+    n, d, k = 4000, 16, 5
+    db = _clustered(rng, n, d)
+    idx = IvfFlatIndex(DistanceMetric.EUCLIDEAN, nlist=32, nprobe=32,
+                       seed=12)
+    idx.add_batch([(i, db[i]) for i in range(n)])
+    queries = db[:8] + 0.001
+    want = [int(w) for w in _flat_topk(queries, db,
+                                       DistanceMetric.EUCLIDEAN, 1)[:, 0]]
+    errors = []
+    stop = threading.Event()
+
+    def searcher():
+        while not stop.is_set():
+            try:
+                res = idx.search_batch(queries, k)
+                got = [row[0][0] for row in res]
+                if got != want:
+                    errors.append(("mismatch", got))
+            except Exception as e:   # pragma: no cover
+                errors.append(("raised", repr(e)))
+
+    threads = [threading.Thread(target=searcher) for _ in range(3)]
+    for t in threads:
+        t.start()
+    idx.train()
+    idx.train()   # retrain while searches continue
+    stop.set()
+    for t in threads:
+        t.join()
+    assert not errors, errors[:3]
