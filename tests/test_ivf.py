@@ -321,3 +321,24 @@ def test_concurrent_search_during_train(rng):
     for t in threads:
         t.join()
     assert not errors, errors[:3]
+
+
+def test_huge_nprobe_falls_back_to_exact_scan(rng):
+    """Review-of-experiment regression: probing most of the database must
+    take the flat scan (the per-query gather would exceed memory), not
+    attempt a 10^5-candidate gather."""
+    n, d, k = 3000, 16, 5
+    db = _clustered(rng, n, d)
+    idx = IvfFlatIndex(DistanceMetric.EUCLIDEAN, nlist=32, seed=13)
+    idx.add_batch([(i, db[i]) for i in range(n)])
+    idx.train()
+    import vectordb_tpu.index.ivf as ivf_mod
+    old = ivf_mod._MAX_CANDIDATES
+    try:
+        ivf_mod._MAX_CANDIDATES = 256   # force the cap with a small db
+        res = idx.search_batch(db[:3] + 0.001, k, nprobe=32)
+        want = _flat_topk(db[:3] + 0.001, db, DistanceMetric.EUCLIDEAN, k)
+        for got, w in zip(res, want):
+            assert [i for i, _ in got] == [int(x) for x in w]
+    finally:
+        ivf_mod._MAX_CANDIDATES = old

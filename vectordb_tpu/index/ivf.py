@@ -37,6 +37,9 @@ from ..vector import Vector, as_f32_array
 from .flat import FlatIndex
 
 SUB = 16                    # rows per tile (matches ops/coarse_kernel.SUB)
+# Above this many gathered candidate rows per query the probed path is
+# slower than a full scan and its per-query gather can exceed HBM.
+_MAX_CANDIDATES = 1 << 16
 _TRAIN_SAMPLE_MAX = 1 << 18
 _BALANCE_SLACK = 1.5        # cluster capacity = mean size * slack
 _CANDIDATE_CLUSTERS = 16    # per-row alternatives for balanced assignment
@@ -301,9 +304,11 @@ class IvfFlatIndex(FlatIndex):
             np_eff = max(1, min(int(nprobe if nprobe is not None
                                     else self.nprobe), self._nlist))
             k_req = min(int(k), self._len)
-            if k_req > np_eff * self._t_c * SUB:
-                # candidate pool smaller than k: probing cannot honor the
-                # contract (FlatIndex serves any k <= len) — exact scan
+            pool = np_eff * self._t_c * SUB
+            if k_req > pool or pool > _MAX_CANDIDATES:
+                # pool smaller than k (probing cannot honor FlatIndex's
+                # any-k contract) OR so large that the per-query gather
+                # would dwarf a full scan (and can exceed HBM): exact scan
                 return super().search_batch(queries, k)
             dev = dict(self._sync_device())
             if self._centroids_dev is None:
