@@ -68,8 +68,11 @@ def test_add_sub_roundtrip_or_dim_error(a, b):
         return
     s = va + vb
     back = s - vb
+    # (a+b)-b loses a's low bits when |b| >> |a| (f32 absorption), so the
+    # tolerance must scale with the absorbing magnitude
+    scale = float(np.max(np.abs(vb.as_array()), initial=1.0))
     np.testing.assert_allclose(back.as_array(), va.as_array(),
-                               rtol=1e-4, atol=1e-3)
+                               rtol=1e-4, atol=1e-3 + 4e-7 * scale)
 
 
 @LIGHT
