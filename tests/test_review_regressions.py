@@ -386,3 +386,127 @@ def test_flat_kernel_refine_requests_highest_precision():
     assert precisions, "expected the refine's batched dot in the jaxpr"
     assert all(p == (Precision.HIGHEST, Precision.HIGHEST)
                for p in precisions), precisions
+
+
+# ---- round-2 advisor findings -------------------------------------------
+
+def test_ivf_trained_add_batch_routes_through_clusters(rng):
+    """add_batch on a TRAINED IVF index must route rows through cluster
+    placement — the inherited packed bulk path grew capacity outside the
+    trained layout, breaking probed search and remove()."""
+    from vectordb_tpu.index import IvfFlatIndex
+    n, d = 800, 16
+    db = rng.standard_normal((n, d)).astype(np.float32)
+    idx = IvfFlatIndex(DistanceMetric.EUCLIDEAN, nlist=8, nprobe=8, seed=3)
+    idx.add_batch([(i, db[i]) for i in range(n)])
+    idx.train()
+    cap_before = idx.capacity
+    new = rng.standard_normal((16, d)).astype(np.float32)
+    idx.add_batch([(n + i, new[i]) for i in range(16)])
+    assert idx.capacity == cap_before, "rows left the trained layout"
+    # exact-match probed queries must find the batch-inserted rows
+    res = idx.search_batch(new, 1)
+    assert [r[0][0] for r in res] == [n + i for i in range(16)]
+    # and removal must work (stale _slot_cluster used to raise IndexError)
+    for i in range(16):
+        idx.remove(n + i)
+    assert len(idx) == n
+
+
+def test_bf16_storage_exact_when_tier1_disabled(rng, monkeypatch):
+    """storage="bf16" with the 1-pass tier env-disabled must NOT run the
+    bf16x3 pipeline with an aliased lo mirror (which double-counted the
+    hi*qhi term under a still-passing certificate); the blockwise widening
+    scan serves instead, exact over the stored values."""
+    monkeypatch.setenv("VDB_TPU_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("VDB_TPU_EXACT1P", "0")
+    import ml_dtypes
+    from vectordb_tpu.index.flat import FlatIndex
+    n, d, k = 2048, 32, 8
+    db = rng.standard_normal((n, d)).astype(np.float32)
+    idx = FlatIndex(DistanceMetric.EUCLIDEAN, storage="bf16")
+    idx.add_batch([(i, db[i]) for i in range(n)])
+    stored = db.astype(ml_dtypes.bfloat16).astype(np.float32)
+    res = idx.search_batch(db[:8], k)
+    for qi in range(8):
+        exact = np.linalg.norm(stored - db[qi], axis=1)
+        got_d = [dv for _, dv in res[qi]]
+        # every returned distance is the true distance of its id (2e-3
+        # absolute allows the expansion formula's f32 cancellation on
+        # near-self matches; the aliasing bug produced ~1e-1 errors)
+        for rid, dv in res[qi]:
+            assert abs(dv - float(exact[rid])) < 2e-3, (rid, dv, exact[rid])
+        # and the returned set IS the top-k by value
+        want_kth = float(np.sort(exact)[k - 1])
+        assert abs(got_d[-1] - want_kth) < 2e-3, (got_d[-1], want_kth)
+
+
+def test_filtered_search_survives_concurrent_retrain(rng, monkeypatch):
+    """A retrain that repacks slots between mask compilation and the
+    masked scan must not silently filter the wrong rows: the index raises
+    StaleSlotMaskError under its lock and the store recompiles."""
+    from vectordb_tpu.index import IvfFlatIndex
+    from vectordb_tpu.metadata import ColumnarMetadata
+    n, d, k = 600, 8, 5
+    db = rng.standard_normal((n, d)).astype(np.float32)
+    store = VectorStore.with_index(
+        IvfFlatIndex(DistanceMetric.EUCLIDEAN, nlist=4, nprobe=4,
+                     auto_train_min=10 ** 9, seed=2))
+    for i in range(n):
+        store.insert_with_metadata(
+            f"v{i}", Vector(db[i]),
+            Metadata({"group": "a" if i % 3 == 0 else "b"}))
+    store.index.train()
+    ver0 = store.index.slot_layout_version
+
+    calls = {"n": 0}
+    orig = ColumnarMetadata.compile_mask
+
+    def train_after_compiling(self, filt):
+        mask = orig(self, filt)
+        if calls["n"] < 2:
+            calls["n"] += 1
+            store.index.train()   # repack: invalidates the mask just made
+        return mask
+
+    monkeypatch.setattr(ColumnarMetadata, "compile_mask",
+                        train_after_compiling)
+    filt = MetadataFilter.from_dict({"op": "eq", "field": "group",
+                                     "value": "a"})
+    res = store.search_with_filter(Vector(db[0]), k, filt)
+    assert store.index.slot_layout_version >= ver0 + 2
+    assert calls["n"] == 2, "masked search should have retried twice"
+    # exact filtered oracle over group == "a"
+    ids_a = np.array([i for i in range(n) if i % 3 == 0])
+    exact = np.linalg.norm(db[ids_a] - db[0], axis=1)
+    want = [f"v{ids_a[j]}" for j in np.argsort(exact, kind="stable")[:k]]
+    assert [r.id for r in res] == want
+    # batch API takes the same guarded path
+    calls["n"] = 0
+    bres = store.search_batch_with_filter([(Vector(db[0]), k)], filt)
+    assert [r.id for r in bres[0]] == want
+
+
+def test_ivf_probed_path_honors_any_k_with_sparse_clusters(rng):
+    """Probing clusters whose live rows thinned below k (deletes) must
+    still return k results when the index holds >= k live rows."""
+    from vectordb_tpu.index import IvfFlatIndex
+    d = 8
+    blob0 = rng.standard_normal((40, d)).astype(np.float32) * 0.05
+    blob1 = (rng.standard_normal((472, d)).astype(np.float32) * 0.05
+             + np.float32(10.0))
+    db = np.concatenate([blob0, blob1])
+    idx = IvfFlatIndex(DistanceMetric.EUCLIDEAN, nlist=2, nprobe=1,
+                       auto_train_min=10 ** 9, seed=4)
+    idx.add_batch([(i, db[i]) for i in range(len(db))])
+    idx.train()
+    for i in range(35):          # thin out blob 0's cluster
+        idx.remove(i)
+    k = 20
+    res = idx.search_batch(np.zeros((1, d), np.float32), k)
+    assert len(res[0]) == k, f"got {len(res[0])} results, want {k}"
+    dd = [dv for _, dv in res[0]]
+    assert dd == sorted(dd)
+    # the 5 surviving blob-0 rows must lead the results
+    lead = {rid for rid, _ in res[0][:5]}
+    assert lead == set(range(35, 40)), lead

@@ -68,3 +68,17 @@ class IndexOpError(VectorDbError):
     def __init__(self, reason: str):
         self.reason = reason
         super().__init__(f"Index error: {reason}")
+
+
+class StaleSlotMaskError(VectorDbError):
+    """Internal: a precompiled slot mask no longer matches the index's slot
+    layout (a concurrent retrain repacked the slots between mask
+    compilation and the masked scan). The store catches this and
+    recompiles the mask against the new layout."""
+
+    def __init__(self, expected_version: int, actual_version: int):
+        self.expected_version = expected_version
+        self.actual_version = actual_version
+        super().__init__(
+            f"slot mask compiled for layout v{expected_version}, index is "
+            f"at v{actual_version}")

@@ -66,12 +66,16 @@ class Index(abc.ABC):
         return [self.search(Vector(queries[i]), k)
                 for i in range(queries.shape[0])]
 
-    def search_masked(self, query: Vector, k: int,
-                      slot_mask: np.ndarray) -> Optional[List[Tuple[int, float]]]:
+    def search_masked(self, query: Vector, k: int, slot_mask: np.ndarray,
+                      mask_layout_version: Optional[int] = None
+                      ) -> Optional[List[Tuple[int, float]]]:
         """Exact filtered search over a bool[capacity] slot mask (see
         ``slot_of``/``capacity``). Returns None when the backend cannot do
         exact masked search (the store then falls back to over-fetch
-        post-filtering, the reference's strategy at src/storage.rs:268-287)."""
+        post-filtering, the reference's strategy at src/storage.rs:268-287).
+        ``mask_layout_version``: the slot_layout_version the mask was
+        compiled against; backends that repack slots raise
+        StaleSlotMaskError on mismatch so the caller can recompile."""
         return None
 
     # -- slot addressing (for columnar metadata masks) ----------------------

@@ -432,13 +432,25 @@ class FlatIndex(Index):
         return results[0]
 
     def search_batch(self, queries: np.ndarray, k: int,
-                     slot_mask: Optional[np.ndarray] = None
+                     slot_mask: Optional[np.ndarray] = None,
+                     mask_layout_version: Optional[int] = None
                      ) -> List[List[Tuple[int, float]]]:
-        """Q queries in one fused device call; optional pre-top-k slot mask."""
+        """Q queries in one fused device call; optional pre-top-k slot mask.
+
+        ``mask_layout_version`` guards against TOCTOU on the mask: callers
+        that compiled ``slot_mask`` against a slot layout pass the version
+        they compiled for, and the search raises StaleSlotMaskError (under
+        the index lock, before snapshotting device state) if a concurrent
+        repack has since reordered the slots."""
         queries = np.asarray(queries, dtype=np.float32)
         if queries.ndim != 2:
             raise InvalidVectorError("queries must be a (Q, d) array")
         with self._lock:
+            if (slot_mask is not None and mask_layout_version is not None
+                    and mask_layout_version != self.slot_layout_version):
+                from ..errors import StaleSlotMaskError
+                raise StaleSlotMaskError(mask_layout_version,
+                                         self.slot_layout_version)
             if self._len == 0 or k <= 0:
                 return [[] for _ in range(queries.shape[0])]
             if queries.shape[1] != self._dim:
@@ -507,10 +519,12 @@ class FlatIndex(Index):
                         dev["norms"], dev["valid"])
         return np.asarray(dists)[:q], np.asarray(idx)[:q]
 
-    def search_masked(self, query: Vector, k: int,
-                      slot_mask: np.ndarray) -> Optional[List[Tuple[int, float]]]:
+    def search_masked(self, query: Vector, k: int, slot_mask: np.ndarray,
+                      mask_layout_version: Optional[int] = None
+                      ) -> Optional[List[Tuple[int, float]]]:
         results = self.search_batch(as_f32_array(query).reshape(1, -1), k,
-                                    slot_mask=slot_mask)
+                                    slot_mask=slot_mask,
+                                    mask_layout_version=mask_layout_version)
         return results[0]
 
     # -- introspection helpers (used by persistence / benchmarks) -----------

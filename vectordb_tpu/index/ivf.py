@@ -256,6 +256,20 @@ class IvfFlatIndex(FlatIndex):
                 return
             self._write_slot(slot, internal_id, arr)
 
+    def add_batch(self, items) -> None:
+        """Bulk add. While untrained the inherited packed bulk path is
+        correct (and fast); once trained every row must go through cluster
+        routing — FlatIndex.add_batch would place rows via the (empty)
+        free-slot allocator, growing capacity OUTSIDE the trained layout
+        and silently corrupting probed search + remove (advisor finding,
+        round 1)."""
+        with self._lock:
+            if not self._trained:
+                super().add_batch(items)
+                return
+            for internal_id, vector in items:
+                self.add(internal_id, vector)
+
     def remove(self, internal_id: int) -> None:
         with self._lock:
             if not self._trained:
@@ -272,14 +286,20 @@ class IvfFlatIndex(FlatIndex):
 
     def search_batch(self, queries: np.ndarray, k: int,
                      slot_mask: Optional[np.ndarray] = None,
-                     nprobe: Optional[int] = None
+                     nprobe: Optional[int] = None,
+                     mask_layout_version: Optional[int] = None
                      ) -> List[List[Tuple[int, float]]]:
         if slot_mask is not None:
             # Exact masked flat scan, and NO auto-train here: the caller
             # compiled the mask against the CURRENT slot layout, and
             # training repacks every slot (a stale mask would silently
-            # filter the wrong rows).
-            return super().search_batch(queries, k, slot_mask=slot_mask)
+            # filter the wrong rows). mask_layout_version closes the
+            # remaining TOCTOU window against CONCURRENT trains: the base
+            # search re-checks it under the index lock and raises
+            # StaleSlotMaskError so the store recompiles the mask.
+            return super().search_batch(
+                queries, k, slot_mask=slot_mask,
+                mask_layout_version=mask_layout_version)
         with self._lock:
             if not self._trained and self._len >= self.auto_train_min:
                 self.train()
@@ -348,6 +368,16 @@ class IvfFlatIndex(FlatIndex):
                     break
                 row.append((int(id_of_slot[int(idx[qi, j])]), dv))
             out.append(row)
+        # any-k contract: the probed pool counts dead padding slots, so
+        # sparse clusters (deletes, small nprobe) can come up short of k
+        # live rows even though the index holds >= k. Re-run those queries
+        # through the exact scan (advisor finding, round 1).
+        short = [qi for qi in range(q) if len(out[qi]) < k_req]
+        if short:
+            sub = super().search_batch(
+                np.ascontiguousarray(queries[np.asarray(short)]), k)
+            for qi, rows in zip(short, sub):
+                out[qi] = rows
         return out
 
     def search(self, query: Vector, k: int) -> List[Tuple[int, float]]:

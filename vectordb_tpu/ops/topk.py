@@ -383,6 +383,23 @@ def flat_search_batched_submit(queries_np: np.ndarray, device_state: dict,
                     _collect_certified, dists, idx, certified, queries_np,
                     q, fb_state, metric, k))
 
+            if device_state.get("bf16_storage"):
+                # bf16 storage has no lo mirror — the bf16x3 tier would
+                # alias lo = hi and double-count the hi*qhi term (silently
+                # wrong scores under a still-passing certificate; advisor
+                # finding, round 1). Tier 1 IS bf16 storage's exact path;
+                # when it's unavailable (env-disabled or unsupported
+                # shape), the blockwise widening scan is the exact one.
+                out16 = flat_search_bf16(
+                    queries_dev, device_state["db"],
+                    device_state["sq_norms"], device_state["norms"],
+                    device_state["valid"], metric, k_eff)
+
+                def collect_bf16():
+                    d_, i_ = jax.device_get(out16)
+                    return d_[:q], i_[:q]
+                return SearchHandle(collect_bf16)
+
             # tier 2: bf16x3 certified pipeline; uncertified rows re-run
             # through the full-precision XLA scan (mirrors stripped)
             dists, idx, certified = coarse_kernel.coarse_search(

@@ -28,11 +28,16 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from .distance import DistanceMetric
-from .errors import DimensionMismatchError, VectorNotFoundError
+from .errors import (DimensionMismatchError, StaleSlotMaskError,
+                     VectorNotFoundError)
 from .index.base import Index
 from .index.flat import FlatIndex
 from .metadata import ColumnarMetadata, Metadata, MetadataFilter
 from .vector import Vector, as_f32_array
+
+# Bounded retries when a concurrent slot repack invalidates a compiled
+# filter mask mid-search; past this the over-fetch fallback serves.
+_MASK_RETRIES = 4
 
 
 @dataclass
@@ -257,14 +262,27 @@ class VectorStore:
         if self.is_empty():
             return []
         self._check_query_dim(query)
-        self._ensure_columnar_current()
-        mask = self._columnar.compile_mask(filter) \
-            if self._columnar.capacity else None
-        if mask is not None:
-            masked = self._index.search_masked(query, k, mask)
+        # mask compilation races concurrent slot repacks (IVF train): the
+        # index re-checks the layout version under its lock and raises
+        # StaleSlotMaskError, and we recompile against the new layout.
+        for _ in range(_MASK_RETRIES):
+            self._ensure_columnar_current()
+            mask = self._columnar.compile_mask(filter) \
+                if self._columnar.capacity else None
+            if mask is None:
+                break
+            try:
+                masked = self._index.search_masked(
+                    query, k, mask,
+                    mask_layout_version=self._columnar_layout)
+            except StaleSlotMaskError:
+                continue
             if masked is not None:
                 return self._map_results(masked)
-        # fallback: reference-style 3x over-fetch + post-filter
+            break
+        # fallback: reference-style 3x over-fetch + post-filter (also the
+        # terminal path if repacks keep winning the race — it reads the
+        # internal-id-keyed metadata dict, which is layout-independent)
         fetch_k = min(max(k * 3, k), len(self))
         raw = self._index.search(query, fetch_k)
         out: List[SearchResult] = []
@@ -307,14 +325,21 @@ class VectorStore:
             return [[] for _ in queries]
         for q, _ in queries:
             self._check_query_dim(q)
-        self._ensure_columnar_current()
-        mask = self._columnar.compile_mask(filter) \
-            if self._columnar.capacity else None
-        if mask is not None and isinstance(self._index, FlatIndex):
+        for _ in range(_MASK_RETRIES):
+            self._ensure_columnar_current()
+            mask = self._columnar.compile_mask(filter) \
+                if self._columnar.capacity else None
+            if mask is None or not isinstance(self._index, FlatIndex):
+                break
             ks = [int(k) for _, k in queries]
             kmax = max(ks)
             qmat = np.stack([as_f32_array(q) for q, _ in queries])
-            raw_batches = self._index.search_batch(qmat, kmax, slot_mask=mask)
+            try:
+                raw_batches = self._index.search_batch(
+                    qmat, kmax, slot_mask=mask,
+                    mask_layout_version=self._columnar_layout)
+            except StaleSlotMaskError:
+                continue
             return [self._map_results(raw[:k])
                     for raw, k in zip(raw_batches, ks)]
         return [self.search_with_filter(q, k, filter) for q, k in queries]
