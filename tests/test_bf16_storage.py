@@ -114,8 +114,10 @@ def test_store_level_constructor(rng):
     assert store.search(Vector(v), 1)[0].id == "a"
 
 
-def test_bf16_rejects_mesh():
+def test_bf16_composes_with_mesh():
+    """bf16 storage + mesh sharding compose (round-2; full correctness
+    coverage lives in test_distributed.TestShardedStoreCoarse)."""
     from vectordb_tpu.parallel import make_mesh
-    with pytest.raises(ValueError):
-        FlatIndex(DistanceMetric.EUCLIDEAN, storage="bf16",
-                  mesh=make_mesh(8))
+    idx = FlatIndex(DistanceMetric.EUCLIDEAN, storage="bf16",
+                    mesh=make_mesh(8))
+    assert idx.storage == "bf16" and idx._mesh is not None

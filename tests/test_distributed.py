@@ -4,6 +4,7 @@ import numpy as np
 import pytest
 
 import jax
+import jax.numpy as jnp
 
 from vectordb_tpu import DistanceMetric, FlatIndex, HnswParams, Vector
 from vectordb_tpu.distance import pairwise_distances
@@ -302,3 +303,114 @@ class TestShardedCoarse:
         for row in res:
             assert len(row) == k
             assert all(0 <= rid < n for rid, _ in row)
+
+
+class TestShardedStoreCoarse:
+    """Store-level sharded serving through the certified coarse kernel:
+    the production stack (store/engine/server) must engage the same 1-pass
+    certified pipeline as DistributedFlatIndex (round-1 verdict item)."""
+
+    @pytest.fixture(autouse=True)
+    def _interpret(self, monkeypatch):
+        monkeypatch.setenv("VDB_TPU_PALLAS_INTERPRET", "1")
+
+    def test_store_sharded_search_engages_coarse(self, mesh8, rng,
+                                                 monkeypatch):
+        from vectordb_tpu import VectorStore
+        from vectordb_tpu.parallel import distributed as dist_mod
+
+        calls = []
+        real = dist_mod.make_sharded_search_coarse
+
+        def spy(*a, **kw):
+            calls.append(kw.get("src", "f32"))
+            return real(*a, **kw)
+
+        monkeypatch.setattr(dist_mod, "make_sharded_search_coarse", spy)
+        n, d, k = 500, 16, 10
+        data = rng.standard_normal((n, d)).astype(np.float32)
+        store = VectorStore.with_sharded_flat_index(
+            DistanceMetric.EUCLIDEAN, mesh8)
+        for i in range(n):
+            store.insert(f"v{i}", Vector(data[i]))
+        queries = [(Vector(data[i] + 0.01), k) for i in range(4)]
+        res = store.search_batch(queries)
+        assert calls, "store-level sharded search must build the coarse path"
+        oracle = pairwise_distances(
+            np, np.stack([data[i] + 0.01 for i in range(4)]), data,
+            DistanceMetric.EUCLIDEAN)
+        for qi in range(4):
+            want = [f"v{int(w)}"
+                    for w in np.argsort(oracle[qi], kind="stable")[:k]]
+            assert [h.id for h in res[qi]] == want
+
+    def test_store_sharded_bf16_exact_over_stored(self, mesh8, rng):
+        import ml_dtypes
+        from vectordb_tpu import VectorStore
+
+        n, d, k = 400, 16, 5
+        data = rng.standard_normal((n, d)).astype(np.float32)
+        store = VectorStore.with_sharded_flat_index(
+            DistanceMetric.EUCLIDEAN, mesh8, storage="bf16")
+        for i in range(n):
+            store.insert(f"v{i}", Vector(data[i]))
+        dev = store.index._sync_device()
+        assert dev["db"].dtype == jnp.bfloat16
+        assert bool(dev.get("bf16_storage"))
+        stored = data.astype(ml_dtypes.bfloat16).astype(np.float32)
+        q = rng.standard_normal((3, d)).astype(np.float32)
+        res = store.search_batch([(Vector(q[i]), k) for i in range(3)])
+        oracle = pairwise_distances(np, q, stored,
+                                    DistanceMetric.EUCLIDEAN)
+        for qi in range(3):
+            want = [f"v{int(w)}"
+                    for w in np.argsort(oracle[qi], kind="stable")[:k]]
+            assert [h.id for h in res[qi]] == want
+            np.testing.assert_allclose(
+                [h.distance for h in res[qi]],
+                np.sort(oracle[qi], kind="stable")[:k], rtol=1e-3,
+                atol=1e-3)
+
+    def test_2d_mesh_coarse_engages_and_matches(self, mesh2d, rng,
+                                                monkeypatch):
+        from vectordb_tpu.parallel import distributed as dist_mod
+
+        calls = []
+        real = dist_mod.make_sharded_search_coarse
+
+        def spy(*a, **kw):
+            calls.append(kw.get("batch_axis"))
+            return real(*a, **kw)
+
+        monkeypatch.setattr(dist_mod, "make_sharded_search_coarse", spy)
+        n, d, q, k = 2000, 16, 8, 10
+        db = rng.standard_normal((n, d)).astype(np.float32)
+        queries = rng.standard_normal((q, d)).astype(np.float32)
+        idx = DistributedFlatIndex(mesh2d, DistanceMetric.EUCLIDEAN,
+                                   row_axis="shard", batch_axis="batch")
+        idx.load(db)
+        results = idx.search_batch(queries, k)
+        assert calls == ["batch"], calls
+        oracle = pairwise_distances(np, queries, db,
+                                    DistanceMetric.EUCLIDEAN)
+        for qi in range(q):
+            want = np.argsort(oracle[qi], kind="stable")[:k]
+            assert [r[0] for r in results[qi]] == [int(w) for w in want]
+
+    def test_distributed_bf16_storage_matches_oracle(self, mesh8, rng):
+        import ml_dtypes
+
+        n, d, q, k = 2000, 16, 6, 10
+        db = rng.standard_normal((n, d)).astype(np.float32)
+        queries = rng.standard_normal((q, d)).astype(np.float32)
+        idx = DistributedFlatIndex(mesh8, DistanceMetric.EUCLIDEAN,
+                                   storage="bf16")
+        idx.load(db)
+        assert idx._device[0].dtype == jnp.bfloat16
+        stored = db.astype(ml_dtypes.bfloat16).astype(np.float32)
+        results = idx.search_batch(queries, k)
+        oracle = pairwise_distances(np, queries, stored,
+                                    DistanceMetric.EUCLIDEAN)
+        for qi in range(q):
+            want = np.argsort(oracle[qi], kind="stable")[:k]
+            assert [r[0] for r in results[qi]] == [int(w) for w in want]

@@ -45,12 +45,13 @@ _PALLAS_MEM_LIMIT = int(
 def _pallas_enabled(mesh) -> bool:
     """Is the fused coarse kernel usable at all? On by default on TPU
     backends (and on CPU when the interpret-mode test flag is set);
-    VDB_TPU_NO_PALLAS=1 opts out."""
+    VDB_TPU_NO_PALLAS=1 opts out. Sharded stores run the same certified
+    kernel per shard under shard_map (parallel/distributed.py)."""
     import os
 
     import jax
 
-    if mesh is not None or os.environ.get("VDB_TPU_NO_PALLAS"):
+    if os.environ.get("VDB_TPU_NO_PALLAS"):
         return False
     from ..ops import coarse_kernel
     if coarse_kernel.interpret_mode():
@@ -84,9 +85,6 @@ class FlatIndex(Index):
             raise ValueError(f"unknown search_mode: {search_mode!r}")
         if storage not in ("f32", "bf16"):
             raise ValueError(f"unknown storage: {storage!r}")
-        if storage == "bf16" and mesh is not None:
-            raise ValueError("storage='bf16' is single-chip for now; "
-                             "shard with DistributedFlatIndex instead")
         # "exact": full-f32 MXU scan + exact top_k. "fast": same scan
         # reduced with approx_min_k into a candidate pool + exact re-rank
         # (~1.4x throughput, exact distances, ~99% top-k id agreement).
@@ -159,8 +157,12 @@ class FlatIndex(Index):
             return
         new_cap = next_pow2(needed, floor=_MIN_CAPACITY)
         if self._mesh is not None:
+            # pow2 rows PER SHARD (>= 1024): every shard block is tile-
+            # and super-tile-divisible for the per-shard coarse kernel
             n_shards = self._mesh.shape[self._row_axis]
-            new_cap = ((new_cap + n_shards - 1) // n_shards) * n_shards
+            per_shard = next_pow2((needed + n_shards - 1) // n_shards,
+                                  floor=_MIN_CAPACITY)
+            new_cap = per_shard * n_shards
         new_vectors = np.zeros((new_cap, self._dim), dtype=np.float32)
         new_valid = np.zeros(new_cap, dtype=bool)
         new_sq = np.zeros(new_cap, dtype=np.float32)
@@ -325,12 +327,30 @@ class FlatIndex(Index):
                 from jax.sharding import NamedSharding, PartitionSpec as P
                 row2d = NamedSharding(self._mesh, P(self._row_axis, None))
                 row1d = NamedSharding(self._mesh, P(self._row_axis))
+                rows = self._vectors
+                if self.storage == "bf16":
+                    import ml_dtypes
+                    # host-side cast: 2-byte transfer per element (values
+                    # were already quantized at insert)
+                    rows = self._vectors.astype(ml_dtypes.bfloat16)
                 self._device = {
-                    "db": jax.device_put(self._vectors, row2d),
+                    "db": jax.device_put(rows, row2d),
                     "sq_norms": jax.device_put(self._sq_norms, row1d),
                     "norms": jax.device_put(self._norms, row1d),
                     "valid": jax.device_put(self._valid, row1d),
                 }
+                if _pallas_enabled(self._mesh):
+                    # arm the per-shard certified coarse path: each shard
+                    # runs its own 1-pass margin; the residual bound is
+                    # global (stale-high-safe)
+                    if self.storage == "bf16":
+                        self._device["bf16_storage"] = True
+                        self._device["elo_max"] = jnp.float32(0.0)
+                    else:
+                        from ..ops.coarse_kernel import \
+                            residual_max_norm_f32
+                        self._device["elo_max"] = residual_max_norm_f32(
+                            self._device["db"])
                 self._dirty_slots.clear()
             return self._device
         if self._device is None:
@@ -499,7 +519,53 @@ class FlatIndex(Index):
         return out
 
     def _sharded_search(self, queries: np.ndarray, dev: dict, k_req: int):
-        """Distributed per-shard scan + top-k merge over the mesh."""
+        """Distributed per-shard search + top-k merge over the mesh.
+
+        Default route: the 1-pass certified coarse kernel per shard under
+        shard_map (same pipeline as the single-chip flagship); queries
+        whose certificate fails anywhere re-run through the sharded XLA
+        scan. Falls back to the XLA scan wholesale when the signature is
+        unsupported (k too large, tiny shards, pallas unavailable)."""
+        from ..parallel.distributed import (make_sharded_search_coarse,
+                                            sharded_coarse_supported)
+        q = queries.shape[0]
+        q_pad = next_pow2(q, floor=1)
+        if q_pad != q:
+            queries = np.concatenate(
+                [queries, np.zeros((q_pad - q, queries.shape[1]),
+                                   dtype=queries.dtype)], axis=0)
+        block_rows = self._capacity // self._mesh.shape[self._row_axis]
+        if (dev.get("elo_max") is not None
+                and sharded_coarse_supported(block_rows, self._dim, k_req)):
+            key = ("coarse", k_req, self._capacity,
+                   bool(dev.get("bf16_storage")))
+            fn = self._sharded_search_cache.get(key)
+            if fn is None:
+                from ..ops.coarse_kernel import interpret_mode
+                fn = make_sharded_search_coarse(
+                    self._mesh, self._metric, k_req, block_rows,
+                    self._row_axis, interpret_mode(),
+                    src="bf16" if dev.get("bf16_storage") else "f32")
+                self._sharded_search_cache[key] = fn
+            dists, idx, cert = fn(jnp.asarray(queries), dev["db"],
+                                  dev["sq_norms"], dev["norms"],
+                                  dev["valid"], dev["elo_max"])
+            dists = np.asarray(dists)[:q]
+            idx = np.asarray(idx)[:q]
+            bad = np.nonzero(~np.asarray(cert)[:q])[0]
+            if bad.size:
+                # rare: re-run uncertified queries through the XLA scan
+                sub_d, sub_i = self._sharded_search_xla(
+                    np.ascontiguousarray(queries[bad]), dev, k_req)
+                dists = dists.copy(); idx = idx.copy()
+                dists[bad] = sub_d[:, : dists.shape[1]]
+                idx[bad] = sub_i[:, : idx.shape[1]]
+            return dists, idx
+        return self._sharded_search_xla(queries[:q], dev, k_req)
+
+    def _sharded_search_xla(self, queries: np.ndarray, dev: dict,
+                            k_req: int):
+        """Sharded full-precision scan + top-k merge (fallback path)."""
         from ..parallel.distributed import make_sharded_search
         k_eff = min(next_pow2(k_req, floor=1), self._capacity)
         key = (k_eff, self._capacity)

@@ -70,6 +70,10 @@ def make_sharded_search(mesh: Mesh, metric: DistanceMetric, k: int,
 
     def local_scan(queries_blk, db_blk, sq_blk, norms_blk, valid_blk):
         """Per-shard fused scan + local top-k. Shapes are per-block."""
+        if db_blk.dtype == jnp.bfloat16:
+            # bf16 storage: widen per shard (XLA fuses the convert into
+            # the matmul); distances are exact over the stored values
+            db_blk = db_blk.astype(jnp.float32)
         dists = pairwise_distances(
             jnp, queries_blk, db_blk, metric,
             db_sq_norms=sq_blk, db_norms=norms_blk,
@@ -106,16 +110,22 @@ def make_sharded_search(mesh: Mesh, metric: DistanceMetric, k: int,
 
 def make_sharded_search_coarse(mesh: Mesh, metric: DistanceMetric, k: int,
                                block_rows: int, row_axis: str = "shard",
-                               interpret: bool = False):
+                               interpret: bool = False,
+                               batch_axis: Optional[str] = None,
+                               src: str = "f32"):
     """Sharded search through the 1-pass certified coarse kernel.
 
     Each shard runs the same certified pipeline as the single-chip path
-    (ops/coarse_kernel.py, f32-source variant: no mirrors, hi/lo split in
-    VMEM) over its row block, with its own rigorous margin from its own
-    row norms. Cross-shard exactness composes cleanly: the merged global
-    k-th distance is <= every shard's local k-th, so if every shard
-    certifies locally, no non-refined row anywhere can enter the top-k —
-    the global certificate is just the AND of the shard certificates.
+    (ops/coarse_kernel.py; ``src="f32"``: no mirrors, hi/lo split in VMEM;
+    ``src="bf16"``: the stored bf16 db is its own hi mirror, elo_max = 0)
+    over its row block, with its own rigorous margin from its own row
+    norms. Cross-shard exactness composes cleanly: the merged global k-th
+    distance is <= every shard's local k-th, so if every shard certifies
+    locally, no non-refined row anywhere can enter the top-k — the global
+    certificate is just the AND of the shard certificates.
+
+    With ``batch_axis``, queries are additionally sharded over that mesh
+    axis and each (row, batch) tile runs the kernel on its query block.
 
     Returns fn(queries, db, sq, norms, valid, elo_max) ->
     (dists (Q,k), global idx (Q,k), certified (Q,)). Uncertified queries
@@ -128,16 +138,23 @@ def make_sharded_search_coarse(mesh: Mesh, metric: DistanceMetric, k: int,
 
     def local_coarse(queries_blk, db_blk, sq_blk, norms_blk, valid_blk,
                      elo_max):
+        if src == "bf16":
+            # placeholder hi arg; the src="bf16" trace never touches it
+            hi_blk = jnp.zeros((1, 1), jnp.bfloat16)
+        else:
+            hi_blk = db_blk
         d_, i_, c_ = ck._coarse_search_1p_jit(
-            queries_blk, db_blk, sq_blk, norms_blk, valid_blk, db_blk,
-            elo_max, metric.value, k_local, m2, m, interpret, "f32")
+            queries_blk, db_blk, sq_blk, norms_blk, valid_blk, hi_blk,
+            elo_max, metric.value, k_local, m2, m, interpret, src)
         my_shard = jax.lax.axis_index(row_axis)
         return d_[None], (i_ + my_shard * block_rows)[None], c_[None]
 
-    in_specs = (P(None, None), P(row_axis, None), P(row_axis,),
+    q_spec = P(batch_axis, None) if batch_axis else P(None, None)
+    out_q = batch_axis if batch_axis else None
+    in_specs = (q_spec, P(row_axis, None), P(row_axis,),
                 P(row_axis,), P(row_axis,), P())
-    out_specs = (P(row_axis, None, None), P(row_axis, None, None),
-                 P(row_axis, None))
+    out_specs = (P(row_axis, out_q, None), P(row_axis, out_q, None),
+                 P(row_axis, out_q))
     # check_vma=False: pallas_call's out_shape carries no varying-mesh-axes
     # annotation, which the default vma checker rejects inside shard_map
     mapped = jax.shard_map(local_coarse, mesh=mesh, in_specs=in_specs,
@@ -173,11 +190,18 @@ class DistributedFlatIndex:
     """
 
     def __init__(self, mesh: Mesh, metric: DistanceMetric,
-                 row_axis: str = "shard", batch_axis: Optional[str] = None):
+                 row_axis: str = "shard", batch_axis: Optional[str] = None,
+                 storage: str = "f32"):
+        if storage not in ("f32", "bf16"):
+            raise ValueError(f"unknown storage: {storage!r}")
         self.mesh = mesh
         self.metric = metric
         self.row_axis = row_axis
         self.batch_axis = batch_axis
+        # "bf16": rows are quantized to bfloat16 at load — half the HBM
+        # per shard (double the rows per chip); search is certified-exact
+        # over the STORED values (the db is its own hi mirror, elo_max=0)
+        self.storage = storage
         self._n = 0
         self._dim: Optional[int] = None
         self._block_rows = 0
@@ -189,21 +213,33 @@ class DistributedFlatIndex:
         """Bulk-load N x d rows, sharding the row axis across the mesh."""
         vectors = np.asarray(vectors, dtype=np.float32)
         n, d = vectors.shape
-        sq = np.einsum("ij,ij->i", vectors, vectors).astype(np.float32)
+        if self.storage == "bf16":
+            import ml_dtypes
+            vectors16 = vectors.astype(ml_dtypes.bfloat16)
+            # norms see the stored (quantized) values
+            stored = vectors16.astype(np.float32)
+            sq = np.einsum("ij,ij->i", stored, stored).astype(np.float32)
+            rows = vectors16
+        else:
+            sq = np.einsum("ij,ij->i", vectors, vectors).astype(np.float32)
+            rows = vectors
         norms = np.sqrt(sq)
         valid = np.ones(n, dtype=bool)
         padded, db, sqs, nrm, vld = shard_rows(
-            self.mesh, self.row_axis, vectors, sq, norms, valid,
+            self.mesh, self.row_axis, rows, sq, norms, valid,
             block_multiple=1024 if self._coarse_enabled() else 1)
         self._n, self._dim = n, d
         self._block_rows = padded // self.mesh.shape[self.row_axis]
         self._device = (db, sqs, nrm, vld)
         self._elo_max = None
         if self._coarse_enabled():
-            from ..ops.coarse_kernel import residual_max_norm_f32
-            # global residual bound; every shard's margin uses its own
-            # norms but shares this (stale-high-safe) residual max
-            self._elo_max = residual_max_norm_f32(db)
+            if self.storage == "bf16":
+                self._elo_max = jnp.float32(0.0)
+            else:
+                from ..ops.coarse_kernel import residual_max_norm_f32
+                # global residual bound; every shard's margin uses its own
+                # norms but shares this (stale-high-safe) residual max
+                self._elo_max = residual_max_norm_f32(db)
         self._search_cache.clear()
 
     def _coarse_enabled(self) -> bool:
@@ -233,7 +269,9 @@ class DistributedFlatIndex:
             from ..ops.coarse_kernel import interpret_mode
             fn = make_sharded_search_coarse(
                 self.mesh, self.metric, int(k), self._block_rows,
-                self.row_axis, interpret_mode())
+                self.row_axis, interpret_mode(),
+                batch_axis=self.batch_axis,
+                src="bf16" if self.storage == "bf16" else "f32")
             self._search_cache[key] = fn
         return fn
 
@@ -257,13 +295,16 @@ class DistributedFlatIndex:
 
         k_true = min(int(k), max(self._n, 1))
         use_coarse = (self._elo_max is not None
-                      and self.batch_axis is None
+                      # pow2 batch-shard counts keep the pow2-padded Q
+                      # evenly divisible over the batch axis
+                      and (q_mult & (q_mult - 1)) == 0
                       and sharded_coarse_supported(self._block_rows,
                                                    self._dim, k_true))
         if use_coarse:
             # pow2-pad Q: bounds the jit-signature count AND keeps the
             # refine chunking on even splits (same policy as the
-            # single-chip dispatcher in ops/topk.py)
+            # single-chip dispatcher in ops/topk.py). A batch axis keeps
+            # dividing evenly: pow2 Q over a pow2 (or equal) shard count.
             qc = queries.shape[0]
             qc_pad = next_pow2(qc, floor=1)
             cq = queries

@@ -90,11 +90,16 @@ class VectorStore:
 
     @classmethod
     def with_sharded_flat_index(cls, metric: DistanceMetric, mesh,
-                                row_axis: str = "shard") -> "VectorStore":
+                                row_axis: str = "shard",
+                                storage: str = "f32") -> "VectorStore":
         """Full store semantics (string IDs, metadata, exact filtered
         search) with the packed database sharded over a device mesh —
-        searches run the distributed per-shard scan + top-k merge."""
-        return cls(FlatIndex(metric, mesh=mesh, row_axis=row_axis))
+        searches run the per-shard 1-pass certified coarse kernel under
+        shard_map with a distributed top-k merge (XLA-scan fallback).
+        ``storage="bf16"`` halves per-shard HBM; search stays
+        certified-exact over the stored values."""
+        return cls(FlatIndex(metric, mesh=mesh, row_axis=row_axis,
+                             storage=storage))
 
     # -- insert -------------------------------------------------------------
 
