@@ -42,10 +42,10 @@ class EngineConfig:
     """Engine tuning (reference: engine.rs:15-29).
 
     ``index_type`` extends the reference (which hard-wires persistence to
-    the flat index, engine.rs:33): "hnsw" persists the same vector+metadata
-    state and rebuilds the graph on recovery; "ivf" does the same and
-    retrains the cluster layout on first search (MXU k-means — seconds,
-    not the hours an HNSW rebuild costs at scale). ``mesh`` (a
+    the flat index, engine.rs:33): "hnsw" additionally checkpoints the
+    graph tables and "ivf" the trained cluster layout (centroids + slot
+    assignment), so reopen restores the EXACT pre-crash index — no
+    rebuild, no retrain, identical search results. ``mesh`` (a
     jax.sharding.Mesh) makes recovery hydrate the packed database directly
     into row-sharded device storage — the multi-chip resume path.
     """
@@ -94,15 +94,20 @@ class StorageEngine:
     def _recover(self) -> None:
         snap = self.snapshots.load()
         if snap is not None:
-            if not self._try_import_graph(snap):
+            if not (self._try_import_graph(snap)
+                    or self._try_import_ivf(snap)):
                 self._apply_snapshot(snap)
         for entry in self.wal.replay():
             self._apply_wal_entry(entry)
 
     GRAPH_FILE = "hnsw_graph.npz"
+    IVF_FILE = "ivf_state.npz"
 
     def _graph_path(self) -> Path:
         return self.data_dir / self.GRAPH_FILE
+
+    def _ivf_path(self) -> Path:
+        return self.data_dir / self.IVF_FILE
 
     def _try_import_graph(self, snap: DatabaseSnapshot) -> bool:
         """Fast HNSW reopen: restore the serialized graph tables instead of
@@ -135,6 +140,39 @@ class StorageEngine:
             if graph_ids != snap_ids:
                 return False
             index.graph.import_padded_tables(tables)
+            self.store.adopt_index_state(
+                {sv.internal_id: sv.string_id for sv in snap.vectors},
+                snap.metadata, snap.next_id, snap.dimension)
+            return True
+        except Exception:
+            return False  # any inconsistency -> rebuild from the snapshot
+
+    def _try_import_ivf(self, snap: DatabaseSnapshot) -> bool:
+        """Restore a trained IVF layout (centroids + slot assignment)
+        instead of retraining on first search — recovery must reproduce
+        the EXACT pre-crash search behavior (reference parity:
+        engine.rs:44-73 replays to identical state)."""
+        if self.config.index_type != "ivf" or not self._ivf_path().exists():
+            return False
+        try:
+            import numpy as np
+            with np.load(self._ivf_path()) as z:
+                tables = {key: z[key] for key in z.files}
+            if str(tables.get("metric", "")) != self.config.metric.value:
+                return False
+            # state must belong to EXACTLY this snapshot (same rationale
+            # as the HNSW graph digest binding above)
+            if str(tables.get("snapshot_digest", "")) != \
+                    self._snapshot_digest():
+                return False
+            id_of_slot = np.asarray(tables["id_of_slot"], np.int64)
+            state_ids = {int(i) for i in id_of_slot[id_of_slot >= 0]}
+            snap_ids = {sv.internal_id for sv in snap.vectors}
+            if state_ids != snap_ids:
+                return False
+            rows_by_id = {sv.internal_id: sv.data for sv in snap.vectors}
+            self.store.index.import_trained_state(
+                tables, rows_by_id, int(snap.dimension))
             self.store.adopt_index_state(
                 {sv.internal_id: sv.string_id for sv in snap.vectors},
                 snap.metadata, snap.next_id, snap.dimension)
@@ -259,6 +297,7 @@ class StorageEngine:
         snap = self._build_snapshot()
         self.snapshots.save(snap)
         self._save_graph()
+        self._save_ivf()
         self.wal.append(WalEntry.checkpoint())
         self.wal.truncate()
         self._wal_count = 0
@@ -290,6 +329,28 @@ class StorageEngine:
                  metric=self.config.metric.value,
                  snapshot_digest=self._snapshot_digest(), **tables)
         _durable_write(self._graph_path(), buf.getvalue())
+
+    def _save_ivf(self) -> None:
+        """Serialize the trained IVF layout (centroids + slot assignment;
+        tiny next to the vectors) beside the snapshot so reopen restores
+        it instead of retraining."""
+        if self.config.index_type != "ivf":
+            return
+        state = self.store.index.export_trained_state()
+        if state is None:
+            # untrained: remove any stale file so recovery can't bind a
+            # previous layout to a newer snapshot
+            self._ivf_path().unlink(missing_ok=True)
+            return
+        import io
+
+        import numpy as np
+
+        from .snapshot import _durable_write
+        buf = io.BytesIO()
+        np.savez(buf, metric=self.config.metric.value,
+                 snapshot_digest=self._snapshot_digest(), **state)
+        _durable_write(self._ivf_path(), buf.getvalue())
 
     def _build_snapshot(self) -> DatabaseSnapshot:
         id_map = self.store.internal_to_string_ids()
