@@ -42,8 +42,15 @@ from jax.experimental.pallas import tpu as pltpu
 from ..distance import DistanceMetric
 
 SUB = 16            # rows per candidate tile (refine granularity)
-_QB_MAX = 1024      # max query columns per kernel block
-_VMEM_BUDGET = 12 * 1024 * 1024
+_SUP_PAD = 8        # Mosaic min sublane block for the fused super output
+# Max query columns per kernel block. 4096 lets the db stream ONCE per
+# 4096-query headline batch instead of 4x (measured 40.5 -> 38.5 ms for
+# the 1-pass coarse scan at N=2^20 x 768 — 87% MXU; benchmarks/
+# exp_roofline.py); the VMEM budget below keeps the worst kernel
+# (3-pass: qhi+qlo blocks + double-buffered hi/lo tiles + out) under
+# ~24 MB of live VMEM at d=768.
+_QB_MAX = 4096
+_VMEM_BUDGET = 48 * 1024 * 1024
 # Penalty added to invalid slots: far past any real distance, far from inf.
 PENALTY = 1e30
 # Max bucketed k served by this path; larger ks fall back to the XLA scan
@@ -248,6 +255,261 @@ def _coarse_minima_1p(qThi, qrow, db_hi, col, inv_col, mode: str,
                                      interpret)
     # same load-bearing barrier as _coarse_minima
     return jax.lax.optimization_barrier(minima_tq.T)
+
+
+def _coarse_kernel_1p_sup(qhi_ref, qrow_ref, hi_ref, col_ref, inv_ref,
+                          out_ref, sup_ref, *, mode: str, tn: int):
+    """1-pass kernel with the SUPER-tile reduction fused in: emits tile
+    minima AND super-tile minima in one pass, so the hierarchical
+    selection never re-reads the (T, Qp) tile array from HBM (a 1.07 GB
+    read at N=2^20, Q=4096 — worth ~10 ms; benchmarks/exp_roofline.py)."""
+    col_t = col_ref[:].T
+    inv_t = inv_ref[:].T
+    dots = jax.lax.dot_general(
+        hi_ref[:], qhi_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)            # (TN, QB)
+    if mode == "euclidean":
+        score = col_t + qrow_ref[:] - 2.0 * dots
+    elif mode == "dot":
+        score = -dots
+    else:
+        score = -(dots * col_t * qrow_ref[:])
+    score += inv_t * PENALTY
+    qb = score.shape[1]
+    tmin = score.reshape(tn // SUB, SUB, qb).min(axis=1)
+    out_ref[:] = tmin
+    rows = tn // (SUB * SUPER)
+    supmin = tmin.reshape(rows, SUPER, qb).min(axis=1)
+    if rows % _SUP_PAD:
+        # Mosaic requires sublane-dim-multiple-of-8 output blocks: pad the
+        # super rows to 8 with +inf (sliced away by the caller; the padded
+        # array is ~0.5 GB at N=2^20/Q=4096 — ~0.7 ms of writes vs the
+        # ~10 ms HBM re-read it replaces)
+        supmin = jnp.concatenate(
+            [supmin, jnp.full((_SUP_PAD - rows, qb), jnp.inf,
+                              jnp.float32)], axis=0)
+    sup_ref[:] = supmin
+
+
+def _coarse_kernel_f32_1p_sup(qhi_ref, qrow_ref, db_ref, col_ref, inv_ref,
+                              out_ref, sup_ref, *, mode: str, tn: int):
+    """f32-source single-pass kernel with the fused SUPER reduction
+    (hi split in VMEM, zero extra HBM — serves 4M x 768 = 12 GB f32)."""
+    tile = db_ref[:]
+    hi = tile.astype(jnp.bfloat16)
+    dots = jax.lax.dot_general(
+        hi, qhi_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)            # (TN, QB)
+    col_t = col_ref[:].T
+    inv_t = inv_ref[:].T
+    if mode == "euclidean":
+        score = col_t + qrow_ref[:] - 2.0 * dots
+    elif mode == "dot":
+        score = -dots
+    else:
+        score = -(dots * col_t * qrow_ref[:])
+    score += inv_t * PENALTY
+    qb = score.shape[1]
+    tmin = score.reshape(tn // SUB, SUB, qb).min(axis=1)
+    out_ref[:] = tmin
+    rows = tn // (SUB * SUPER)
+    supmin = tmin.reshape(rows, SUPER, qb).min(axis=1)
+    if rows % _SUP_PAD:
+        # Mosaic requires sublane-dim-multiple-of-8 output blocks: pad the
+        # super rows to 8 with +inf (sliced away by the caller; the padded
+        # array is ~0.5 GB at N=2^20/Q=4096 — ~0.7 ms of writes vs the
+        # ~10 ms HBM re-read it replaces)
+        supmin = jnp.concatenate(
+            [supmin, jnp.full((_SUP_PAD - rows, qb), jnp.inf,
+                              jnp.float32)], axis=0)
+    sup_ref[:] = supmin
+
+
+def _minima_1p_sup(qThi, qrow, dbarr, col, inv_col, mode: str,
+                   interpret: bool, src: str):
+    """(tile minima (T, Qp), super minima (T2, Qp)) in one kernel pass.
+    ``dbarr`` is the bf16 hi mirror (src != "f32") or the f32 database
+    (src == "f32")."""
+    d, qp = qThi.shape
+    n = dbarr.shape[0]
+    tn = _tile_cols(d)
+    if tn % (SUB * SUPER):
+        # very wide vectors shrink the db tile below one super-tile; fall
+        # back to the single-output kernel + an XLA reduce
+        if src == "f32":
+            qTlo = jnp.zeros_like(qThi)
+            tile_tq = _coarse_minima_f32(qThi, qTlo, qrow, dbarr, col,
+                                         inv_col, 1, mode, interpret).T
+        else:
+            tile_tq = _coarse_minima_1p_tq(qThi, qrow, dbarr, col, inv_col,
+                                           mode, interpret)
+        sup_tq = tile_tq.reshape(n // (SUB * SUPER), SUPER, qp).min(axis=1)
+        return tile_tq, sup_tq
+    qb = _query_block(qp, d, tn)
+    t = n // tn
+    rows = tn // (SUB * SUPER)          # super rows per grid step
+    # Mosaic wants sublane-dim-multiple-of-8 output blocks: pad the super
+    # block to 8 rows (+inf rows, sliced away below)
+    prows = rows if rows % _SUP_PAD == 0 else _SUP_PAD
+    bytes_db = n * d * (4 if src == "f32" else 2) * (qp // qb)
+    grid_spec = pl.GridSpec(
+        grid=(qp // qb, t),
+        in_specs=[
+            pl.BlockSpec((d, qb), lambda qi, ti: (0, qi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, qb), lambda qi, ti: (0, qi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, d), lambda qi, ti: (ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn), lambda qi, ti: (0, ti),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn), lambda qi, ti: (0, ti),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tn // SUB, qb), lambda qi, ti: (ti, qi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((prows, qb), lambda qi, ti: (ti, qi),
+                         memory_space=pltpu.VMEM),
+        ),
+    )
+    kern = (_coarse_kernel_f32_1p_sup if src == "f32"
+            else _coarse_kernel_1p_sup)
+    tile_tq, sup_pad = pl.pallas_call(
+        functools.partial(kern, mode=mode, tn=tn),
+        out_shape=(
+            jax.ShapeDtypeStruct((n // SUB, qp), jnp.float32),
+            jax.ShapeDtypeStruct((t * prows, qp), jnp.float32),
+        ),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * qp * n * d,
+            bytes_accessed=bytes_db + qp * d * 2
+            + qp * (n // SUB) * 4 + qp * t * prows * 4,
+            transcendentals=0,
+        ),
+    )(qThi, qrow, dbarr, col, inv_col)
+    if prows != rows:
+        sup_tq = sup_pad.reshape(t, prows, qp)[:, :rows].reshape(
+            t * rows, qp)
+    else:
+        sup_tq = sup_pad
+    return tile_tq, sup_tq
+
+
+_REFINE_QBR = 8      # queries per refine-kernel grid step
+
+
+def _refine_chunk_rows(qp: int, m: int, d: int) -> int:
+    """Query-chunk size for the XLA gather refine (bounds peak HBM)."""
+    chunk = qp
+    while chunk > 256 and chunk * m * SUB * d * 4 > _REFINE_BYTES:
+        chunk //= 2
+    return chunk
+
+
+def _refine_dots_kernel(idx_cur, idx_nxt, q_ref, db_ref, out_ref,
+                        scratch, sems, *, qbr: int, m: int,
+                        nblocks: int):
+    """Refine dots without materializing the candidate gather.
+
+    The XLA refine (db3[tile_idx] -> einsum) moves the 6.4 GB candidate
+    pool three times (gather read + materialize write + einsum read,
+    ~35 ms at N=2^20, Q=4096, m=32). This kernel DMAs each query's m
+    (SUB, d) db tiles straight from HBM into VMEM (double-buffered across
+    grid steps, next block's tile ids arrive via a +1-shifted SMEM
+    operand) and emits only the (Q, m*SUB) dot products — the candidate
+    pool crosses HBM exactly once. Score assembly (norms, validity, inf
+    masking, top_k) stays outside in XLA, bit-identical to the gather
+    path: the dot itself runs at Precision.HIGHEST on the same f32
+    operands, so refined scores match the einsum to the last ulp.
+    """
+    i = pl.program_id(0)
+    slot = jax.lax.rem(i, 2)
+    nxt = jax.lax.rem(i + 1, 2)
+
+    def fill(dst_slot, idx_ref):
+        for qi in range(qbr):
+            for j in range(m):
+                t = idx_ref[qi, j]
+                pltpu.make_async_copy(
+                    db_ref.at[pl.ds(t * SUB, SUB), :],
+                    scratch.at[dst_slot, pl.ds((qi * m + j) * SUB, SUB), :],
+                    sems.at[dst_slot]).start()
+
+    def wait_all(dst_slot, idx_ref):
+        for qi in range(qbr):
+            for j in range(m):
+                t = idx_ref[qi, j]
+                pltpu.make_async_copy(
+                    db_ref.at[pl.ds(t * SUB, SUB), :],
+                    scratch.at[dst_slot, pl.ds((qi * m + j) * SUB, SUB), :],
+                    sems.at[dst_slot]).wait()
+
+    @pl.when(i == 0)
+    def _():
+        fill(slot, idx_cur)
+
+    @pl.when(i + 1 < nblocks)
+    def _():
+        fill(nxt, idx_nxt)
+
+    wait_all(slot, idx_cur)
+    # bf16-storage rows are cast up exactly, so the HIGHEST dot matches
+    # XLA's promote-then-highest einsum on every source dtype
+    rows = scratch[slot].astype(jnp.float32)             # (qbr*m*SUB, d)
+    dots_all = jax.lax.dot_general(
+        rows, q_ref[:], (((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)              # (qbr*m*SUB, qbr)
+    d3 = dots_all.reshape(qbr, m * SUB, qbr)
+    # per-query column extraction (block-diagonal): qbr x flops waste,
+    # but the whole dot is ~2 ms of MXU at the headline shape
+    qsel = (jax.lax.broadcasted_iota(jnp.int32, (qbr, 1, qbr), 0)
+            == jax.lax.broadcasted_iota(jnp.int32, (qbr, 1, qbr), 2))
+    out_ref[:] = jnp.sum(jnp.where(qsel, d3, 0.0), axis=2)
+
+
+def _refine_dots(tile_idx, queries, db, m: int, interpret: bool):
+    """(Qp, m*SUB) f32 candidate dots via the DMA refine kernel.
+    Caller guarantees qp % _REFINE_QBR == 0 and d % 128 == 0."""
+    qp, d = queries.shape
+    qbr = _REFINE_QBR
+    nblocks = qp // qbr
+    return pl.pallas_call(
+        functools.partial(_refine_dots_kernel, qbr=qbr, m=m,
+                          nblocks=nblocks),
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((qbr, m), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((qbr, m),
+                         lambda i: (jnp.minimum(i + 1, nblocks - 1), 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((qbr, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((qbr, m * SUB), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((qp, m * SUB), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, qbr * m * SUB, d), db.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            # the double-buffered (2, qbr*m*SUB, d) scratch alone is
+            # ~25 MB at d=768 — past the 16 MB default scoped-vmem limit
+            vmem_limit_bytes=64 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * qp * m * SUB * d * qbr,
+            bytes_accessed=qp * m * SUB * d * db.dtype.itemsize
+            + qp * d * 4 + qp * m * SUB * 4,
+            transcendentals=0,
+        ),
+    )(tile_idx, tile_idx, queries, db)
 
 
 def _coarse_kernel_f32(qhi_ref, qlo_ref, qrow_ref, db_ref, col_ref,
@@ -534,36 +796,23 @@ def _coarse_search_1p_jit(queries, db, db_sq, db_norms, valid, db_hi,
         col = rinv.reshape(1, n)
     inv_col = (1.0 - valid.astype(jnp.float32)).reshape(1, n)
 
-    if src == "bf16":
-        # bf16 storage: the db IS its own hi mirror — one buffer serves
-        # the scan AND the refine (passing it twice would bill HBM twice
-        # in the compiled program's arguments: 24 GB at 8M x 768).
-        # Selection works from the kernel's natural (T, Qp) layout: the
-        # materialized transpose the mirrors path uses would double the
-        # 2+ GB minima array at 8M rows.
-        minima_tq = _coarse_minima_1p_tq(qThi, qrow, db, col, inv_col,
-                                         mode, interpret)
-        m3_tq = minima_tq.reshape(t_all // SUPER, SUPER, qp)
-        minima2 = jax.lax.optimization_barrier(
-            m3_tq.min(axis=1).T)                         # (Qp, T2) small
-        neg_sup, sup_idx = jax.lax.top_k(-minima2, m2)
-        sel = m3_tq[sup_idx, :, jnp.arange(qp)[:, None]]  # (Qp, m2, SUPER)
-        sel = sel.reshape(qp, m2 * SUPER)
-    else:
-        if src == "f32":
-            qTlo = qlo.astype(jnp.bfloat16)
-            minima = _coarse_minima_f32(qThi, qTlo, qrow, db, col, inv_col,
-                                        1, mode, interpret)
-        else:
-            minima = _coarse_minima_1p(qThi, qrow, db_hi, col, inv_col,
-                                       mode, interpret)
-
-        # hierarchical selection: top-m2 supers, then top-m tiles inside
-        minima3 = minima.reshape(qp, t_all // SUPER, SUPER)
-        minima2 = minima3.min(axis=-1)                   # (Qp, T/SUPER)
-        neg_sup, sup_idx = jax.lax.top_k(-minima2, m2)
-        sel = jnp.take_along_axis(minima3, sup_idx[:, :, None], axis=1)
-        sel = sel.reshape(qp, m2 * SUPER)
+    # One fused kernel pass emits tile minima AND super-tile minima (the
+    # selection never re-reads the big (T, Qp) array from HBM — measured
+    # ~10 ms at the headline shape; at 8M-row bf16 storage it also avoids
+    # a 2+ GB reduce read). Selection then works entirely in the kernel's
+    # natural (T, Qp) layout: only the small (T2, Qp) super array is
+    # transposed (the mirrors path used to transpose the full tile array).
+    # src == "bf16": db IS its own hi mirror — one buffer serves the scan
+    # AND the refine (passing it twice would bill HBM twice in the
+    # compiled program's arguments: 24 GB at 8M x 768).
+    src_arr = db_hi if src == "mirrors" else db
+    tile_tq, sup_tq = _minima_1p_sup(qThi, qrow, src_arr, col, inv_col,
+                                     mode, interpret, src)
+    minima2 = jax.lax.optimization_barrier(sup_tq.T)     # (Qp, T2) small
+    neg_sup, sup_idx = jax.lax.top_k(-minima2, m2)
+    m3_tq = tile_tq.reshape(t_all // SUPER, SUPER, qp)
+    sel = m3_tq[sup_idx, :, jnp.arange(qp)[:, None]]     # (Qp, m2, SUPER)
+    sel = sel.reshape(qp, m2 * SUPER)
     neg_t, loc = jax.lax.top_k(-sel, m)
     sup_of = jnp.take_along_axis(sup_idx, loc // SUPER, axis=1)
     tile_idx = sup_of * SUPER + (loc % SUPER)            # (Qp, m) global
@@ -605,10 +854,37 @@ def _coarse_search_1p_jit(queries, db, db_sq, db_norms, valid, db_hi,
         neg, pos = jax.lax.top_k(-s2, k)
         return -neg, pos
 
-    chunk = qp
-    while chunk > 256 and chunk * m * SUB * d * 4 > _REFINE_BYTES:
-        chunk //= 2
-    if chunk < qp:
+    if d % 128 == 0 and not os.environ.get("VDB_TPU_NO_REFINE_KERNEL"):
+        # DMA refine kernel: the candidate pool crosses HBM exactly once
+        # instead of three times (gather read + materialize + einsum
+        # read); score assembly below is the same XLA math as
+        # refine_chunk, so results stay bit-identical (the in-kernel dot
+        # runs HIGHEST on the same operand values).
+        qbr = _REFINE_QBR
+        qp2 = ((qp + qbr - 1) // qbr) * qbr
+        if qp2 != qp:
+            pad = qp2 - qp
+            t_pad = jnp.concatenate(
+                [tile_idx, jnp.zeros((pad, m), tile_idx.dtype)], axis=0)
+            q_pad_arr = jnp.concatenate(
+                [queries, jnp.zeros((pad, d), queries.dtype)], axis=0)
+        else:
+            t_pad, q_pad_arr = tile_idx, queries
+        dots = _refine_dots(t_pad, q_pad_arr, db, m, interpret)[:qp]
+        if mode == "euclidean":
+            s2 = (qsq[:, None] + sq2[tile_idx].reshape(qp, m * SUB)
+                  - 2.0 * dots)
+        elif mode == "dot":
+            s2 = -dots
+        else:
+            qinv_i = jnp.where(qn == 0.0, 0.0, 1.0 / qn)
+            rn = nrm2[tile_idx].reshape(qp, m * SUB)
+            rinv_i = jnp.where(rn == 0.0, 0.0, 1.0 / rn)
+            s2 = -(dots * qinv_i[:, None] * rinv_i)
+        s2 = jnp.where(vld2[tile_idx].reshape(qp, m * SUB), s2, jnp.inf)
+        neg, pos = jax.lax.top_k(-s2, k)
+        sk = -neg
+    elif (chunk := _refine_chunk_rows(qp, m, d)) < qp:
         c = chunk
         # non-pow2 qp (the sharded path doesn't pow2-pad): pad the refine
         # inputs up to a chunk multiple; padded rows compute junk that is
