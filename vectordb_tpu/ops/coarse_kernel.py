@@ -53,9 +53,10 @@ _QB_MAX = 4096
 _VMEM_BUDGET = 48 * 1024 * 1024
 # Penalty added to invalid slots: far past any real distance, far from inf.
 PENALTY = 1e30
-# Max bucketed k served by this path; larger ks fall back to the XLA scan
-# (the refine gather grows linearly with k).
-MAX_K = 32
+# Max k served by the coarse path (refine pools and the DMA refine
+# kernel chunk over tile groups, so large k costs bandwidth linearly
+# instead of falling off a cliff); past this the XLA scan serves.
+MAX_K = 256
 
 
 def interpret_mode() -> bool:
@@ -512,6 +513,116 @@ def _refine_dots(tile_idx, queries, db, m: int, interpret: bool):
     )(tile_idx, tile_idx, queries, db)
 
 
+_REFINE_M_CHUNK = 32   # max tiles per refine-kernel call (VMEM scratch cap)
+
+
+def _refine_topk(tile_idx, queries, qsq, qn, db, db_sq, db_norms, valid,
+                 mode: str, m: int, k: int, interpret: bool):
+    """Exact f32-highest re-rank of each query's m candidate tiles.
+
+    Returns (sk, pos, w): the k best refined scores ascending, their
+    positions within the (m*SUB) candidate pool, and the refined minimum
+    of the LAST (m-th) tile (the bf16x3 certificate's boundary term; the
+    1p pipeline ignores it).
+
+    Two implementations with identical results (the dot runs HIGHEST on
+    the same f32 operand values either way):
+      * DMA refine kernel (_refine_dots_kernel), chunked over tile groups
+        of _REFINE_M_CHUNK so the double-buffered VMEM scratch stays
+        bounded — the candidate pool crosses HBM once;
+      * XLA tile-granular gather + einsum, chunked over queries to bound
+        the materialized pool (the fallback for unaligned d / opt-out).
+    """
+    qp, d = queries.shape
+    t_all = db.shape[0] // SUB
+    sq2 = db_sq.reshape(t_all, SUB)
+    nrm2 = db_norms.reshape(t_all, SUB)
+    vld2 = valid.reshape(t_all, SUB)
+
+    if d % 128 == 0 and not os.environ.get("VDB_TPU_NO_REFINE_KERNEL"):
+        qbr = _REFINE_QBR
+        qp2 = ((qp + qbr - 1) // qbr) * qbr
+        if qp2 != qp:
+            pad = qp2 - qp
+            t_pad = jnp.concatenate(
+                [tile_idx, jnp.zeros((pad, m), tile_idx.dtype)], axis=0)
+            q_pad_arr = jnp.concatenate(
+                [queries, jnp.zeros((pad, d), queries.dtype)], axis=0)
+        else:
+            t_pad, q_pad_arr = tile_idx, queries
+        parts = []
+        for c0 in range(0, m, _REFINE_M_CHUNK):
+            mc = min(_REFINE_M_CHUNK, m - c0)
+            parts.append(_refine_dots(t_pad[:, c0:c0 + mc], q_pad_arr,
+                                      db, mc, interpret)[:qp])
+        dots = parts[0] if len(parts) == 1 else jnp.concatenate(parts,
+                                                                axis=1)
+        if mode == "euclidean":
+            s2 = (qsq[:, None] + sq2[tile_idx].reshape(qp, m * SUB)
+                  - 2.0 * dots)
+        elif mode == "dot":
+            s2 = -dots
+        else:
+            qinv_i = jnp.where(qn == 0.0, 0.0, 1.0 / qn)
+            rn = nrm2[tile_idx].reshape(qp, m * SUB)
+            rinv_i = jnp.where(rn == 0.0, 0.0, 1.0 / rn)
+            s2 = -(dots * qinv_i[:, None] * rinv_i)
+        s2 = jnp.where(vld2[tile_idx].reshape(qp, m * SUB), s2, jnp.inf)
+        neg, pos = jax.lax.top_k(-s2, k)
+        w = jnp.min(s2[:, (m - 1) * SUB:], axis=1)
+        return -neg, pos, w
+
+    db3 = db.reshape(t_all, SUB, d)
+
+    def refine_chunk(args):
+        t_i, q_i, qs_i, qn_i = args
+        rows = db3[t_i].reshape(-1, m * SUB, d)
+        if rows.dtype != jnp.float32:
+            rows = rows.astype(jnp.float32)
+        dots = jnp.einsum("qcd,qd->qc", rows, q_i,
+                          preferred_element_type=jnp.float32,
+                          precision="highest")
+        if mode == "euclidean":
+            s2 = qs_i[:, None] + sq2[t_i].reshape(-1, m * SUB) - 2.0 * dots
+        elif mode == "dot":
+            s2 = -dots
+        else:
+            qinv_i = jnp.where(qn_i == 0.0, 0.0, 1.0 / qn_i)
+            rn = nrm2[t_i].reshape(-1, m * SUB)
+            rinv_i = jnp.where(rn == 0.0, 0.0, 1.0 / rn)
+            s2 = -(dots * qinv_i[:, None] * rinv_i)
+        s2 = jnp.where(vld2[t_i].reshape(-1, m * SUB), s2, jnp.inf)
+        neg, pos = jax.lax.top_k(-s2, k)
+        w = jnp.min(s2[:, (m - 1) * SUB:], axis=1)
+        return -neg, pos, w
+
+    chunk = _refine_chunk_rows(qp, m, d)
+    if chunk < qp:
+        c = chunk
+        # non-pow2 qp (the sharded path doesn't pow2-pad): pad the refine
+        # inputs up to a chunk multiple; padded rows compute junk that is
+        # sliced away and never touches real queries' results or certs
+        qp2 = ((qp + c - 1) // c) * c
+        if qp2 != qp:
+            pad = qp2 - qp
+            t_pad = jnp.concatenate(
+                [tile_idx, jnp.zeros((pad, m), tile_idx.dtype)], axis=0)
+            q_pad_arr = jnp.concatenate(
+                [queries, jnp.zeros((pad, d), queries.dtype)], axis=0)
+            qsq_pad = jnp.concatenate([qsq, jnp.zeros((pad,), qsq.dtype)])
+            qn_pad = jnp.concatenate([qn, jnp.zeros((pad,), qn.dtype)])
+        else:
+            t_pad, q_pad_arr, qsq_pad, qn_pad = tile_idx, queries, qsq, qn
+        sk, pos, w = jax.lax.map(
+            refine_chunk,
+            (t_pad.reshape(qp2 // c, c, m),
+             q_pad_arr.reshape(qp2 // c, c, d),
+             qsq_pad.reshape(qp2 // c, c), qn_pad.reshape(qp2 // c, c)))
+        return (sk.reshape(qp2, k)[:qp], pos.reshape(qp2, k)[:qp],
+                w.reshape(qp2)[:qp])
+    return refine_chunk((tile_idx, queries, qsq, qn))
+
+
 def _coarse_kernel_f32(qhi_ref, qlo_ref, qrow_ref, db_ref, col_ref,
                        inv_ref, out_ref, *, passes: int, mode: str, tn: int):
     """f32-source variant: reads the primary f32 database tile and performs
@@ -646,34 +757,12 @@ def _coarse_search_jit(queries, db, db_sq, db_norms, valid, db_hi, db_lo,
     cand = (tile_idx[:, :, None] * SUB + offs[None, None, :]).reshape(
         qp, m_tiles * SUB)
 
-    # exact refine at f32-highest precision on the primary f32 database.
-    # All gathers are TILE-granular (contiguous (SUB, d) blocks via a free
-    # reshape of the packed matrix): row-granular db[cand] moved ~3 GB in
-    # 16x more descriptors (44.5 -> 33.3 ms measured at Q=4096), and the
-    # scalar gathers db_sq[cand] / valid[cand] cost ~7 ms alone. The
-    # refine math (einsum-highest on the same f32 rows and norms) is
-    # unchanged -> results stay bit-identical to the full f32 scan.
-    t_all = db.shape[0] // SUB
-    cand_rows = db.reshape(t_all, SUB, d)[tile_idx].reshape(
-        qp, m_tiles * SUB, d)
-    dots = jnp.einsum("qcd,qd->qc", cand_rows, queries,
-                      preferred_element_type=jnp.float32,
-                      precision="highest")
-    if mode == "euclidean":
-        rsq = db_sq.reshape(t_all, SUB)[tile_idx].reshape(qp, m_tiles * SUB)
-        score2 = qsq[:, None] + rsq - 2.0 * dots
-    elif mode == "dot":
-        score2 = -dots
-    else:
-        qinv_r = jnp.where(qn == 0.0, 0.0, 1.0 / qn)
-        rnorm = db_norms.reshape(t_all, SUB)[tile_idx].reshape(
-            qp, m_tiles * SUB)
-        rinv_r = jnp.where(rnorm == 0.0, 0.0, 1.0 / rnorm)
-        score2 = -(dots * qinv_r[:, None] * rinv_r)
-    vld = valid.reshape(t_all, SUB)[tile_idx].reshape(qp, m_tiles * SUB)
-    score2 = jnp.where(vld, score2, jnp.inf)
-    neg, pos = jax.lax.top_k(-score2, k)
-    sk = -neg                                           # (Qp, k) ascending
+    # exact refine at f32-highest precision on the primary f32 database —
+    # shared helper (DMA refine kernel with XLA tile-gather fallback; all
+    # refine math is einsum-highest on the same f32 rows and norms, so
+    # results stay bit-identical to the full f32 scan)
+    sk, pos, w = _refine_topk(tile_idx, queries, qsq, qn, db, db_sq,
+                              db_norms, valid, mode, m_tiles, k, interpret)
     idx_out = jnp.take_along_axis(cand, pos, axis=1)
 
     if mode == "euclidean":
@@ -706,7 +795,6 @@ def _coarse_search_jit(queries, db, db_sq, db_norms, valid, db_hi, db_lo,
     # outside argument below) is sound only while live coarse scores stay
     # far below PENALTY; extreme-magnitude data must take the fallback
     sane = smax < 0.25 * PENALTY
-    w = jnp.min(score2[:, (m_tiles - 1) * SUB:], axis=1)
     last = sk[:, -1]
     # a non-finite k-th score means fewer than k live candidates; with
     # m_tiles >= k (enforced by the caller) every live row is then already
@@ -749,14 +837,20 @@ _MARGIN_SCALE_DOT = 1.5
 
 
 def _exact1p_pool(k: int, t_all: int) -> tuple[int, int]:
-    """(m2 supers, m tiles) for the 1-pass certified refine pool. 32 is
-    the measured knee: at N=2^20 x 768 iid, m=24 leaves 0.4% of queries
-    uncertified (a ~35 ms bf16x3 fallback chunk on almost every 4096-query
-    batch) while m=32 certified 32768/32768 (benchmarks/exp_exact1p2.py +
-    /tmp cert-rate sweeps, 2026-08)."""
+    """(m2 supers, m tiles) for the 1-pass certified refine pool.
+
+    The certificate needs the k-th refined row to clear the m-th tile's
+    coarse minimum: since each tile min is a best-of-SUB order statistic,
+    ~m rows beat the m-th tile min in expectation, so m must exceed k by
+    a variance cushion ~ sqrt(SUB*k). Measured knees: k=10 -> m=32
+    certifies 32768/32768 while m=24 leaves 0.4% uncertified
+    (benchmarks/exp_exact1p2.py); k=100 -> m=144/160/192 certify
+    76%/99.5%/100% at N=2^20 x 768 iid (r2 probe). The formula below
+    gives 32 at k=10 and 201 at k=100."""
     t2 = t_all // SUPER
-    m = min(max(32, int(k) + 8), t_all)
-    m2 = min(max(32, int(k) + 8), t2)
+    slack = max(22, int(2.5 * (SUB * int(k)) ** 0.5) + 1)
+    m = min(max(32, int(k) + slack), t_all)
+    m2 = min(max(32, int(k) + slack), t2)
     return m2, min(m, m2 * SUPER)
 
 
@@ -830,85 +924,10 @@ def _coarse_search_1p_jit(queries, db, db_sq, db_norms, valid, db_hi,
     cand = (tile_idx[:, :, None] * SUB + offs[None, None, :]).reshape(
         qp, m * SUB)
 
-    db3 = db.reshape(t_all, SUB, d)
-    sq2 = db_sq.reshape(t_all, SUB)
-    nrm2 = db_norms.reshape(t_all, SUB)
-    vld2 = valid.reshape(t_all, SUB)
-
-    def refine_chunk(args):
-        t_i, q_i, qs_i, qn_i = args
-        rows = db3[t_i].reshape(-1, m * SUB, d)
-        dots = jnp.einsum("qcd,qd->qc", rows, q_i,
-                          preferred_element_type=jnp.float32,
-                          precision="highest")
-        if mode == "euclidean":
-            s2 = qs_i[:, None] + sq2[t_i].reshape(-1, m * SUB) - 2.0 * dots
-        elif mode == "dot":
-            s2 = -dots
-        else:
-            qinv_i = jnp.where(qn_i == 0.0, 0.0, 1.0 / qn_i)
-            rn = nrm2[t_i].reshape(-1, m * SUB)
-            rinv_i = jnp.where(rn == 0.0, 0.0, 1.0 / rn)
-            s2 = -(dots * qinv_i[:, None] * rinv_i)
-        s2 = jnp.where(vld2[t_i].reshape(-1, m * SUB), s2, jnp.inf)
-        neg, pos = jax.lax.top_k(-s2, k)
-        return -neg, pos
-
-    if d % 128 == 0 and not os.environ.get("VDB_TPU_NO_REFINE_KERNEL"):
-        # DMA refine kernel: the candidate pool crosses HBM exactly once
-        # instead of three times (gather read + materialize + einsum
-        # read); score assembly below is the same XLA math as
-        # refine_chunk, so results stay bit-identical (the in-kernel dot
-        # runs HIGHEST on the same operand values).
-        qbr = _REFINE_QBR
-        qp2 = ((qp + qbr - 1) // qbr) * qbr
-        if qp2 != qp:
-            pad = qp2 - qp
-            t_pad = jnp.concatenate(
-                [tile_idx, jnp.zeros((pad, m), tile_idx.dtype)], axis=0)
-            q_pad_arr = jnp.concatenate(
-                [queries, jnp.zeros((pad, d), queries.dtype)], axis=0)
-        else:
-            t_pad, q_pad_arr = tile_idx, queries
-        dots = _refine_dots(t_pad, q_pad_arr, db, m, interpret)[:qp]
-        if mode == "euclidean":
-            s2 = (qsq[:, None] + sq2[tile_idx].reshape(qp, m * SUB)
-                  - 2.0 * dots)
-        elif mode == "dot":
-            s2 = -dots
-        else:
-            qinv_i = jnp.where(qn == 0.0, 0.0, 1.0 / qn)
-            rn = nrm2[tile_idx].reshape(qp, m * SUB)
-            rinv_i = jnp.where(rn == 0.0, 0.0, 1.0 / rn)
-            s2 = -(dots * qinv_i[:, None] * rinv_i)
-        s2 = jnp.where(vld2[tile_idx].reshape(qp, m * SUB), s2, jnp.inf)
-        neg, pos = jax.lax.top_k(-s2, k)
-        sk = -neg
-    elif (chunk := _refine_chunk_rows(qp, m, d)) < qp:
-        c = chunk
-        # non-pow2 qp (the sharded path doesn't pow2-pad): pad the refine
-        # inputs up to a chunk multiple; padded rows compute junk that is
-        # sliced away and never touches real queries' results or certs
-        qp2 = ((qp + c - 1) // c) * c
-        if qp2 != qp:
-            pad = qp2 - qp
-            t_pad = jnp.concatenate(
-                [tile_idx, jnp.zeros((pad, m), tile_idx.dtype)], axis=0)
-            q_pad_arr = jnp.concatenate(
-                [queries, jnp.zeros((pad, d), queries.dtype)], axis=0)
-            qsq_pad = jnp.concatenate([qsq, jnp.zeros((pad,), qsq.dtype)])
-            qn_pad = jnp.concatenate([qn, jnp.zeros((pad,), qn.dtype)])
-        else:
-            t_pad, q_pad_arr, qsq_pad, qn_pad = tile_idx, queries, qsq, qn
-        sk, pos = jax.lax.map(
-            refine_chunk,
-            (t_pad.reshape(qp2 // c, c, m),
-             q_pad_arr.reshape(qp2 // c, c, d),
-             qsq_pad.reshape(qp2 // c, c), qn_pad.reshape(qp2 // c, c)))
-        sk = sk.reshape(qp2, k)[:qp]
-        pos = pos.reshape(qp2, k)[:qp]
-    else:
-        sk, pos = refine_chunk((tile_idx, queries, qsq, qn))
+    # exact refine via the shared helper (DMA refine kernel, chunked over
+    # tile groups; XLA tile-gather fallback) — bit-identical either way
+    sk, pos, _ = _refine_topk(tile_idx, queries, qsq, qn, db, db_sq,
+                              db_norms, valid, mode, m, k, interpret)
     idx_out = jnp.take_along_axis(cand, pos, axis=1)
 
     # rigorous per-query margin from computed residual norms (module
@@ -1015,13 +1034,20 @@ def coarse_search(queries, db, db_sq, db_norms, valid, db_hi, db_lo,
     n = db.shape[0]
     t = n // SUB
     if exact:
-        m_tiles = min(max(16, int(k) + 6), t)
+        # same order-statistics cushion as _exact1p_pool (the bf16x3
+        # margin is tiny, so a ~1.5x-sqrt slack suffices; uncertified
+        # queries still fall back to the XLA scan, so this only tunes
+        # the fallback rate)
+        slack = max(6, int(1.5 * (SUB * int(k)) ** 0.5) + 1)
+        m_tiles = min(max(16, int(k) + slack), t)
     else:
         # smaller tile pool for the fast path: 12 tiles (192 candidates at
         # SUB=16) measured the same agreement as 16 with a cheaper refine
         # gather (benchmarks/exp_fast_recall.py: m=12 55.1 ms / m=16
-        # 57.3 ms, overlap 0.9988 both at rt=0.99)
-        m_tiles = min(max(12, int(k) + 2), t)
+        # 57.3 ms, overlap 0.9988 both at rt=0.99); large k gets a
+        # sqrt-scaled cushion for recall (no certificate here)
+        slack = max(2, int((SUB * int(k)) ** 0.5))
+        m_tiles = min(max(12, int(k) + slack), t)
     passes = 3 if exact else 1
     if db_hi is None:
         src = "f32"
