@@ -202,3 +202,128 @@ class TestFilteredSearch:
         assert results
         assert all(int(r.id[1:]) % 2 == 0 for r in results)
         assert results[0].id == "v8"
+
+
+class TestExactFilteredHnswIvf:
+    """VERDICT round-1 item 7: exact filtered search on every hot path —
+    masked HNSW traversal (both backends + device), masked IVF probed
+    refine — retiring the 3x over-fetch (storage.rs:268-287) from them."""
+
+    @pytest.mark.parametrize("backend", ["python", "native"])
+    def test_hnsw_masked_traversal_exact(self, rng, backend):
+        from vectordb_tpu import HnswIndex, HnswParams
+        idx = HnswIndex(DistanceMetric.EUCLIDEAN, HnswParams(seed=3),
+                        backend=backend)
+        store = VectorStore.with_index(idx)
+        data = rng.standard_normal((300, 8)).astype(np.float32)
+        for i in range(300):
+            store.insert_with_metadata(f"v{i}", Vector(data[i]),
+                                       meta(par=i % 3))
+        flt = MetadataFilter.eq("par", "0")
+        # oracle: exact filtered top-k by brute force
+        q = data[9]
+        elig = [i for i in range(300) if i % 3 == 0]
+        d2 = np.sum((data[elig] - q) ** 2, axis=1)
+        want = [f"v{elig[j]}" for j in np.argsort(d2)[:5]]
+        got = store.search_with_filter(Vector(q), 5, flt)
+        assert [r.id for r in got] == want
+        # the masked path served (not the over-fetch): over-fetch with
+        # k*3 = 15 could never see 5 eligible under a worst-case ordering,
+        # but here we check the index-level hook directly
+        mask = np.zeros(idx.capacity, dtype=bool)
+        for i in elig:
+            s = idx.slot_of(i if False else store._id_to_internal[f"v{i}"])
+            if s is not None:
+                mask[s] = True
+        res = idx.search_masked(Vector(q), 5, mask)
+        assert res is not None and len(res) == 5
+
+    def test_hnsw_masked_selective_filter(self, rng):
+        """A filter so selective that 3x over-fetch would miss most
+        results: 5 eligible rows among 400 — the masked traversal must
+        find them all."""
+        from vectordb_tpu import HnswIndex, HnswParams
+        store = VectorStore.with_index(
+            HnswIndex(DistanceMetric.EUCLIDEAN, HnswParams(seed=7)))
+        data = rng.standard_normal((400, 8)).astype(np.float32)
+        rare = {17, 123, 210, 333, 390}
+        for i in range(400):
+            store.insert_with_metadata(
+                f"v{i}", Vector(data[i]),
+                meta(tag="rare" if i in rare else "common"))
+        q = data[17] + np.float32(0.01)
+        got = store.search_with_filter(Vector(q), 5,
+                                       MetadataFilter.eq("tag", "rare"))
+        assert {r.id for r in got} == {f"v{i}" for i in rare}
+
+    def test_device_traversal_mask(self, rng):
+        from vectordb_tpu import HnswIndex, HnswParams
+        idx = HnswIndex(DistanceMetric.EUCLIDEAN, HnswParams(seed=5))
+        data = rng.standard_normal((200, 16)).astype(np.float32)
+        idx.build_batch([(i, Vector(data[i])) for i in range(200)])
+        mask = np.zeros(idx.capacity, dtype=bool)
+        elig_slots = []
+        for i in range(0, 200, 4):
+            s = idx.slot_of(i)
+            mask[s] = True
+            elig_slots.append((i, s))
+        queries = data[:8] + np.float32(0.01)
+        res = idx.search_batch_device(queries, 5, ef=64, slot_mask=mask)
+        elig_ids = {i for i, _ in elig_slots}
+        for qi, row in enumerate(res):
+            assert row, "masked device search found nothing"
+            assert all(i in elig_ids for i, _ in row)
+        # query 0 is next to v0 (eligible): must be the top hit
+        assert res[0][0][0] == 0
+
+    def test_ivf_probed_masked_exact(self, rng):
+        """Filtered IVF goes through the PROBED path: with nprobe =
+        nlist (all clusters probed) results are exact; with partial
+        probing the filter is still applied exactly and recall matches
+        the unfiltered contract."""
+        from vectordb_tpu.index import IvfFlatIndex
+        idx = IvfFlatIndex(DistanceMetric.EUCLIDEAN, nlist=8, nprobe=8,
+                           seed=0, auto_train_min=10**9)
+        store = VectorStore.with_index(idx)
+        data = rng.standard_normal((600, 8)).astype(np.float32)
+        for i in range(600):
+            store.insert_with_metadata(f"v{i}", Vector(data[i]),
+                                       meta(par=i % 2))
+        idx.train()
+        flt = MetadataFilter.eq("par", "0")
+        elig = [i for i in range(600) if i % 2 == 0]
+        for qi in (3, 44, 101):
+            q = data[qi]
+            d2 = np.sum((data[elig] - q) ** 2, axis=1)
+            want = [f"v{elig[j]}" for j in np.argsort(d2)[:5]]
+            got = store.search_with_filter(Vector(q), 5, flt)
+            assert [r.id for r in got] == want, qi
+        # partial probing: filter exactness unconditional, high overlap
+        idx.nprobe = 4
+        hits = 0
+        for qi in (3, 44, 101):
+            q = data[qi]
+            d2 = np.sum((data[elig] - q) ** 2, axis=1)
+            want = {f"v{elig[j]}" for j in np.argsort(d2)[:5]}
+            got = store.search_with_filter(Vector(q), 5, flt)
+            assert all(int(r.id[1:]) % 2 == 0 for r in got)
+            hits += len({r.id for r in got} & want)
+        assert hits >= 12  # >= 0.8 recall over the 3 queries
+
+    def test_ivf_masked_shortfall_falls_back_exact(self, rng):
+        """Selective filter (3 eligible rows): the probed path comes up
+        short and the exact masked scan must serve the full answer."""
+        from vectordb_tpu.index import IvfFlatIndex
+        idx = IvfFlatIndex(DistanceMetric.EUCLIDEAN, nlist=8, nprobe=1,
+                           seed=0, auto_train_min=10**9)
+        store = VectorStore.with_index(idx)
+        data = rng.standard_normal((500, 8)).astype(np.float32)
+        rare = {11, 222, 444}
+        for i in range(500):
+            store.insert_with_metadata(
+                f"v{i}", Vector(data[i]),
+                meta(tag="rare" if i in rare else "common"))
+        idx.train()
+        got = store.search_with_filter(Vector(data[0]), 5,
+                                       MetadataFilter.eq("tag", "rare"))
+        assert {r.id for r in got} == {f"v{i}" for i in rare}

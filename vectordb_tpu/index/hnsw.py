@@ -107,6 +107,37 @@ class HnswIndex(Index):
         return [self._graph.search_knn(queries[i], k)
                 for i in range(queries.shape[0])]
 
+    def search_masked(self, query: Vector, k: int, slot_mask: np.ndarray,
+                      mask_layout_version=None):
+        """Exact filtered traversal (retires the reference's 3x over-fetch
+        from the HNSW hot path, storage.rs:268-287): the layer-0 beam
+        admits only mask-passing slots to the result set while navigation
+        stays unmasked (the standard filtered-HNSW shape). ef scales with
+        the mask's selectivity, and a visit budget bounds the expansion;
+        a shortfall (< k results) returns None so the store's over-fetch
+        fallback decides — exactness of the filter is unconditional, the
+        recall story is the same best-effort as unfiltered HNSW."""
+        if (mask_layout_version is not None
+                and mask_layout_version != self.slot_layout_version):
+            from ..errors import StaleSlotMaskError
+            raise StaleSlotMaskError(mask_layout_version,
+                                     self.slot_layout_version)
+        mask = np.asarray(slot_mask, dtype=bool)
+        if mask.size == 0 or not mask.any():
+            return []
+        cap = self.capacity
+        if mask.shape[0] < cap:   # mask compiled before a capacity grow
+            mask = np.concatenate(
+                [mask, np.zeros(cap - mask.shape[0], bool)])
+        sel = float(mask.mean())
+        ef = max(self.params.ef_search, k)
+        ef = min(int(ef / max(sel, 0.05)), max(4 * ef, 512))
+        res = self._graph.search_knn(as_f32_array(query), k, ef=ef,
+                                     mask=mask, visit_budget=64 * ef)
+        if len(res) >= min(k, int(mask.sum())):
+            return res
+        return None
+
     # -- device traversal (jitted batched beam search) -----------------------
 
     def device_searcher(self):
@@ -121,11 +152,14 @@ class HnswIndex(Index):
         return cached[1]
 
     def search_batch_device(self, queries: np.ndarray, k: int,
-                            ef: Optional[int] = None):
+                            ef: Optional[int] = None, slot_mask=None):
         """Batched search on the device tables (one jit dispatch for Q
-        queries) instead of the host-side per-query traversal."""
+        queries) instead of the host-side per-query traversal.
+        ``slot_mask``: exact filtered search (eligible-result track in the
+        device beam — no over-fetch)."""
         ef = self.params.ef_search if ef is None else int(ef)
-        return self.device_searcher().search_batch(queries, k, ef)
+        return self.device_searcher().search_batch(queries, k, ef,
+                                                   slot_mask=slot_mask)
 
     # -- lookups -------------------------------------------------------------
 

@@ -168,16 +168,23 @@ class HnswGraph:
 
     def _search_layer(self, query: np.ndarray, query_norm: float,
                       entry_points: List[Tuple[float, int]], ef: int,
-                      layer: int) -> List[Tuple[float, int]]:
+                      layer: int, mask: Optional[np.ndarray] = None,
+                      visit_budget: int = 0) -> List[Tuple[float, int]]:
+        """Algorithm 2. With ``mask`` only mask-passing slots enter the
+        RESULT set (navigation expands every neighbor — the standard
+        filtered-HNSW shape); ``visit_budget`` bounds the expansion when
+        eligible nodes are rare (0 = unbounded)."""
         visited = set()
         candidates = MinHeap()
         results = BoundedMaxHeap(ef)
+        visits = 0
         for dist, slot in entry_points:
             if slot in visited:
                 continue
             visited.add(slot)
             candidates.push(dist, slot)
-            results.push_bounded(dist, slot)
+            if mask is None or mask[slot]:
+                results.push_bounded(dist, slot)
         valid = self._valid
         neighbors = self._neighbors
         visited_add = visited.add
@@ -186,6 +193,8 @@ class HnswGraph:
             full = results.is_full()
             worst = results.worst_distance() if full else math.inf
             if full and c_dist > worst:
+                break
+            if visit_budget and visits > visit_budget:
                 break
             layer_lists = neighbors[c_slot]
             if layer >= len(layer_lists):
@@ -196,6 +205,7 @@ class HnswGraph:
                 continue
             for s in fresh:
                 visited_add(s)
+            visits += len(fresh)
             dists = self._dists_to_slots(query, query_norm,
                                          np.asarray(fresh, dtype=np.int64))
             # vectorized pre-filter: only candidates that can improve the
@@ -209,8 +219,16 @@ class HnswGraph:
             else:
                 pairs = [(float(d), s) for d, s in zip(dists, fresh)]
             for dist, slot in pairs:
-                if results.push_bounded(dist, slot):
-                    candidates.push(dist, slot)
+                if mask is None:
+                    if results.push_bounded(dist, slot):
+                        candidates.push(dist, slot)
+                else:
+                    # navigation is unmasked: a node can guide the beam
+                    # even when ineligible for the result set
+                    if not full or dist < worst:
+                        candidates.push(dist, slot)
+                    if mask[slot]:
+                        results.push_bounded(dist, slot)
         return results.into_sorted()
 
     # -- pruning (reference graph.rs:202-242) --------------------------------
@@ -326,8 +344,13 @@ class HnswGraph:
     # -- Algorithm 5: k-NN search (reference graph.rs:386-414) ---------------
 
     def search_knn(self, query: np.ndarray, k: int,
-                   ef: Optional[int] = None) -> List[Tuple[int, float]]:
-        """k nearest as (internal_id, distance) ascending."""
+                   ef: Optional[int] = None,
+                   mask: Optional[np.ndarray] = None,
+                   visit_budget: int = 0) -> List[Tuple[int, float]]:
+        """k nearest as (internal_id, distance) ascending. ``mask``
+        (bool[capacity] over slots) makes the layer-0 result set admit
+        only eligible slots — exact filtered search without the 3x
+        over-fetch (navigation stays unmasked)."""
         if self._entry is None or self._len == 0 or k <= 0:
             return []
         arr = np.asarray(query, dtype=np.float32).reshape(-1)
@@ -341,7 +364,8 @@ class HnswGraph:
         eps: List[Tuple[float, int]] = [(ep_dist, self._entry)]
         for layer in range(self._max_level, 0, -1):
             eps = self._search_layer(arr, qn, eps, 1, layer)
-        found = self._search_layer(arr, qn, eps, ef, 0)
+        found = self._search_layer(arr, qn, eps, ef, 0, mask=mask,
+                                   visit_budget=visit_budget)
         return [(self.id_of(slot), dist) for dist, slot in found[:k]]
 
     # -- lookups / export ----------------------------------------------------

@@ -202,7 +202,13 @@ class NativeHnswGraph:
     # -- search -------------------------------------------------------------
 
     def search_knn(self, query: np.ndarray, k: int,
-                   ef: Optional[int] = None) -> List[Tuple[int, float]]:
+                   ef: Optional[int] = None,
+                   mask: Optional[np.ndarray] = None,
+                   visit_budget: int = 0) -> List[Tuple[int, float]]:
+        """k nearest (internal_id, distance) ascending. ``mask``: exact
+        filtered search — bool[capacity] slot mask applied to the layer-0
+        result set (navigation unmasked); ``visit_budget`` bounds the
+        filtered expansion (0 = unbounded)."""
         if self._handle is None or len(self) == 0 or k <= 0:
             return []
         arr = np.ascontiguousarray(query, dtype=np.float32).reshape(-1)
@@ -211,9 +217,23 @@ class NativeHnswGraph:
         ef = self.params.ef_search if ef is None else int(ef)
         out_ids = np.empty(int(k), dtype=np.int64)
         out_dists = np.empty(int(k), dtype=np.float32)
-        n = self._native.vdb_hnsw_search(
-            self._handle, arr.ctypes.data_as(_F32P), int(k), ef,
-            out_ids.ctypes.data_as(_I64P), out_dists.ctypes.data_as(_F32P))
+        if mask is not None:
+            m8 = np.ascontiguousarray(
+                np.asarray(mask[:self.capacity]).astype(np.uint8))
+            if m8.shape[0] < self.capacity:
+                m8 = np.concatenate(
+                    [m8, np.zeros(self.capacity - m8.shape[0], np.uint8)])
+            n = self._native.vdb_hnsw_search_masked(
+                self._handle, arr.ctypes.data_as(_F32P), int(k), ef,
+                m8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                int(visit_budget),
+                out_ids.ctypes.data_as(_I64P),
+                out_dists.ctypes.data_as(_F32P))
+        else:
+            n = self._native.vdb_hnsw_search(
+                self._handle, arr.ctypes.data_as(_F32P), int(k), ef,
+                out_ids.ctypes.data_as(_I64P),
+                out_dists.ctypes.data_as(_F32P))
         if n == -2:
             raise InvalidVectorError(
                 "Cannot compute cosine distance with zero vector")

@@ -71,13 +71,20 @@ def _finalize(metric: DistanceMetric, d):
                    static_argnames=("metric_name", "k", "ef", "max_layers"))
 def hnsw_search_device(vectors, norms, neighbors, valid, id_of_slot, entry,
                        max_level, queries, metric_name: str, k: int, ef: int,
-                       max_layers: int):
+                       max_layers: int, slot_mask=None):
     """Batched HNSW search. Returns (dists (Q,k), internal_ids (Q,k));
-    missing results carry +inf distance and id -1."""
+    missing results carry +inf distance and id -1.
+
+    ``slot_mask`` (bool[N] or None): exact filtered search — navigation
+    (descent + layer-0 beam) stays unmasked, while a separate bounded
+    RESULT track admits only mask-passing slots, so filters are applied
+    exactly without over-fetch (VERDICT round-1 item 7)."""
     metric = DistanceMetric(metric_name)
     dist_fn = _make_distance(metric)
     n, layers, m_max = neighbors.shape
     ef = max(ef, k)
+    mask = (jnp.ones((n,), dtype=bool) if slot_mask is None
+            else jnp.asarray(slot_mask, dtype=bool))
 
     def single_query(q):
         qn = jnp.sqrt(jnp.sum(q * q))
@@ -119,14 +126,21 @@ def hnsw_search_device(vectors, norms, neighbors, valid, id_of_slot, entry,
         beam_id = jnp.full((ef,), -1, dtype=jnp.int32).at[0].set(ep)
         expanded = jnp.zeros((ef,), dtype=bool)
         visited = jnp.zeros((n,), dtype=bool).at[ep].set(True)
+        # eligible-result track (mask-passing slots only; unmasked search
+        # has mask == all-True, where it mirrors the beam)
+        ep_elig = mask[ep]
+        res_d = jnp.full((ef,), _BIG).at[0].set(
+            jnp.where(ep_elig, ep_dist, _BIG))
+        res_id = jnp.full((ef,), -1, dtype=jnp.int32).at[0].set(
+            jnp.where(ep_elig, ep, -1))
 
         def cond(state):
-            beam_d, beam_id, expanded, visited = state
+            beam_d, beam_id, expanded, visited, res_d, res_id = state
             frontier = (~expanded) & jnp.isfinite(beam_d)
             return jnp.any(frontier)
 
         def body(state):
-            beam_d, beam_id, expanded, visited = state
+            beam_d, beam_id, expanded, visited, res_d, res_id = state
             frontier_d = jnp.where(expanded, _BIG, beam_d)
             pick = jnp.argmin(frontier_d)
             cur = beam_id[pick]
@@ -143,13 +157,23 @@ def hnsw_search_device(vectors, norms, neighbors, valid, id_of_slot, entry,
             all_id = jnp.concatenate([beam_id, nbrs])
             all_exp = jnp.concatenate([expanded, ~ok])
             order = jnp.argsort(all_d)[:ef]
-            return (all_d[order], all_id[order], all_exp[order], visited)
+            # result track: only eligible fresh candidates enter
+            elig = ok & mask[safe]
+            rd = jnp.where(elig, nd, _BIG)
+            rid = jnp.where(elig, nbrs, -1)
+            r_all_d = jnp.concatenate([res_d, rd])
+            r_all_id = jnp.concatenate([res_id, rid])
+            r_order = jnp.argsort(r_all_d)[:ef]
+            return (all_d[order], all_id[order], all_exp[order], visited,
+                    r_all_d[r_order], r_all_id[r_order])
 
-        beam_d, beam_id, expanded, visited = jax.lax.while_loop(
-            cond, body, (beam_d, beam_id, expanded, visited))
+        beam_d, beam_id, expanded, visited, res_d, res_id = \
+            jax.lax.while_loop(
+                cond, body,
+                (beam_d, beam_id, expanded, visited, res_d, res_id))
 
-        out_d = _finalize(metric, beam_d[:k])
-        out_slot = beam_id[:k]
+        out_d = _finalize(metric, res_d[:k])
+        out_slot = res_id[:k]
         out_id = jnp.where(jnp.isfinite(out_d),
                            id_of_slot[jnp.maximum(out_slot, 0)], -1)
         return out_d, out_id
@@ -166,13 +190,21 @@ class DeviceHnswSearcher:
         self.max_layers = graph.params.max_layers
         self.tables = build_device_tables(graph)
 
-    def search_batch(self, queries: np.ndarray, k: int, ef: int):
+    def search_batch(self, queries: np.ndarray, k: int, ef: int,
+                     slot_mask=None):
         t = self.tables
+        if slot_mask is not None:
+            m = np.asarray(slot_mask, dtype=bool)
+            n = int(t["valid"].shape[0])
+            if m.shape[0] < n:
+                m = np.concatenate([m, np.zeros(n - m.shape[0], bool)])
+            slot_mask = jnp.asarray(m[:n])
         dists, ids = hnsw_search_device(
             t["vectors"], t["norms"], t["neighbors"], t["valid"],
             t["id_of_slot"], t["entry"], t["max_level"],
             jnp.asarray(np.asarray(queries, dtype=np.float32)),
-            self.metric.value, int(k), int(ef), self.max_layers)
+            self.metric.value, int(k), int(ef), self.max_layers,
+            slot_mask=slot_mask)
         dists = np.asarray(dists)
         ids = np.asarray(ids)
         out = []

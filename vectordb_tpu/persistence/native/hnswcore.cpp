@@ -168,22 +168,31 @@ struct HnswCore {
         return n_copy;
     }
 
-    // Algorithm 2: ef-bounded beam search on one layer.
+    // Algorithm 2: ef-bounded beam search on one layer. With a non-null
+    // ``mask`` only mask-passing slots enter the RESULT set (navigation
+    // still expands every neighbor — the hnswlib filtered-search shape);
+    // ``visit_budget`` bounds the expansion when eligible nodes are rare
+    // (0 = unbounded). A shortfall makes the caller fall back.
     void search_layer(const float* q, float q_norm,
                       const std::vector<DistId>& entries, uint32_t ef,
-                      int layer, VisitScratch& vs, std::vector<DistId>* out) {
+                      int layer, VisitScratch& vs, std::vector<DistId>* out,
+                      const uint8_t* mask = nullptr,
+                      int64_t visit_budget = 0) {
         if (static_cast<int64_t>(vs.mark.size()) < capacity)
             vs.mark.resize(capacity, 0);
         vs.epoch++;
         std::priority_queue<DistId, std::vector<DistId>,
                             std::greater<DistId>> candidates;
         std::priority_queue<DistId> results;
+        int64_t visits = 0;
         for (const auto& e : entries) {
             if (vs.mark[e.second] == vs.epoch) continue;
             vs.mark[e.second] = vs.epoch;
             candidates.push(e);
-            results.push(e);
-            if (results.size() > ef) results.pop();
+            if (!mask || mask[e.second]) {
+                results.push(e);
+                if (results.size() > ef) results.pop();
+            }
         }
         // adjacency copy buffer sized to the configuration (lists hold at
         // most m_max0 entries, +1 transiently before pruning)
@@ -195,16 +204,21 @@ struct HnswCore {
             DistId c = candidates.top();
             candidates.pop();
             if (results.size() >= ef && c.first > results.top().first) break;
+            if (visit_budget && visits > visit_budget) break;
             size_t n_nbrs = copy_neighbors(c.second, layer, nbrs, nbr_cap);
             for (size_t j = 0; j < n_nbrs; j++) {
                 int32_t nb = nbrs[j];
                 if (vs.mark[nb] == vs.epoch || !valid[nb]) continue;
                 vs.mark[nb] = vs.epoch;
+                visits++;
                 float d = dist(q, q_norm, nb);
+                bool eligible = !mask || mask[nb];
                 if (results.size() < ef || d < results.top().first) {
                     candidates.push({d, nb});
-                    results.push({d, nb});
-                    if (results.size() > ef) results.pop();
+                    if (eligible) {
+                        results.push({d, nb});
+                        if (results.size() > ef) results.pop();
+                    }
                 }
             }
         }
@@ -420,9 +434,12 @@ struct HnswCore {
     }
 
     // Algorithm 5: k-NN search. Returns count, or -2 for a cosine
-    // zero-vector error (reference distance.rs:51-55 semantics).
+    // zero-vector error (reference distance.rs:51-55 semantics). With a
+    // mask, layer-0 results admit only mask-passing slots (navigation
+    // unmasked); visit_budget bounds the filtered expansion.
     int64_t search(const float* q, uint32_t k, uint32_t ef, int64_t* out_ids,
-                   float* out_dists) {
+                   float* out_dists, const uint8_t* mask = nullptr,
+                   int64_t visit_budget = 0) {
         if (entry < 0 || count.load() == 0 || k == 0) return 0;
         float sq = 0.f;
         for (uint32_t i = 0; i < dim; i++) sq += q[i] * q[i];
@@ -436,7 +453,8 @@ struct HnswCore {
             search_layer(q, qn, eps, 1, layer, g_tls_scratch, &found);
             if (!found.empty()) eps.assign(1, found.front());
         }
-        search_layer(q, qn, eps, ef, 0, g_tls_scratch, &found);
+        search_layer(q, qn, eps, ef, 0, g_tls_scratch, &found, mask,
+                     visit_budget);
         int64_t n_out = 0;
         for (size_t i = 0; i < found.size() && n_out < k; i++) {
             out_ids[n_out] = ids[found[i].second];
@@ -492,6 +510,18 @@ int64_t vdb_hnsw_search(void* handle, const float* q, uint32_t k, uint32_t ef,
                         int64_t* out_ids, float* out_dists) {
     return static_cast<HnswCore*>(handle)->search(q, k, ef, out_ids,
                                                   out_dists);
+}
+
+// Exact filtered search: mask is uint8[capacity] over slots (1 = eligible
+// for the result set); visit_budget bounds the filtered layer-0 expansion
+// (0 = unbounded). Shortfalls (< k results) make the caller fall back.
+int64_t vdb_hnsw_search_masked(void* handle, const float* q, uint32_t k,
+                               uint32_t ef, const uint8_t* mask,
+                               int64_t visit_budget, int64_t* out_ids,
+                               float* out_dists) {
+    return static_cast<HnswCore*>(handle)->search(q, k, ef, out_ids,
+                                                  out_dists, mask,
+                                                  visit_budget);
 }
 
 int64_t vdb_hnsw_len(void* handle) {

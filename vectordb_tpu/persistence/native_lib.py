@@ -79,6 +79,10 @@ def _configure(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.vdb_hnsw_search.argtypes = [ctypes.c_void_p, f32p, ctypes.c_uint32,
                                     ctypes.c_uint32, i64p, f32p]
     lib.vdb_hnsw_search.restype = ctypes.c_int64
+    lib.vdb_hnsw_search_masked.argtypes = [
+        ctypes.c_void_p, f32p, ctypes.c_uint32, ctypes.c_uint32, u8p,
+        ctypes.c_int64, i64p, f32p]
+    lib.vdb_hnsw_search_masked.restype = ctypes.c_int64
     lib.vdb_hnsw_len.argtypes = [ctypes.c_void_p]
     lib.vdb_hnsw_len.restype = ctypes.c_int64
     lib.vdb_hnsw_capacity.argtypes = [ctypes.c_void_p]
