@@ -45,6 +45,7 @@
 #include <unistd.h>
 #include <unordered_map>
 #include <vector>
+#include <charconv>
 
 namespace {
 
@@ -638,6 +639,106 @@ int64_t vdb_http_next_jobs(void* h, uint8_t* buf, int64_t cap,
         s->jobs.pop_front();
     }
     return off;
+}
+
+// C++-side search-response formatting (round-2: the Python loop built
+// n dicts + json.dumps per response; here the worker ships packed ids +
+// distances and the body is assembled in C++). Output matches Python's
+// json.dumps textually: ", "/": " separators and shortest-round-trip
+// doubles via std::to_chars.
+static void json_escape_append(std::string& out, const char* p, size_t n) {
+    for (size_t i = 0; i < n; i++) {
+        unsigned char c = (unsigned char)p[i];
+        switch (c) {
+            case '"': out += "\\\""; break;
+            case '\\': out += "\\\\"; break;
+            case '\b': out += "\\b"; break;
+            case '\f': out += "\\f"; break;
+            case '\n': out += "\\n"; break;
+            case '\r': out += "\\r"; break;
+            case '\t': out += "\\t"; break;
+            default:
+                if (c < 0x20) {
+                    char tmp[8];
+                    snprintf(tmp, sizeof tmp, "\\u%04x", c);
+                    out += tmp;
+                } else {
+                    out += (char)c;
+                }
+        }
+    }
+}
+
+static void append_double(std::string& out, double v) {
+    char buf[32];
+    auto res = std::to_chars(buf, buf + sizeof buf, v);
+    out.append(buf, (size_t)(res.ptr - buf));
+}
+
+static void append_search_results(std::string& body, const char*& p,
+                                  const uint32_t* id_lens,
+                                  const double* dists, int32_t lo,
+                                  int32_t hi) {
+    body += '[';
+    for (int32_t i = lo; i < hi; i++) {
+        if (i > lo) body += ", ";
+        body += "{\"id\": \"";
+        json_escape_append(body, p, id_lens[i]);
+        p += id_lens[i];
+        body += "\", \"distance\": ";
+        append_double(body, dists[i]);
+        body += '}';
+    }
+    body += ']';
+}
+
+static int push_resp(Server* s, uint64_t conn_id, int status,
+                     std::string&& body) {
+    {
+        std::lock_guard<std::mutex> g(s->resp_mu);
+        s->resps.push_back(Resp{conn_id, status, std::move(body)});
+    }
+    uint64_t one = 1;
+    (void)!write(s->wake_fd, &one, 8);
+    return 0;
+}
+
+// /search response: [{"id": ..., "distance": ...}, ...]
+int vdb_http_respond_search(void* h, uint64_t conn_id, int status,
+                            const uint8_t* ids, const uint32_t* id_lens,
+                            const double* dists, int32_t n) {
+    Server* s = (Server*)h;
+    std::string body;
+    body.reserve((size_t)n * 48 + 2);
+    const char* p = (const char*)ids;
+    append_search_results(body, p, id_lens, dists, 0, n);
+    return push_resp(s, conn_id, status, std::move(body));
+}
+
+// /search/batch response: [[...], [...], ...] with group_sizes[i] hits in
+// group i (sum(group_sizes) == total entries in ids/id_lens/dists).
+int vdb_http_respond_search_batch(void* h, uint64_t conn_id, int status,
+                                  const uint8_t* ids,
+                                  const uint32_t* id_lens,
+                                  const double* dists,
+                                  const int32_t* group_sizes,
+                                  int32_t n_groups) {
+    Server* s = (Server*)h;
+    std::string body;
+    int64_t total = 0;
+    for (int32_t g = 0; g < n_groups; g++) total += group_sizes[g];
+    body.reserve((size_t)total * 48 + (size_t)n_groups * 4 + 2);
+    body += '[';
+    const char* p = (const char*)ids;
+    int32_t off = 0;
+    for (int32_t g = 0; g < n_groups; g++) {
+        if (g) body += ", ";
+        append_search_results(body, p, id_lens, dists, off,
+                              off + group_sizes[g]);
+        off += group_sizes[g];
+    }
+    body += ']';
+    return push_resp(s, conn_id, status, std::move(body));
 }
 
 int vdb_http_respond(void* h, uint64_t conn_id, int status,

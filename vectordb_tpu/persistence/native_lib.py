@@ -115,6 +115,17 @@ def _configure(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.vdb_http_respond.argtypes = [ctypes.c_void_p, ctypes.c_uint64,
                                      ctypes.c_int, u8p, ctypes.c_int64]
     lib.vdb_http_respond.restype = ctypes.c_int
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    lib.vdb_http_respond_search.argtypes = [
+        ctypes.c_void_p, ctypes.c_uint64, ctypes.c_int, u8p, u32p, f64p,
+        ctypes.c_int32]
+    lib.vdb_http_respond_search.restype = ctypes.c_int
+    lib.vdb_http_respond_search_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_uint64, ctypes.c_int, u8p, u32p, f64p,
+        i32p, ctypes.c_int32]
+    lib.vdb_http_respond_search_batch.restype = ctypes.c_int
     return lib
 
 

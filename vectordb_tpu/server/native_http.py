@@ -73,6 +73,36 @@ class NativeHttpServer:
             jobs.append((conn_id, method, path, body))
         return jobs
 
+    def _pack_results(self, flat_results):
+        """(ids_bytes, lens_arr, dists_arr, n) for the C++ formatter."""
+        enc = [r.id.encode() for r in flat_results]
+        n = len(enc)
+        ids = b"".join(enc)
+        lens = (ctypes.c_uint32 * n)(*(len(e) for e in enc))
+        dd = (ctypes.c_double * n)(*(r.distance for r in flat_results))
+        return ids, lens, dd, n
+
+    def _respond_search(self, conn_id: int, results) -> None:
+        """Search response formatted in C++ (JSON body assembly +
+        escaping + shortest-round-trip doubles; round-2 serving lever —
+        the Python path built n dicts + json.dumps per response)."""
+        ids, lens, dd, n = self._pack_results(results)
+        self._lib.vdb_http_respond_search(
+            self._handle, ctypes.c_uint64(conn_id), 200,
+            ctypes.cast(ctypes.c_char_p(ids),
+                        ctypes.POINTER(ctypes.c_uint8)),
+            lens, dd, n)
+
+    def _respond_search_batch(self, conn_id: int, batches) -> None:
+        flat = [r for batch in batches for r in batch]
+        ids, lens, dd, n = self._pack_results(flat)
+        sizes = (ctypes.c_int32 * len(batches))(*(len(b) for b in batches))
+        self._lib.vdb_http_respond_search_batch(
+            self._handle, ctypes.c_uint64(conn_id), 200,
+            ctypes.cast(ctypes.c_char_p(ids),
+                        ctypes.POINTER(ctypes.c_uint8)),
+            lens, dd, sizes, len(batches))
+
     def _respond(self, conn_id: int, status: int, payload) -> None:
         body = json.dumps(payload).encode()
         self._lib.vdb_http_respond(
@@ -142,9 +172,7 @@ class NativeHttpServer:
             return
         # one latency sample for the whole batch (routes.rs:365-369)
         state.metrics.record_query(time.perf_counter() - start)
-        self._respond(conn_id, 200,
-                      [[{"id": r.id, "distance": r.distance} for r in batch]
-                       for batch in all_results])
+        self._respond_search_batch(conn_id, all_results)
 
     def _handle_searches(self, searches) -> None:
         """Group compatible /search requests into fused device calls."""
@@ -197,9 +225,7 @@ class NativeHttpServer:
             elapsed = time.perf_counter() - start
             for (conn_id, _), results in zip(members, all_results):
                 state.metrics.record_query(elapsed)
-                self._respond(conn_id, 200,
-                              [{"id": r.id, "distance": r.distance}
-                               for r in results])
+                self._respond_search(conn_id, results)
 
         for conn_id, query, k, flt in singles:
             start = time.perf_counter()
@@ -212,9 +238,7 @@ class NativeHttpServer:
                 self._respond(conn_id, status, {"error": str(e)})
                 continue
             state.metrics.record_query(time.perf_counter() - start)
-            self._respond(conn_id, 200,
-                          [{"id": r.id, "distance": r.distance}
-                           for r in results])
+            self._respond_search(conn_id, results)
 
     # -- lifecycle -----------------------------------------------------------
 
