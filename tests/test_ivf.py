@@ -413,3 +413,25 @@ def test_engine_ivf_stale_state_falls_back(rng, tmp_path):
     with StorageEngine.open(tmp_path, cfg) as eng:
         assert len(eng) == n          # vectors recovered from the snapshot
         assert eng.search(Vector(db[3] + 0.001), 1)[0].id == "v3"
+
+
+def test_ivf_bf16_storage_composes(rng):
+    """IVF x bf16 storage (the 8M-on-one-chip lane): train + probed
+    search return exact-over-stored results at full recall when probing
+    every cluster."""
+    from vectordb_tpu.index import IvfFlatIndex
+    from vectordb_tpu.index.flat import FlatIndex
+    idx = IvfFlatIndex(DistanceMetric.EUCLIDEAN, nlist=4, nprobe=4,
+                       seed=0, auto_train_min=10 ** 9, storage="bf16")
+    data = rng.standard_normal((300, 16)).astype(np.float32)
+    idx.add_batch(list(enumerate(data)))
+    idx.train()
+    queries = data[:8] + np.float32(0.01)
+    got = idx.search_batch(queries, 5)
+    want = FlatIndex.search_batch(idx, queries, 5)  # exact, same storage
+    for g, w in zip(got, want):
+        assert [i for i, _ in g] == [i for i, _ in w]
+        # both are exact over the stored bf16 values; the probed refine
+        # and the flat bf16 scan round the score assembly differently
+        np.testing.assert_allclose([d for _, d in g], [d for _, d in w],
+                                   rtol=1e-3, atol=1e-4)

@@ -51,8 +51,12 @@ class IvfFlatIndex(FlatIndex):
     def __init__(self, metric: DistanceMetric, nlist: Optional[int] = None,
                  nprobe: int = 8, train_iters: int = 10,
                  spill_frac: float = 0.02, auto_train_min: int = 4096,
-                 seed: int = 0):
-        super().__init__(metric, search_mode="exact")
+                 seed: int = 0, storage: str = "f32"):
+        # storage="bf16" composes: vectors quantize at insert (the host
+        # mirror keeps the quantized values in f32, so training/repack
+        # are unchanged) and the probed refine computes exact distances
+        # over the stored bf16 values — 8M x 768 fits one chip
+        super().__init__(metric, search_mode="exact", storage=storage)
         self._want_mirrors = False
         if nlist is not None and nlist < 2:
             raise ValueError("nlist must be >= 2")

@@ -39,6 +39,9 @@ def kmeans_fit(data, key, nlist: int, iters: int):
     tolerates bf16 noise.
     """
     s, d = data.shape
+    # bf16-storage samples arrive as bfloat16: fit in f32 (the sample is
+    # bounded by _TRAIN_SAMPLE_MAX, so the upcast is small)
+    data = data.astype(jnp.float32)
     init_idx = jax.random.choice(key, s, shape=(nlist,), replace=False)
     centroids = data[init_idx]
     data_sq = jnp.sum(data * data, axis=1)
