@@ -100,3 +100,15 @@ def test_cli_storage_bf16(tmp_path, capsys):
     from vectordb_tpu.distance import DistanceMetric
     idx = FlatIndex(DistanceMetric.EUCLIDEAN, storage="bf16")
     assert idx.storage == "bf16"
+
+
+def test_env_spec_matches_live_environment():
+    """pyproject.toml is the mechanical env spec (reference flake.nix
+    analog); tools/check_env.py must pass in the CI environment."""
+    import subprocess
+    import sys
+    from pathlib import Path
+    root = Path(__file__).resolve().parent.parent
+    r = subprocess.run([sys.executable, str(root / "tools/check_env.py")],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stdout + r.stderr
