@@ -6,7 +6,10 @@ phase of HNSW entirely on device as a fixed-shape masked program:
 
   * greedy descent (layers max_level..1) as a ``lax.while_loop`` per layer
   * layer-0 beam search with a fixed-ef sorted beam, an expansion flag per
-    beam slot and a bool[N] visited table updated with scatter sets
+    beam slot and a packed uint32[ceil(N/32)] visited BITMASK updated with
+    scatter-ORs (exact membership at 1/8 the bytes of a bool[N] table:
+    128 KB per query at N=1M instead of 1 MB, so a Q=256 vmapped batch
+    over a 1M-row graph carries 32 MB of visited state, not 256 MB)
   * each hop gathers <= m_max neighbor rows and evaluates all their
     distances in one batched matvec (VPU/MXU) instead of scalar loops
   * ``jax.vmap`` batches whole queries; everything compiles once per
@@ -125,7 +128,11 @@ def hnsw_search_device(vectors, norms, neighbors, valid, id_of_slot, entry,
         beam_d = jnp.full((ef,), _BIG).at[0].set(ep_dist)
         beam_id = jnp.full((ef,), -1, dtype=jnp.int32).at[0].set(ep)
         expanded = jnp.zeros((ef,), dtype=bool)
-        visited = jnp.zeros((n,), dtype=bool).at[ep].set(True)
+        # packed visited bitmask: word i holds slots [32i, 32i+32)
+        n_words = (n + 31) // 32
+        one = jnp.uint32(1)
+        visited = (jnp.zeros((n_words,), dtype=jnp.uint32)
+                   .at[ep >> 5].set(one << (ep & 31).astype(jnp.uint32)))
         # eligible-result track (mask-passing slots only; unmasked search
         # has mask == all-True, where it mirrors the beam)
         ep_elig = mask[ep]
@@ -147,10 +154,20 @@ def hnsw_search_device(vectors, norms, neighbors, valid, id_of_slot, entry,
             expanded = expanded.at[pick].set(True)
             nbrs = neighbors[cur, 0]
             safe = jnp.maximum(nbrs, 0)
-            ok = (nbrs >= 0) & valid[safe] & (~visited[safe])
+            word = safe >> 5
+            bit = (safe & 31).astype(jnp.uint32)
+            seen = ((visited[word] >> bit) & one).astype(bool)
+            # first-occurrence guard: a duplicate edge in one adjacency row
+            # must contribute its visited bit only once (scatter-add is the
+            # OR here, and add would double-count a repeated bit)
+            m_ar = jnp.arange(nbrs.shape[0])
+            dup = jnp.any((nbrs[:, None] == nbrs[None, :])
+                          & (m_ar[:, None] > m_ar[None, :]), axis=1)
+            ok = (nbrs >= 0) & valid[safe] & (~seen) & (~dup)
             nd = jnp.where(ok, dist_fn(q, qn, vectors[safe], norms[safe]),
                            _BIG)
-            visited = visited.at[safe].set(visited[safe] | ok)
+            visited = visited.at[word].add(
+                (one << bit) * ok.astype(jnp.uint32))
             # merge beam with the new candidates, keep the ef best;
             # fresh candidates start unexpanded, dead slots pre-expanded
             all_d = jnp.concatenate([beam_d, nd])
