@@ -11,10 +11,19 @@ Phases:
   python benchmarks/hnsw_1m.py            # build (resumable, host-only)
   python benchmarks/hnsw_1m.py --recall   # recall sweep vs TPU flat oracle
 
-Data: the repo's standard structured workload (2048 centers + 0.25 noise,
-same generator as benchmarks/ivf_bench.py) — low intrinsic dimension, the
-honest ANN regime (iid gaussian at 768-d makes every graph method
-degenerate; see BASELINE.md).
+Data (``--data`` flag, artifacts keyed by mode):
+
+* ``intrinsic`` (default) — 32-d latent gaussians through a fixed random
+  32x768 projection: a low-intrinsic-dimension manifold, the same regime
+  as the round-1 250k/500k north-star rows (BASELINE.md). This is the
+  honest "realistic embedding" workload: real embedding models produce
+  points on low-dimensional manifolds, and graph ANN is built for it.
+* ``clustered`` — 2048 gaussian centers + 0.25 iid noise (the
+  ivf_bench.py generator). HARD MODE for graph ANN: within a cluster the
+  ~512 neighbors are iid gaussian at 768-d, the distance-concentration
+  regime BASELINE.md documents as degenerate for every graph method
+  (measured here: 0.705/0.776/0.812/0.849 at ef 50/100/200/400 — an
+  honest negative row, not a protocol bug).
 """
 
 from __future__ import annotations
@@ -35,29 +44,45 @@ from vectordb_tpu.index.hnsw_native import NativeHnswGraph  # noqa: E402
 
 N, D, K = 1 << 20, 768, 10
 CENTERS, NOISE = 2048, 0.25
+LATENT = 32
 M = 32
 CHUNK = 20_000
 CKPT_EVERY = 200_000
+DATA_MODE = "clustered" if "--data=clustered" in sys.argv else "intrinsic"
 ART = Path(__file__).resolve().parent / ".artifacts"
-CKPT = ART / "hnsw1m_ckpt.npz"
-STATE = ART / "hnsw1m_state.json"
+_TAG = "" if DATA_MODE == "clustered" else "_intr"
+CKPT = ART / f"hnsw1m{_TAG}_ckpt.npz"
+STATE = ART / f"hnsw1m{_TAG}_state.json"
 
 
 def gen_data():
-    """Deterministic dataset (regenerated on resume; ~3 GB host RAM)."""
+    """Deterministic dataset (regenerated on resume; ~3 GB host RAM).
+    Returns (query_source, data): query_source is whatever gen_queries
+    needs (cluster centers, or the latent projection basis)."""
     rng = np.random.default_rng(0)
-    centers = rng.standard_normal((CENTERS, D)).astype(np.float32)
-    which = rng.integers(0, CENTERS, N)
-    data = centers[which] + NOISE * rng.standard_normal(
-        (N, D)).astype(np.float32)
-    return centers, data
+    if DATA_MODE == "clustered":
+        centers = rng.standard_normal((CENTERS, D)).astype(np.float32)
+        which = rng.integers(0, CENTERS, N)
+        data = centers[which] + NOISE * rng.standard_normal(
+            (N, D)).astype(np.float32)
+        return centers, data
+    basis = rng.standard_normal((LATENT, D)).astype(np.float32)
+    data = np.empty((N, D), dtype=np.float32)
+    step = 1 << 17
+    for lo in range(0, N, step):  # chunked: avoid a (N, LATENT) extra copy
+        z = rng.standard_normal((min(step, N - lo), LATENT))
+        data[lo:lo + step] = z.astype(np.float32) @ basis
+    return basis, data
 
 
-def gen_queries(centers, nq=200, seed=99):
+def gen_queries(query_source, nq=200, seed=99):
     rng = np.random.default_rng(seed)
-    qwhich = rng.integers(0, CENTERS, nq)
-    return centers[qwhich] + NOISE * rng.standard_normal(
-        (nq, D)).astype(np.float32)
+    if DATA_MODE == "clustered":
+        qwhich = rng.integers(0, CENTERS, nq)
+        return query_source[qwhich] + NOISE * rng.standard_normal(
+            (nq, D)).astype(np.float32)
+    z = rng.standard_normal((nq, LATENT)).astype(np.float32)
+    return z @ query_source
 
 
 def params():
