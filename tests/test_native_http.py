@@ -252,3 +252,27 @@ def test_batch_fast_path_equivalence(server):
     # metrics: exactly one query sample per batch call
     _, m = _req(server, "GET", "/metrics")
     assert m["total_queries"] == 3
+
+
+def test_cxx_response_bytes_match_python_route(server):
+    """The C++-formatted /search response must be BYTE-identical to the
+    Python router's json.dumps output — including integral distances
+    ("0.0", never "0") and ensure_ascii \\u-escapes for non-ASCII ids."""
+    import urllib.request
+
+    def raw(path, payload):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{server.port}{path}",
+            data=json.dumps(payload).encode(), method="POST")
+        req.add_header("Content-Type", "application/json")
+        with urllib.request.urlopen(req, timeout=10) as resp:
+            return resp.read()
+
+    _req(server, "POST", "/vectors",
+         {"id": "café \U0001f680", "vector": [1.0, 2.0]})
+    _req(server, "POST", "/vectors", {"id": "plain", "vector": [4.0, 6.0]})
+    q = {"vector": [1.0, 2.0], "k": 2}
+    fast = raw("/search", q)                       # C++ fast path
+    slow = raw("/search", {**q, "unknown_key": 1})  # Python route
+    assert fast == slow, (fast, slow)
+    assert b'0.0' in fast and b'\\u00e9' in fast and b'\\ud83d' in fast

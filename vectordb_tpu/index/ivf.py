@@ -112,7 +112,7 @@ class IvfFlatIndex(FlatIndex):
             # everything big stays on device: reuse the buffer the index
             # already syncs for search (the host link is bursty; shipping
             # the dataset again for training costs minutes at 3 GB)
-            from ..ops.ivf import kmeans_assign_topk_all, kmeans_fit
+            from ..ops.ivf import assign_preferences, kmeans_fit
             dev_db = self._sync_device()["db"]
             key = jax.random.PRNGKey(self._seed)
             if n > _TRAIN_SAMPLE_MAX:
@@ -131,8 +131,8 @@ class IvfFlatIndex(FlatIndex):
             cand = min(_CANDIDATE_CLUSTERS, nlist)
             chunk = max(256, min(1 << 16,
                                  (1 << 28) // max(nlist, 1)))
-            pref_all = np.asarray(jax.device_get(kmeans_assign_topk_all(
-                dev_db, centroids_dev, cand, chunk)))
+            pref_all = np.asarray(assign_preferences(
+                dev_db, centroids_dev, cand, chunk))
             pref = pref_all[live]
             cap_rows = int(math.ceil(n / nlist * _BALANCE_SLACK))
             t_c = max(1, math.ceil(cap_rows / SUB))
@@ -517,26 +517,34 @@ class IvfFlatIndex(FlatIndex):
             live = np.nonzero(id_of_slot >= 0)[0]
             nv = np.zeros((capacity, dim), np.float32)
             sq = np.zeros(capacity, np.float32)
-            for slot in live:
-                row = rows_by_id[int(id_of_slot[slot])]
-                nv[slot] = row
-                # per-row np.dot, bit-identical to insert-time _write_slot
-                # (flat.py:273) so recovered distances match exactly
-                sq[slot] = float(np.dot(nv[slot], nv[slot]))
+            if live.size:
+                # vectorized row assembly (a per-row fancy-assignment loop
+                # costs minutes of single-core Python at the multi-million-
+                # row scale this path targets). sq-norms stay per-row
+                # np.dot: engine inserts are per-row (_write_slot,
+                # flat.py:273), so recovery reproduces pre-crash distances
+                # bit-identically; the dot loop is ~1 µs/row, not the
+                # bottleneck the assembly loop was.
+                packed = np.stack(
+                    [rows_by_id[int(i)] for i in id_of_slot[live]])
+                nv[live] = packed
+                sq[live] = np.fromiter(
+                    (np.dot(r, r) for r in packed), np.float32,
+                    count=live.size)
             valid = np.zeros(capacity, bool)
             valid[live] = True
-            slot_cluster = np.full(capacity, -1, np.int32)
-            cluster_free: List[List[int]] = []
-            for c in range(nlist):
-                base = c * t_c * SUB
-                slot_cluster[base:base + t_c * SUB] = c
-                cluster_free.append(
-                    [s for s in range(base, base + t_c * SUB)
-                     if id_of_slot[s] < 0])
             spill_base = nlist * t_c * SUB
+            slot_cluster = np.full(capacity, -1, np.int32)
+            slot_cluster[:spill_base] = (
+                np.arange(spill_base) // (t_c * SUB)).astype(np.int32)
             slot_cluster[spill_base:] = nlist
-            spill_free = [s for s in range(spill_base, capacity)
-                          if id_of_slot[s] < 0]
+            free_c = np.nonzero(id_of_slot[:spill_base] < 0)[0]
+            counts = np.bincount(free_c // (t_c * SUB), minlength=nlist)
+            cluster_free = [s.tolist() for s in
+                            np.split(free_c, np.cumsum(counts)[:-1])]
+            spill_free = (spill_base
+                          + np.nonzero(id_of_slot[spill_base:] < 0)[0]
+                          ).tolist()
 
             self._dim = dim
             self._vectors, self._valid = nv, valid

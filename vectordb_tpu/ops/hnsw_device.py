@@ -86,8 +86,11 @@ def hnsw_search_device(vectors, norms, neighbors, valid, id_of_slot, entry,
     dist_fn = _make_distance(metric)
     n, layers, m_max = neighbors.shape
     ef = max(ef, k)
-    mask = (jnp.ones((n,), dtype=bool) if slot_mask is None
-            else jnp.asarray(slot_mask, dtype=bool))
+    # trace-time static: unmasked searches skip the result track entirely
+    # (it would mirror the beam) — saves a concatenate+argsort per hop
+    has_mask = slot_mask is not None
+    mask = (jnp.asarray(slot_mask, dtype=bool) if has_mask
+            else jnp.ones((n,), dtype=bool))
 
     def single_query(q):
         qn = jnp.sqrt(jnp.sum(q * q))
@@ -133,13 +136,17 @@ def hnsw_search_device(vectors, norms, neighbors, valid, id_of_slot, entry,
         one = jnp.uint32(1)
         visited = (jnp.zeros((n_words,), dtype=jnp.uint32)
                    .at[ep >> 5].set(one << (ep & 31).astype(jnp.uint32)))
-        # eligible-result track (mask-passing slots only; unmasked search
-        # has mask == all-True, where it mirrors the beam)
-        ep_elig = mask[ep]
-        res_d = jnp.full((ef,), _BIG).at[0].set(
-            jnp.where(ep_elig, ep_dist, _BIG))
-        res_id = jnp.full((ef,), -1, dtype=jnp.int32).at[0].set(
-            jnp.where(ep_elig, ep, -1))
+        # eligible-result track (mask-passing slots only); unmasked
+        # searches use the beam itself as the result set
+        if has_mask:
+            ep_elig = mask[ep]
+            res_d = jnp.full((ef,), _BIG).at[0].set(
+                jnp.where(ep_elig, ep_dist, _BIG))
+            res_id = jnp.full((ef,), -1, dtype=jnp.int32).at[0].set(
+                jnp.where(ep_elig, ep, -1))
+        else:
+            res_d = jnp.zeros((0,))
+            res_id = jnp.zeros((0,), dtype=jnp.int32)
 
         def cond(state):
             beam_d, beam_id, expanded, visited, res_d, res_id = state
@@ -174,23 +181,31 @@ def hnsw_search_device(vectors, norms, neighbors, valid, id_of_slot, entry,
             all_id = jnp.concatenate([beam_id, nbrs])
             all_exp = jnp.concatenate([expanded, ~ok])
             order = jnp.argsort(all_d)[:ef]
-            # result track: only eligible fresh candidates enter
-            elig = ok & mask[safe]
-            rd = jnp.where(elig, nd, _BIG)
-            rid = jnp.where(elig, nbrs, -1)
-            r_all_d = jnp.concatenate([res_d, rd])
-            r_all_id = jnp.concatenate([res_id, rid])
-            r_order = jnp.argsort(r_all_d)[:ef]
+            if has_mask:
+                # result track: only eligible fresh candidates enter
+                elig = ok & mask[safe]
+                rd = jnp.where(elig, nd, _BIG)
+                rid = jnp.where(elig, nbrs, -1)
+                r_all_d = jnp.concatenate([res_d, rd])
+                r_all_id = jnp.concatenate([res_id, rid])
+                r_order = jnp.argsort(r_all_d)[:ef]
+                new_res_d, new_res_id = r_all_d[r_order], r_all_id[r_order]
+            else:
+                new_res_d, new_res_id = res_d, res_id
             return (all_d[order], all_id[order], all_exp[order], visited,
-                    r_all_d[r_order], r_all_id[r_order])
+                    new_res_d, new_res_id)
 
         beam_d, beam_id, expanded, visited, res_d, res_id = \
             jax.lax.while_loop(
                 cond, body,
                 (beam_d, beam_id, expanded, visited, res_d, res_id))
 
-        out_d = _finalize(metric, res_d[:k])
-        out_slot = res_id[:k]
+        if has_mask:
+            out_d = _finalize(metric, res_d[:k])
+            out_slot = res_id[:k]
+        else:
+            out_d = _finalize(metric, beam_d[:k])
+            out_slot = beam_id[:k]
         out_id = jnp.where(jnp.isfinite(out_d),
                            id_of_slot[jnp.maximum(out_slot, 0)], -1)
         return out_d, out_id

@@ -90,6 +90,37 @@ def kmeans_assign_topk_all(db, centroids, cand: int, chunk: int):
     return pref.reshape(cap2, cand)[:cap]
 
 
+@functools.partial(jax.jit, static_argnames=("cand",))
+def _assign_topk_chunk(blk, centroids, cand: int):
+    scores = kmeans_assign_scores(blk.astype(jnp.float32), centroids)
+    return jax.lax.top_k(-scores, cand)[1]
+
+
+# Above this many rows the single-dispatch map OOMs: XLA hoists a bf16
+# convert of the ENTIRE f32 database out of the lax.map (6 GB HLO temp at
+# 4M x 768) and pads the stacked (steps, chunk, cand) top-k output 8x to
+# the 128-lane tile (2 GB). Host-driven chunking dispatches one jit per
+# chunk, so the largest temp is one (chunk, nlist) score block.
+_ASSIGN_ONE_DISPATCH_MAX = 1 << 21
+
+
+def assign_preferences(db, centroids, cand: int, chunk: int):
+    """Preference lists for every slot; picks the single-dispatch map for
+    small databases and host-driven chunked dispatches for large ones."""
+    import numpy as np
+
+    cap = db.shape[0]
+    if cap <= _ASSIGN_ONE_DISPATCH_MAX:
+        return jax.device_get(kmeans_assign_topk_all(
+            db, centroids, cand, chunk))
+    out = np.empty((cap, cand), np.int32)
+    handles = [(lo, _assign_topk_chunk(db[lo:lo + chunk], centroids, cand))
+               for lo in range(0, cap, chunk)]      # async dispatches
+    for lo, h in handles:
+        out[lo:lo + chunk] = jax.device_get(h)[: cap - lo]
+    return out
+
+
 @functools.partial(jax.jit,
                    static_argnames=("metric_name", "k", "nprobe", "t_c",
                                     "s_t"))
@@ -229,4 +260,5 @@ def ivf_search(queries, db, db_sq, db_norms, valid, centroids,
                            int(s_t))
 
 
-__all__ = ["kmeans_fit", "kmeans_assign_topk_all", "ivf_search"]
+__all__ = ["kmeans_fit", "kmeans_assign_topk_all", "assign_preferences",
+           "ivf_search"]

@@ -251,8 +251,19 @@ def _flat_search_bf16_jit(queries, db16, db_sq_norms, db_norms, valid,
     n = db16.shape[0]
     q = queries.shape[0]
     b = min(_BF16_SCAN_BLOCK, n)
-    nb = n // b          # capacity is pow2 >= 1024, so b divides n
     kk = min(k, n)
+    rem = n % b          # trained-IVF capacities ((nlist*t_c+s_t)*SUB)
+    if rem:              # need not divide the block size: pad dead rows
+        pad = b - rem
+        db16 = jnp.concatenate(
+            [db16, jnp.zeros((pad, db16.shape[1]), db16.dtype)])
+        db_sq_norms = jnp.concatenate(
+            [db_sq_norms, jnp.zeros((pad,), db_sq_norms.dtype)])
+        db_norms = jnp.concatenate(
+            [db_norms, jnp.zeros((pad,), db_norms.dtype)])
+        valid = jnp.concatenate([valid, jnp.zeros((pad,), bool)])
+        n += pad
+    nb = n // b
 
     def scan_block(carry, blk):
         run_d, run_i = carry

@@ -341,9 +341,18 @@ class DistributedFlatIndex:
 
     def _search_xla(self, queries: np.ndarray, k: int):
         k_eff = min(next_pow2(k), max(self._n, 1))
+        # a batch axis requires Q divisible by its shard count — pad here
+        # so callers (e.g. the uncertified-query fallback, whose batch is
+        # an arbitrary subset) never trip shard_map's divisibility check
+        q = queries.shape[0]
+        q_mult = self.mesh.shape[self.batch_axis] if self.batch_axis else 1
+        q_pad = max(((q + q_mult - 1) // q_mult) * q_mult, q_mult)
+        if q_pad != q:
+            queries = np.concatenate(
+                [queries, np.zeros((q_pad - q, self._dim), np.float32)])
         dists, idx = self._searcher(k_eff)(jnp.asarray(queries),
                                            *self._device)
-        return np.asarray(dists), np.asarray(idx)
+        return np.asarray(dists)[:q], np.asarray(idx)[:q]
 
 
 __all__ = ["shard_rows", "make_sharded_search", "DistributedFlatIndex"]

@@ -662,8 +662,40 @@ static void json_escape_append(std::string& out, const char* p, size_t n) {
                     char tmp[8];
                     snprintf(tmp, sizeof tmp, "\\u%04x", c);
                     out += tmp;
-                } else {
+                } else if (c < 0x80) {
                     out += (char)c;
+                } else {
+                    // non-ASCII: \u-escape like json.dumps(ensure_ascii)
+                    // so responses are byte-identical to the Python
+                    // fallback router. Decode the UTF-8 sequence; emit a
+                    // surrogate pair above the BMP; pass malformed bytes
+                    // through raw (the Python path would have rejected
+                    // such an id at insert time).
+                    uint32_t cp = 0; size_t len = 0;
+                    if ((c & 0xE0) == 0xC0) { cp = c & 0x1F; len = 1; }
+                    else if ((c & 0xF0) == 0xE0) { cp = c & 0x0F; len = 2; }
+                    else if ((c & 0xF8) == 0xF0) { cp = c & 0x07; len = 3; }
+                    if (len == 0 || i + len >= n) {
+                        out += (char)c;
+                        continue;
+                    }
+                    bool ok = true;
+                    for (size_t j = 1; j <= len; j++) {
+                        unsigned char cc = (unsigned char)p[i + j];
+                        if ((cc & 0xC0) != 0x80) { ok = false; break; }
+                        cp = (cp << 6) | (cc & 0x3F);
+                    }
+                    if (!ok) { out += (char)c; continue; }
+                    char tmp[16];
+                    if (cp >= 0x10000) {
+                        uint32_t v = cp - 0x10000;
+                        snprintf(tmp, sizeof tmp, "\\u%04x\\u%04x",
+                                 0xD800 + (v >> 10), 0xDC00 + (v & 0x3FF));
+                    } else {
+                        snprintf(tmp, sizeof tmp, "\\u%04x", cp);
+                    }
+                    out += tmp;
+                    i += len;
                 }
         }
     }
@@ -672,7 +704,14 @@ static void json_escape_append(std::string& out, const char* p, size_t n) {
 static void append_double(std::string& out, double v) {
     char buf[32];
     auto res = std::to_chars(buf, buf + sizeof buf, v);
-    out.append(buf, (size_t)(res.ptr - buf));
+    size_t len = (size_t)(res.ptr - buf);
+    out.append(buf, len);
+    // json.dumps renders integral floats with a trailing ".0"
+    // (repr(2.0) == "2.0"); to_chars emits "2" — restore the suffix so
+    // responses stay byte-identical to the Python router
+    for (size_t i = 0; i < len; i++)
+        if (buf[i] == '.' || buf[i] == 'e' || buf[i] == 'n') return;
+    out += ".0";
 }
 
 static void append_search_results(std::string& body, const char*& p,
