@@ -294,24 +294,56 @@ class IvfFlatIndex(FlatIndex):
                      mask_layout_version: Optional[int] = None
                      ) -> List[List[Tuple[int, float]]]:
         if slot_mask is not None:
-            # Exact filtered search. NO auto-train on this path: the
-            # caller compiled the mask against the CURRENT slot layout,
-            # and training repacks every slot (a stale mask would
-            # silently filter the wrong rows). mask_layout_version closes
-            # the remaining TOCTOU window against CONCURRENT trains.
-            return self._search_batch_masked(queries, k, slot_mask,
-                                             nprobe, mask_layout_version)
+            # Exact filtered search through the PROBED path (VERDICT
+            # round-1 item 7: no over-fetch, no forced full scan): the
+            # mask is ANDed into the validity array, so the cluster-pruned
+            # refine returns only eligible rows with exact distances.
+            # NO auto-train on this path: the caller compiled the mask
+            # against the CURRENT slot layout, and training repacks every
+            # slot (a stale mask would silently filter the wrong rows).
+            # mask_layout_version closes the remaining TOCTOU window
+            # against CONCURRENT trains.
+            with self._lock:
+                trained = self._trained
+            if not trained:
+                return super().search_batch(
+                    queries, k, slot_mask=slot_mask,
+                    mask_layout_version=mask_layout_version)
+            return self._probed_search(queries, k, nprobe, slot_mask,
+                                       mask_layout_version)
         with self._lock:
             if not self._trained and self._len >= self.auto_train_min:
                 self.train()
             trained = self._trained
         if not trained:
             return super().search_batch(queries, k)
+        return self._probed_search(queries, k, nprobe, None, None)
+
+    def _probed_search(self, queries: np.ndarray, k: int,
+                       nprobe: Optional[int],
+                       slot_mask: Optional[np.ndarray],
+                       mask_layout_version: Optional[int]
+                       ) -> List[List[Tuple[int, float]]]:
+        """Cluster-pruned search, masked or not (one body for both: the
+        mask only changes the validity array and the fallback kwargs).
+        Queries that come up short of k (sparse/poor-in-eligible-rows
+        probed clusters, dead padding slots, or fewer than k eligible
+        overall) re-run through the exact scan - the any-k contract and
+        filter exactness are unconditional, and recall degrades to the
+        exact scan rather than silently."""
+        fb: dict = ({} if slot_mask is None else
+                    {"slot_mask": slot_mask,
+                     "mask_layout_version": mask_layout_version})
         queries = np.asarray(queries, dtype=np.float32)
         if queries.ndim != 2:
             from ..errors import InvalidVectorError
             raise InvalidVectorError("queries must be a (Q, d) array")
         with self._lock:
+            if (mask_layout_version is not None
+                    and mask_layout_version != self.slot_layout_version):
+                from ..errors import StaleSlotMaskError
+                raise StaleSlotMaskError(mask_layout_version,
+                                         self.slot_layout_version)
             if self._len == 0 or k <= 0:
                 return [[] for _ in range(queries.shape[0])]
             if queries.shape[1] != self._dim:
@@ -333,8 +365,17 @@ class IvfFlatIndex(FlatIndex):
                 # pool smaller than k (probing cannot honor FlatIndex's
                 # any-k contract) OR so large that the per-query gather
                 # would dwarf a full scan (and can exceed HBM): exact scan
-                return super().search_batch(queries, k)
+                return super().search_batch(queries, k, **fb)
             dev = dict(self._sync_device())
+            if slot_mask is None:
+                valid = dev["valid"]
+            else:
+                cap = int(dev["valid"].shape[0])
+                m = np.asarray(slot_mask, dtype=bool)
+                if m.shape[0] < cap:
+                    m = np.concatenate(
+                        [m, np.zeros(cap - m.shape[0], bool)])
+                valid = jnp.logical_and(dev["valid"], jnp.asarray(m[:cap]))
             if self._centroids_dev is None:
                 self._centroids_dev = jnp.asarray(self._centroids)
             cdev = self._centroids_dev
@@ -353,108 +394,7 @@ class IvfFlatIndex(FlatIndex):
                                        np.float32)])
             dists, idx = ivf_search(jnp.asarray(qs), dev["db"],
                                     dev["sq_norms"], dev["norms"],
-                                    dev["valid"], cdev, self._metric,
-                                    k_req, np_eff, t_c, s_t)
-            dists = np.asarray(jax.device_get(dists))[:q]
-            idx = np.asarray(jax.device_get(idx))[:q]
-        finally:
-            with self._lock:
-                self._searches_in_flight -= 1
-        out: List[List[Tuple[int, float]]] = []
-        for qi in range(q):
-            row: List[Tuple[int, float]] = []
-            for j in range(dists.shape[1]):
-                dv = float(dists[qi, j])
-                if not np.isfinite(dv) or len(row) >= k_req:
-                    break
-                row.append((int(id_of_slot[int(idx[qi, j])]), dv))
-            out.append(row)
-        # any-k contract: the probed pool counts dead padding slots, so
-        # sparse clusters (deletes, small nprobe) can come up short of k
-        # live rows even though the index holds >= k. Re-run those queries
-        # through the exact scan (advisor finding, round 1).
-        short = [qi for qi in range(q) if len(out[qi]) < k_req]
-        if short:
-            sub = super().search_batch(
-                np.ascontiguousarray(queries[np.asarray(short)]), k)
-            for qi, rows in zip(short, sub):
-                out[qi] = rows
-        return out
-
-    def _search_batch_masked(self, queries: np.ndarray, k: int,
-                             slot_mask: np.ndarray,
-                             nprobe: Optional[int],
-                             mask_layout_version: Optional[int]
-                             ) -> List[List[Tuple[int, float]]]:
-        """Exact filtered search through the PROBED path (VERDICT round-1
-        item 7: no over-fetch, no forced full scan): the mask is ANDed
-        into the validity array, so the cluster-pruned refine returns only
-        eligible rows with exact distances. Queries that come up short of
-        k (probed clusters poor in eligible rows, or fewer than k eligible
-        overall) re-run through the exact masked flat scan — filter
-        exactness is unconditional, and recall degrades to the exact scan
-        rather than silently."""
-        with self._lock:
-            trained = self._trained
-        if not trained:
-            return super().search_batch(
-                queries, k, slot_mask=slot_mask,
-                mask_layout_version=mask_layout_version)
-        queries = np.asarray(queries, dtype=np.float32)
-        if queries.ndim != 2:
-            from ..errors import InvalidVectorError
-            raise InvalidVectorError("queries must be a (Q, d) array")
-        with self._lock:
-            if (mask_layout_version is not None
-                    and mask_layout_version != self.slot_layout_version):
-                from ..errors import StaleSlotMaskError
-                raise StaleSlotMaskError(mask_layout_version,
-                                         self.slot_layout_version)
-            if self._len == 0 or k <= 0:
-                return [[] for _ in range(queries.shape[0])]
-            if queries.shape[1] != self._dim:
-                from ..errors import DimensionMismatchError
-                raise DimensionMismatchError(self._dim, queries.shape[1])
-            if self._metric is DistanceMetric.COSINE:
-                from ..distance import validate_cosine_operands
-                qn = np.sqrt(np.sum(queries * queries, axis=1))
-                validate_cosine_operands(self._metric,
-                                         float(qn.min(initial=np.inf)),
-                                         self._zero_norm_live)
-            np_eff = max(1, min(int(nprobe if nprobe is not None
-                                    else self.nprobe), self._nlist))
-            k_req = min(int(k), self._len)
-            pool = np_eff * self._t_c * SUB
-            if k_req > pool or pool > _MAX_CANDIDATES:
-                return super().search_batch(
-                    queries, k, slot_mask=slot_mask,
-                    mask_layout_version=mask_layout_version)
-            dev = dict(self._sync_device())
-            cap = int(dev["valid"].shape[0])
-            m = np.asarray(slot_mask, dtype=bool)
-            if m.shape[0] < cap:
-                m = np.concatenate([m, np.zeros(cap - m.shape[0], bool)])
-            valid_masked = jnp.logical_and(dev["valid"],
-                                           jnp.asarray(m[:cap]))
-            if self._centroids_dev is None:
-                self._centroids_dev = jnp.asarray(self._centroids)
-            cdev = self._centroids_dev
-            id_of_slot = self._id_of_slot.copy()
-            t_c, s_t = self._t_c, self._s_t
-            self._searches_in_flight += 1
-        try:
-            from ..ops.ivf import ivf_search
-            from ..ops.topk import next_pow2
-            q = queries.shape[0]
-            q_pad = next_pow2(q, floor=1)
-            qs = queries
-            if q_pad != q:
-                qs = np.concatenate(
-                    [queries, np.zeros((q_pad - q, queries.shape[1]),
-                                       np.float32)])
-            dists, idx = ivf_search(jnp.asarray(qs), dev["db"],
-                                    dev["sq_norms"], dev["norms"],
-                                    valid_masked, cdev, self._metric,
+                                    valid, cdev, self._metric,
                                     k_req, np_eff, t_c, s_t)
             dists = np.asarray(jax.device_get(dists))[:q]
             idx = np.asarray(jax.device_get(idx))[:q]
@@ -473,9 +413,7 @@ class IvfFlatIndex(FlatIndex):
         short = [qi for qi in range(q) if len(out[qi]) < k_req]
         if short:
             sub = super().search_batch(
-                np.ascontiguousarray(queries[np.asarray(short)]), k,
-                slot_mask=slot_mask,
-                mask_layout_version=mask_layout_version)
+                np.ascontiguousarray(queries[np.asarray(short)]), k, **fb)
             for qi, rows in zip(short, sub):
                 out[qi] = rows
         return out
