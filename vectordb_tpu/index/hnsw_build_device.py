@@ -1,0 +1,293 @@
+"""MXU-assisted bulk HNSW construction.
+
+The sequential build (reference src/hnsw/graph.rs:245-342, Algorithm 1)
+inserts one node at a time: per layer it runs ``search_layer`` with
+ef_construction to collect candidates, links the top-m, and prunes
+overfull back-edge lists. On this platform the host has a single CPU
+core, so the pointer-chasing build tops out near ~100 vec/s at 768-d
+(BASELINE.md) — hours for a million rows.
+
+This builder re-expresses construction as a batched array program:
+
+* ``search_layer``'s only role at insert time is to approximate "the
+  ef_construction nearest already-inserted nodes present at this layer".
+  We compute that set EXACTLY with the TPU flat scan: blocks of new
+  nodes are searched against the packed database masked to
+  ``level >= layer AND slot < block_start`` (the certified coarse
+  kernel, ops/coarse_kernel.py, at tens of thousands of queries/s).
+  Since links take only the top-m of those candidates
+  (select_neighbors_simple, graph.rs:202-204), exact top-m candidates
+  make the built graph equivalent to what Algorithm 1 would produce if
+  its beam search were perfect — construction quality is >= the
+  sequential build's, never an approximation of it.
+* Same-block causality (node i may link only to j < i) is restored by a
+  second, causally masked pairwise pass over the block on the MXU.
+* Back-edge linking with the reference's keep-closest pruning
+  (graph.rs:207-242) is ORDER-FREE set semantics — "the max_degree
+  closest of current neighbors + arrivals" — so a whole block of edges
+  is applied at once with vectorized grouped merges; forward distances
+  are remembered so pruning never recomputes a distance.
+* Levels are pre-sampled with the reference's geometric law
+  floor(-ln(U) * ml) capped at max_layers-1 (graph.rs:119-123); the
+  entry point is the first node to attain the global max level, exactly
+  as sequential insertion would promote it (graph.rs:336-339).
+
+The output is the padded structure-of-arrays tables of
+``HnswGraph.export_padded_tables`` — import them into a
+``NativeHnswGraph``/``HnswGraph`` and every existing consumer (host
+traversal, device traversal, persistence checkpointing, recall harness)
+works unchanged.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence
+
+import numpy as np
+
+from ..distance import DistanceMetric, pairwise_distances
+from ..errors import InvalidVectorError
+from .hnsw_graph import HnswParams
+
+# below this many rows the batched machinery is pure overhead; callers
+# should use the sequential path (HnswIndex.build_batch falls back)
+MIN_DEVICE_BUILD = 256
+_DEFAULT_BLOCK = 8192
+
+
+def _causal_topk_fn(metric: DistanceMetric, k: int, block: int):
+    """Jitted (B, d) -> top-k over causally masked in-block pairwise
+    distances: row i may only see columns j < i (insertion order)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def fn(rows):
+        d = pairwise_distances(jnp, rows, rows, metric,
+                               precision=jax.lax.Precision.HIGHEST)
+        i = jnp.arange(block)[:, None]
+        j = jnp.arange(block)[None, :]
+        d = jnp.where(j < i, d, jnp.inf)
+        neg_vals, idx = jax.lax.top_k(-d, k)
+        return -neg_vals, idx
+
+    return fn
+
+
+def _merge_topk(d_a, i_a, d_b, i_b, k):
+    """Row-wise merge of two candidate sets by (distance, id) — the
+    neighbor_queue total order (reference neighbor_queue.rs:36-43).
+    +inf distances are padding and sort to the tail."""
+    cd = np.concatenate([d_a, d_b], axis=1)
+    ci = np.concatenate([i_a, i_b], axis=1)
+    o1 = np.argsort(ci, axis=1, kind="stable")
+    d1 = np.take_along_axis(cd, o1, axis=1)
+    o2 = np.argsort(d1, axis=1, kind="stable")
+    order = np.take_along_axis(o1, o2, axis=1)[:, :k]
+    return (np.take_along_axis(cd, order, axis=1),
+            np.take_along_axis(ci, order, axis=1))
+
+
+def _apply_back_edges(nbr_l: np.ndarray, aux_d: np.ndarray,
+                      tgt: np.ndarray, src: np.ndarray, dist: np.ndarray,
+                      cap_l: int) -> None:
+    """Apply a block of back-edges (tgt gains src at distance dist) with
+    keep-closest-cap_l pruning, vectorized over all targets.
+
+    Matches reference prune semantics (graph.rs:207-242: re-score all,
+    keep the closest max_degree) without recomputing distances — the
+    table carries each neighbor's distance in ``aux_d``.
+    """
+    if tgt.size == 0:
+        return
+    # sort edges by (tgt, dist, src); per target only the closest cap_l
+    # arrivals can possibly survive the merge, so drop the rest — this
+    # bounds the padded arrival width at cap_l even for hub targets
+    order = np.lexsort((src, dist, tgt))
+    tgt_s, src_s, d_s = tgt[order], src[order], dist[order]
+    uniq, start, counts = np.unique(tgt_s, return_index=True,
+                                    return_counts=True)
+    grp = np.repeat(np.arange(uniq.shape[0]), counts)
+    pos = np.arange(tgt_s.shape[0]) - np.repeat(start, counts)
+    keep = pos < cap_l
+    grp, pos = grp[keep], pos[keep]
+    a_max = int(min(counts.max(), cap_l))
+    A = uniq.shape[0]
+    arr_id = np.full((A, a_max), -1, dtype=np.int64)
+    arr_d = np.full((A, a_max), np.inf, dtype=np.float32)
+    arr_id[grp, pos] = src_s[keep]
+    arr_d[grp, pos] = d_s[keep]
+    ex_id = nbr_l[uniq, :cap_l].astype(np.int64)
+    ex_d = aux_d[uniq, :cap_l]
+    comb_d, comb_i = _merge_topk(ex_d, ex_id, arr_d, arr_id, cap_l)
+    nbr_l[uniq, :cap_l] = comb_i.astype(np.int32)
+    aux_d[uniq, :cap_l] = comb_d
+
+
+def sample_levels(n: int, params: HnswParams,
+                  rng: Optional[np.random.Generator] = None) -> np.ndarray:
+    """Geometric level sampling, reference graph.rs:119-123."""
+    if rng is None:
+        rng = np.random.default_rng(params.seed)
+    u = np.maximum(rng.random(n), 1e-12)
+    lv = np.floor(-np.log(u) * params.ml).astype(np.int32)
+    return np.minimum(lv, params.max_layers - 1)
+
+
+def build_device_tables(ids: np.ndarray, data: np.ndarray,
+                        metric: DistanceMetric, params: HnswParams,
+                        block: int = _DEFAULT_BLOCK,
+                        progress=None) -> dict:
+    """Build HNSW padded tables for ``data`` (N, d) with internal ids
+    ``ids`` (N,) via MXU-batched exact candidate generation.
+
+    Returns the ``export_padded_tables`` dict (slot i == insertion
+    order i). ``progress``, if given, is called as progress(done, total)
+    after each layer-0 block.
+    """
+    from .flat import FlatIndex
+
+    data = np.ascontiguousarray(data, dtype=np.float32)
+    n, dim = data.shape
+    if n == 0:
+        raise ValueError("device build requires at least one row")
+    ids = np.ascontiguousarray(ids, dtype=np.int64)
+    if ids.shape[0] != n:
+        raise ValueError("ids/data length mismatch")
+    sq = np.einsum("ij,ij->i", data, data).astype(np.float32)
+    if metric is DistanceMetric.COSINE and n > 1 and np.any(sq == 0.0):
+        # every row participates in distance evals during construction —
+        # same error the sequential insert raises (graph.rs via
+        # distance.rs:51-55)
+        raise InvalidVectorError(
+            "Cannot compute cosine distance with zero vector")
+
+    params = params or HnswParams()
+    levels = sample_levels(n, params)
+    max_level = int(levels.max()) if n else 0
+    entry = int(np.argmax(levels == max_level)) if n else -1
+    L = params.max_layers
+    m = params.m
+    m_max0 = params.m_max0
+
+    nbr = np.full((n, L, m_max0), -1, dtype=np.int32)
+    aux_d = np.empty((n, m_max0), dtype=np.float32)
+
+    # the packed flat database: slots 0..n-1 in insertion order (fresh
+    # bulk load keeps order), searched with a per-block prefix mask
+    flat = FlatIndex(metric)
+    flat.add_batch(list(zip(ids, data)))
+    with flat._lock:
+        base_dev = dict(flat._sync_device())
+    cap_flat = int(base_dev["valid"].shape[0])
+    levels_padded = np.full(cap_flat, -1, dtype=np.int32)
+    levels_padded[:n] = levels
+
+    block = max(64, int(block))
+    causal = _causal_topk_fn(metric, min(m, block), block)
+
+    import jax.numpy as jnp
+    from ..ops.topk import flat_search_batched_submit
+
+    for layer in range(max_level, -1, -1):
+        members = np.nonzero(levels >= layer)[0]
+        if members.size == 0:
+            continue
+        cap_l = params.max_degree(layer)
+        aux_d.fill(np.inf)
+        base_mask = levels_padded >= layer
+        mvecs = data if members.size == n else data[members]
+        done = 0
+        for lo in range(0, members.size, block):
+            blk = members[lo: lo + block]
+            b = blk.shape[0]
+            qrows = mvecs[lo: lo + block]
+            if b < block:  # fixed-shape padding: one jit signature
+                qrows = np.concatenate(
+                    [qrows, np.zeros((block - b, dim), np.float32)])
+            # (1) exact top-m among earlier members OUTSIDE the block
+            mask = base_mask.copy()
+            mask[int(blk[0]):] = False
+            dev = dict(base_dev)
+            dev["valid"] = jnp.logical_and(base_dev["valid"],
+                                           jnp.asarray(mask))
+            k_pre = min(m, n)
+            handle = flat_search_batched_submit(qrows, dev, metric,
+                                                k_pre, mode="exact")
+            # (2) exact top-m among earlier members INSIDE the block
+            cd_loc, ci_loc = causal(jnp.asarray(qrows))
+            pre_d, pre_i = handle.collect()
+            cd_loc = np.asarray(cd_loc)[:b]
+            ci_loc = np.asarray(ci_loc)[:b]
+            pre_d = pre_d[:b, :k_pre]
+            pre_i = pre_i[:b, :k_pre].astype(np.int64)
+            # masked-out rows come back as +inf / arbitrary index
+            pre_i = np.where(np.isfinite(pre_d), pre_i, -1)
+            loc_d = np.where(np.isfinite(cd_loc), cd_loc, np.inf)
+            # top_k indices on +inf-masked (padded) columns are arbitrary;
+            # clip before the gather, the isfinite guard discards them
+            loc_i = np.where(np.isfinite(cd_loc),
+                             blk[np.minimum(ci_loc, b - 1)], -1)
+            sel_d, sel_i = _merge_topk(pre_d, pre_i, loc_d, loc_i, m)
+            valid_sel = np.isfinite(sel_d) & (sel_i >= 0)
+            sel_i = np.where(valid_sel, sel_i, -1)
+            sel_d = np.where(valid_sel, sel_d, np.inf)
+            # (3) forward lists: node -> top-m (select_neighbors_simple)
+            nbr[blk, layer, :m] = sel_i.astype(np.int32)
+            aux_d[blk, :m] = sel_d.astype(np.float32)
+            # (4) back-edges with keep-closest pruning
+            src = np.repeat(blk.astype(np.int64), m)
+            flat_sel = sel_i.reshape(-1)
+            flat_d = sel_d.reshape(-1).astype(np.float32)
+            live = flat_sel >= 0
+            _apply_back_edges(nbr[:, layer, :], aux_d,
+                              flat_sel[live], src[live], flat_d[live],
+                              cap_l)
+            done += b
+            if progress is not None and layer == 0:
+                progress(done, n)
+
+    return {
+        "vectors": data,
+        "norms": np.sqrt(sq),
+        "neighbors": nbr,
+        "levels": levels,
+        "valid": np.ones(n, dtype=bool),
+        "id_of_slot": ids,
+        "entry": entry,
+        "max_level": max_level,
+    }
+
+
+def build_graph_device(items: Sequence, metric: DistanceMetric,
+                       params: Optional[HnswParams] = None,
+                       block: int = _DEFAULT_BLOCK, native: bool = True,
+                       progress=None):
+    """Build a ready-to-search HNSW graph from (internal_id, vector)
+    pairs via the MXU bulk builder. Returns a ``NativeHnswGraph`` (or
+    the pure-Python graph when the C++ core is unavailable or
+    ``native=False``)."""
+    params = params or HnswParams()
+    ids = np.fromiter((int(i) for i, _ in items), dtype=np.int64,
+                      count=len(items))
+    if np.unique(ids).size != ids.size:
+        raise ValueError("duplicate internal ids in device build")
+    data = np.stack([np.asarray(v, dtype=np.float32).reshape(-1)
+                     for _, v in items])
+    tables = build_device_tables(ids, data, metric, params, block=block,
+                                 progress=progress)
+    graph = None
+    if native:
+        from .hnsw_native import NativeHnswGraph, native_available
+        if native_available():
+            graph = NativeHnswGraph(metric, params)
+    if graph is None:
+        from .hnsw_graph import HnswGraph
+        graph = HnswGraph(metric, params)
+    graph.import_padded_tables(tables)
+    return graph
+
+
+__all__ = ["build_device_tables", "build_graph_device", "sample_levels",
+           "MIN_DEVICE_BUILD"]
