@@ -53,7 +53,9 @@ from .hnsw_graph import HnswParams
 # below this many rows the batched machinery is pure overhead; callers
 # should use the sequential path (HnswIndex.build_batch falls back)
 MIN_DEVICE_BUILD = 256
-_DEFAULT_BLOCK = 8192
+# matches the coarse kernel's query-block ceiling (_QB_MAX,
+# ops/coarse_kernel.py:52) — larger blocks exceed scoped VMEM at 768-d
+_DEFAULT_BLOCK = 4096
 
 
 def _causal_topk_fn(metric: DistanceMetric, k: int, block: int):
@@ -184,11 +186,25 @@ def build_device_tables(ids: np.ndarray, data: np.ndarray,
     levels_padded = np.full(cap_flat, -1, dtype=np.int32)
     levels_padded[:n] = levels
 
-    block = max(64, int(block))
+    from ..ops.topk import next_pow2
+    # pow2 block: the submit path passes device-resident query slices
+    # straight through (no host-side pad/concat round trip)
+    block = next_pow2(max(64, int(block)))
     causal = _causal_topk_fn(metric, min(m, block), block)
 
+    import jax
     import jax.numpy as jnp
     from ..ops.topk import flat_search_batched_submit
+
+    # the block queries ARE database rows already resident in HBM — slice
+    # or gather them on device instead of re-shipping them over the
+    # (bursty) host link, and build the prefix mask on device from an
+    # iota compare instead of shipping a bool[capacity] per block
+    db_dev = base_dev["db"]
+    if db_dev.dtype != jnp.float32:
+        db_dev = db_dev.astype(jnp.float32)
+    iota = jnp.arange(cap_flat, dtype=jnp.int32)
+    k_pre = min(m, n)
 
     for layer in range(max_level, -1, -1):
         members = np.nonzero(levels >= layer)[0]
@@ -196,37 +212,44 @@ def build_device_tables(ids: np.ndarray, data: np.ndarray,
             continue
         cap_l = params.max_degree(layer)
         aux_d.fill(np.inf)
-        base_mask = levels_padded >= layer
-        mvecs = data if members.size == n else data[members]
-        done = 0
-        for lo in range(0, members.size, block):
-            blk = members[lo: lo + block]
+        base_valid_l = jnp.logical_and(
+            base_dev["valid"],
+            jnp.asarray(levels_padded >= layer))
+        contiguous = members.size == n  # layer 0: members are all slots
+
+        def submit(lo, _layer=layer, _members=members,
+                   _base_valid=base_valid_l, _contig=contiguous):
+            blk = _members[lo: lo + block]
             b = blk.shape[0]
-            qrows = mvecs[lo: lo + block]
-            if b < block:  # fixed-shape padding: one jit signature
-                qrows = np.concatenate(
-                    [qrows, np.zeros((block - b, dim), np.float32)])
-            # (1) exact top-m among earlier members OUTSIDE the block
-            mask = base_mask.copy()
-            mask[int(blk[0]):] = False
+            if _contig and lo + block <= n:
+                qdev = jax.lax.dynamic_slice_in_dim(db_dev, lo, block)
+            else:
+                pad_idx = np.zeros(block, np.int64)
+                pad_idx[:b] = blk
+                qdev = db_dev[jnp.asarray(pad_idx)]
             dev = dict(base_dev)
-            dev["valid"] = jnp.logical_and(base_dev["valid"],
-                                           jnp.asarray(mask))
-            k_pre = min(m, n)
-            handle = flat_search_batched_submit(qrows, dev, metric,
+            dev["valid"] = jnp.logical_and(_base_valid,
+                                           iota < int(blk[0]))
+            handle = flat_search_batched_submit(qdev, dev, metric,
                                                 k_pre, mode="exact")
-            # (2) exact top-m among earlier members INSIDE the block
-            cd_loc, ci_loc = causal(jnp.asarray(qrows))
+            cd_loc, ci_loc = causal(qdev)
+            return blk, b, handle, cd_loc, ci_loc
+
+        def process(blk, b, handle, cd_loc, ci_loc, _layer=layer,
+                    _cap_l=cap_l):
+            # (1) exact top-m among earlier members OUTSIDE the block
             pre_d, pre_i = handle.collect()
+            # (2) exact top-m among earlier members INSIDE the block
+            cd_loc, ci_loc = jax.device_get((cd_loc, ci_loc))
             cd_loc = np.asarray(cd_loc)[:b]
             ci_loc = np.asarray(ci_loc)[:b]
-            pre_d = pre_d[:b, :k_pre]
-            pre_i = pre_i[:b, :k_pre].astype(np.int64)
+            pre_d = np.asarray(pre_d)[:b, :k_pre]
+            pre_i = np.asarray(pre_i)[:b, :k_pre].astype(np.int64)
             # masked-out rows come back as +inf / arbitrary index
             pre_i = np.where(np.isfinite(pre_d), pre_i, -1)
             loc_d = np.where(np.isfinite(cd_loc), cd_loc, np.inf)
-            # top_k indices on +inf-masked (padded) columns are arbitrary;
-            # clip before the gather, the isfinite guard discards them
+            # top_k indices on +inf-masked (padded) columns are
+            # arbitrary; clip before the gather, isfinite discards them
             loc_i = np.where(np.isfinite(cd_loc),
                              blk[np.minimum(ci_loc, b - 1)], -1)
             sel_d, sel_i = _merge_topk(pre_d, pre_i, loc_d, loc_i, m)
@@ -234,19 +257,29 @@ def build_device_tables(ids: np.ndarray, data: np.ndarray,
             sel_i = np.where(valid_sel, sel_i, -1)
             sel_d = np.where(valid_sel, sel_d, np.inf)
             # (3) forward lists: node -> top-m (select_neighbors_simple)
-            nbr[blk, layer, :m] = sel_i.astype(np.int32)
+            nbr[blk, _layer, :m] = sel_i.astype(np.int32)
             aux_d[blk, :m] = sel_d.astype(np.float32)
             # (4) back-edges with keep-closest pruning
             src = np.repeat(blk.astype(np.int64), m)
             flat_sel = sel_i.reshape(-1)
             flat_d = sel_d.reshape(-1).astype(np.float32)
             live = flat_sel >= 0
-            _apply_back_edges(nbr[:, layer, :], aux_d,
+            _apply_back_edges(nbr[:, _layer, :], aux_d,
                               flat_sel[live], src[live], flat_d[live],
-                              cap_l)
-            done += b
+                              _cap_l)
+
+        # one-deep pipeline: block i+1's device work runs while block
+        # i's host linking executes (submissions depend only on static
+        # device state, never on host graph tables)
+        done = 0
+        pending = submit(0)
+        for lo in range(block, members.size + block, block):
+            nxt = submit(lo) if lo < members.size else None
+            process(*pending)
+            done += pending[1]
             if progress is not None and layer == 0:
                 progress(done, n)
+            pending = nxt
 
     return {
         "vectors": data,
