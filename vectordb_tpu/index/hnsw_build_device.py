@@ -148,7 +148,13 @@ def build_device_tables(ids: np.ndarray, data: np.ndarray,
     order i). ``progress``, if given, is called as progress(done, total)
     after each layer-0 block.
     """
+    import os
+    import time
+
     from .flat import FlatIndex
+
+    timing = bool(os.environ.get("VDB_TPU_BUILD_TIMING"))
+    t_setup0 = time.perf_counter()
 
     data = np.ascontiguousarray(data, dtype=np.float32)
     n, dim = data.shape
@@ -205,6 +211,11 @@ def build_device_tables(ids: np.ndarray, data: np.ndarray,
         db_dev = db_dev.astype(jnp.float32)
     iota = jnp.arange(cap_flat, dtype=jnp.int32)
     k_pre = min(m, n)
+    if timing:
+        jax.block_until_ready(base_dev["db"])
+        print(f"  [build-timing] setup {time.perf_counter() - t_setup0:.1f}s"
+              f" (flat load + device sync)", flush=True)
+    t_wait = t_host = 0.0
 
     for layer in range(max_level, -1, -1):
         members = np.nonzero(levels >= layer)[0]
@@ -272,14 +283,30 @@ def build_device_tables(ids: np.ndarray, data: np.ndarray,
         # i's host linking executes (submissions depend only on static
         # device state, never on host graph tables)
         done = 0
+        t_layer0 = time.perf_counter()
         pending = submit(0)
         for lo in range(block, members.size + block, block):
             nxt = submit(lo) if lo < members.size else None
-            process(*pending)
+            if timing:
+                t0 = time.perf_counter()
+                jax.block_until_ready(pending[3])
+                pending[2].collect()
+                t1 = time.perf_counter()
+                process(*pending)
+                t2 = time.perf_counter()
+                t_wait += t1 - t0
+                t_host += t2 - t1
+            else:
+                process(*pending)
             done += pending[1]
             if progress is not None and layer == 0:
                 progress(done, n)
             pending = nxt
+        if timing:
+            print(f"  [build-timing] layer {layer}: "
+                  f"{time.perf_counter() - t_layer0:.1f}s "
+                  f"(cum wait {t_wait:.1f}s, host {t_host:.1f}s)",
+                  flush=True)
 
     return {
         "vectors": data,

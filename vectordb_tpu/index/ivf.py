@@ -48,10 +48,16 @@ _CANDIDATE_CLUSTERS = 16    # per-row alternatives for balanced assignment
 class IvfFlatIndex(FlatIndex):
     """Inverted-file index with exact per-candidate refine."""
 
+    # nlist at/above which auto assignment uses the two-level hierarchy:
+    # the flat pass's lax.top_k over nlist columns dominates training
+    # time at large N x nlist (ops/ivf.assign_preferences_hier)
+    _HIER_AUTO_NLIST = 8192
+
     def __init__(self, metric: DistanceMetric, nlist: Optional[int] = None,
                  nprobe: int = 8, train_iters: int = 10,
                  spill_frac: float = 0.02, auto_train_min: int = 4096,
-                 seed: int = 0, storage: str = "f32"):
+                 seed: int = 0, storage: str = "f32",
+                 assign_mode: str = "auto"):
         # storage="bf16" composes: vectors quantize at insert (the host
         # mirror keeps the quantized values in f32, so training/repack
         # are unchanged) and the probed refine computes exact distances
@@ -65,6 +71,9 @@ class IvfFlatIndex(FlatIndex):
         self.train_iters = int(train_iters)
         self.spill_frac = float(spill_frac)
         self.auto_train_min = int(auto_train_min)
+        if assign_mode not in ("auto", "flat", "hier"):
+            raise ValueError(f"unknown assign_mode: {assign_mode!r}")
+        self.assign_mode = assign_mode
         self._seed = int(seed)
         self._layout_version = 0
         # trained-state
@@ -131,8 +140,17 @@ class IvfFlatIndex(FlatIndex):
             cand = min(_CANDIDATE_CLUSTERS, nlist)
             chunk = max(256, min(1 << 16,
                                  (1 << 28) // max(nlist, 1)))
-            pref_all = np.asarray(assign_preferences(
-                dev_db, centroids_dev, cand, chunk))
+            use_hier = (self.assign_mode == "hier"
+                        or (self.assign_mode == "auto"
+                            and nlist >= self._HIER_AUTO_NLIST))
+            if use_hier:
+                from ..ops.ivf import assign_preferences_hier
+                pref_all = np.asarray(assign_preferences_hier(
+                    dev_db, centroids_dev, cand, chunk,
+                    jax.random.fold_in(key, 1)))
+            else:
+                pref_all = np.asarray(assign_preferences(
+                    dev_db, centroids_dev, cand, chunk))
             pref = pref_all[live]
             cap_rows = int(math.ceil(n / nlist * _BALANCE_SLACK))
             t_c = max(1, math.ceil(cap_rows / SUB))

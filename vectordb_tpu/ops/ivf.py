@@ -121,6 +121,119 @@ def assign_preferences(db, centroids, cand: int, chunk: int):
     return out
 
 
+# -- two-level (hierarchical) assignment ------------------------------------
+#
+# Flat assignment scores every row against every centroid: N x nlist x d
+# MXU flops — the dominant training cost at large N x nlist (~17 min at
+# 4M x 768 with nlist=32768). The two-level scheme cuts it ~10x:
+# cluster the CENTROIDS into n_super supers, route each row to its
+# nearest super with an N x n_super pass, then score the row only
+# against the fine centroids of its super's s_top nearest supers.
+# Assignment becomes approximate (a row whose true nearest centroid
+# lives outside its super neighborhood gets a slightly farther cluster),
+# which is the same error class the balanced-overflow placement already
+# introduces — probing at search time still scores ALL centroids
+# exactly, so recall degrades only via placement, not via probing.
+
+_HIER_N_SUPER = 256
+_HIER_S_TOP = 12
+
+
+@functools.partial(jax.jit, static_argnames=("cand",))
+def _score_vs_subset(rows, cents_sub, col_valid, cand: int):
+    """top-cand of rows (R, d) against a gathered centroid subset
+    (nb, d); padded columns are masked out. Returns LOCAL indices."""
+    c_sq = jnp.sum(cents_sub * cents_sub, axis=1)
+    scores = rows.astype(jnp.float32) @ cents_sub.T * -2.0 + c_sq[None, :]
+    scores = jnp.where(col_valid[None, :], scores, jnp.inf)
+    return jax.lax.top_k(-scores, cand)[1]
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _top1_super(rows, supers):
+    s_sq = jnp.sum(supers * supers, axis=1)
+    scores = rows.astype(jnp.float32) @ supers.T * -2.0 + s_sq[None, :]
+    return jnp.argmin(scores, axis=1).astype(jnp.int32)
+
+
+def assign_preferences_hier(db, centroids, cand: int, chunk: int,
+                            key, n_super: int = 0,
+                            s_top: int = _HIER_S_TOP,
+                            iters: int = 8):
+    """Two-level preference lists (global centroid ids, (cap, cand) int32).
+
+    ``n_super=0`` auto-scales the super count with nlist. Falls back to
+    the flat path when nlist is too small for a hierarchy to pay.
+    """
+    import numpy as np
+
+    cap = db.shape[0]
+    nlist = centroids.shape[0]
+    if not n_super:
+        n_super = min(_HIER_N_SUPER, max(2, nlist // 16))
+    s_top = min(s_top, n_super)
+    if nlist < 4 * n_super or nlist < 4 * cand:
+        return assign_preferences(db, centroids, cand, chunk)
+
+    # 1. supers = k-means over the fine centroids (tiny: nlist x d)
+    supers = kmeans_fit(centroids, key, n_super, iters)
+
+    # 2. host grouping of fine centroids by nearest super
+    c2s = np.asarray(jax.device_get(_top1_super(centroids, supers)))
+    members = [np.nonzero(c2s == s)[0] for s in range(n_super)]
+
+    # 3. super neighborhoods: s_top nearest supers per super
+    sup_np = np.asarray(jax.device_get(supers))
+    ss = np.einsum("ij,ij->i", sup_np, sup_np)
+    s_scores = ss[None, :] - 2.0 * (sup_np @ sup_np.T)
+    hood = np.argsort(s_scores, axis=1)[:, :s_top]          # incl. self
+    hood_ids = [np.concatenate([members[t] for t in hood[s]])
+                for s in range(n_super)]
+
+    # 4. route rows to their nearest super (chunked device passes)
+    row_super = np.empty(cap, np.int32)
+    handles = [(lo, _top1_super(db[lo:lo + chunk], supers))
+               for lo in range(0, cap, chunk)]
+    for lo, h in handles:
+        row_super[lo:lo + chunk] = jax.device_get(h)[: cap - lo]
+
+    # 5. per-super scoring against the neighborhood's fine centroids.
+    # Rows and neighborhood sizes are padded to pow2 buckets so the jit
+    # signature count stays bounded.
+    from .topk import next_pow2
+    out = np.empty((cap, cand), np.int32)
+    order = np.argsort(row_super, kind="stable")
+    bounds = np.searchsorted(row_super[order], np.arange(n_super + 1))
+    pend = []
+    for s in range(n_super):
+        rows_s = order[bounds[s]: bounds[s + 1]]
+        if rows_s.size == 0:
+            continue
+        ids = hood_ids[s]
+        nb_pad = next_pow2(max(int(ids.size), cand, 8))
+        ids_pad = np.full(nb_pad, ids[0], np.int64)
+        ids_pad[: ids.size] = ids
+        col_valid = np.zeros(nb_pad, bool)
+        col_valid[: ids.size] = True
+        # a neighborhood smaller than cand cannot fill the preference
+        # list without duplicates — let padding repeat the LAST real
+        # column instead of masking, matching flat-path "cand > nlist
+        # is clamped by callers" semantics
+        if ids.size < cand:
+            col_valid[:] = True
+        cents_sub = centroids[jnp.asarray(ids_pad)]
+        r_pad = next_pow2(max(int(rows_s.size), 8))
+        idx_pad = np.full(r_pad, int(rows_s[0]), np.int64)
+        idx_pad[: rows_s.size] = rows_s
+        local = _score_vs_subset(db[jnp.asarray(idx_pad)], cents_sub,
+                                 jnp.asarray(col_valid), cand)
+        pend.append((rows_s, ids_pad, local))
+    for rows_s, ids_pad, local in pend:
+        loc = np.asarray(jax.device_get(local))[: rows_s.size]
+        out[rows_s] = ids_pad[loc].astype(np.int32)
+    return out
+
+
 @functools.partial(jax.jit,
                    static_argnames=("metric_name", "k", "nprobe", "t_c",
                                     "s_t"))
