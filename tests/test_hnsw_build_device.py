@@ -108,17 +108,36 @@ def test_table_invariants():
             assert (row < n).all()
 
 
-def test_neighbor_lists_sorted_by_distance():
-    data, params, graph = _build(n=500, block=100)
-    t = graph.export_padded_tables()
-    nbr = t["neighbors"]
-    for slot in range(0, 500, 53):
-        row = nbr[slot, 0, :]
-        row = row[row >= 0]
-        if row.size < 2:
-            continue
-        d = np.linalg.norm(data[row] - data[slot], axis=1)
-        assert (np.diff(d) >= -1e-4).all()
+def test_apply_back_edges_keep_closest_semantics():
+    """The vectorized grouped merge must equal brute-force keep-closest
+    (reference prune_neighbors semantics, graph.rs:207-242) across
+    multiple chunks of arrivals, including the append fast path."""
+    from vectordb_tpu.index.hnsw_build_device import _apply_back_edges
+    rng = np.random.default_rng(0)
+    n_tgt, cap_l = 40, 8
+    nbr = np.full((n_tgt, cap_l + 4), -1, np.int32)
+    aux = np.full((n_tgt, cap_l + 4), np.inf, np.float32)
+    ref = {t: [] for t in range(n_tgt)}
+    next_src = 1000
+    for _ in range(6):
+        e = rng.integers(20, 300)
+        tgt = rng.integers(0, n_tgt, e).astype(np.int64)
+        src = np.arange(next_src, next_src + e, dtype=np.int64)
+        next_src += e
+        dist = rng.random(e).astype(np.float32)
+        _apply_back_edges(nbr, aux, tgt, src, dist, cap_l)
+        for t, s, dv in zip(tgt, src, dist):
+            ref[int(t)].append((float(dv), int(s)))
+            ref[int(t)] = sorted(ref[int(t)])[:cap_l]
+    for t in range(n_tgt):
+        got = {int(s) for s in nbr[t, :cap_l] if s >= 0}
+        want = {s for _, s in ref[t]}
+        assert got == want, (t, got, want)
+        live = nbr[t, :cap_l] >= 0
+        # aux distances track the stored ids
+        by_id = {s: d for d, s in ref[t]}
+        for s, d in zip(nbr[t, :cap_l][live], aux[t, :cap_l][live]):
+            assert abs(by_id[int(s)] - float(d)) < 1e-6
 
 
 def test_cosine_zero_vector_raises():

@@ -99,7 +99,9 @@ def _apply_back_edges(nbr_l: np.ndarray, aux_d: np.ndarray,
 
     Matches reference prune semantics (graph.rs:207-242: re-score all,
     keep the closest max_degree) without recomputing distances — the
-    table carries each neighbor's distance in ``aux_d``.
+    table carries each neighbor's distance in ``aux_d``. Targets whose
+    list has room just append (the common case early in a build);
+    overfull targets get the sorted merge.
     """
     if tgt.size == 0:
         return
@@ -110,21 +112,47 @@ def _apply_back_edges(nbr_l: np.ndarray, aux_d: np.ndarray,
     tgt_s, src_s, d_s = tgt[order], src[order], dist[order]
     uniq, start, counts = np.unique(tgt_s, return_index=True,
                                     return_counts=True)
-    grp = np.repeat(np.arange(uniq.shape[0]), counts)
+    A = uniq.shape[0]
+    grp = np.repeat(np.arange(A), counts)
     pos = np.arange(tgt_s.shape[0]) - np.repeat(start, counts)
     keep = pos < cap_l
-    grp, pos = grp[keep], pos[keep]
-    a_max = int(min(counts.max(), cap_l))
-    A = uniq.shape[0]
-    arr_id = np.full((A, a_max), -1, dtype=np.int64)
-    arr_d = np.full((A, a_max), np.inf, dtype=np.float32)
-    arr_id[grp, pos] = src_s[keep]
-    arr_d[grp, pos] = d_s[keep]
-    ex_id = nbr_l[uniq, :cap_l].astype(np.int64)
-    ex_d = aux_d[uniq, :cap_l]
-    comb_d, comb_i = _merge_topk(ex_d, ex_id, arr_d, arr_id, cap_l)
-    nbr_l[uniq, :cap_l] = comb_i.astype(np.int32)
-    aux_d[uniq, :cap_l] = comb_d
+    grp, pos, src_k, d_k = grp[keep], pos[keep], src_s[keep], d_s[keep]
+    arr_counts = np.minimum(counts, cap_l)
+    # neighbor lists are left-packed (-1 tail), so the live count is a
+    # row-wise sum
+    ex_counts = (nbr_l[uniq, :cap_l] >= 0).sum(axis=1)
+    fits = ex_counts + arr_counts <= cap_l
+
+    fit_e = fits[grp]
+    if fit_e.any():
+        rows = uniq[grp[fit_e]]
+        cols = ex_counts[grp[fit_e]] + pos[fit_e]
+        nbr_l[rows, cols] = src_k[fit_e].astype(np.int32)
+        aux_d[rows, cols] = d_k[fit_e]
+
+    ov = np.nonzero(~fits)[0]
+    if ov.size == 0:
+        return
+    ov_set = np.zeros(A, bool)
+    ov_set[ov] = True
+    ov_e = ov_set[grp]
+    # compact overflow-group indices
+    remap = np.cumsum(ov_set) - 1
+    g2 = remap[grp[ov_e]]
+    a_max = int(arr_counts[ov].max())
+    arr_id = np.full((ov.size, a_max), -1, dtype=np.int64)
+    arr_d = np.full((ov.size, a_max), np.inf, dtype=np.float32)
+    arr_id[g2, pos[ov_e]] = src_k[ov_e]
+    arr_d[g2, pos[ov_e]] = d_k[ov_e]
+    t_ov = uniq[ov]
+    comb_d = np.concatenate([aux_d[t_ov, :cap_l], arr_d], axis=1)
+    comb_i = np.concatenate([nbr_l[t_ov, :cap_l].astype(np.int64),
+                             arr_id], axis=1)
+    # single stable sort by distance: existing entries win f32 ties
+    # (indistinguishable from the (dist, id) order for distinct vectors)
+    o = np.argsort(comb_d, axis=1, kind="stable")[:, :cap_l]
+    nbr_l[t_ov, :cap_l] = np.take_along_axis(comb_i, o, 1).astype(np.int32)
+    aux_d[t_ov, :cap_l] = np.take_along_axis(comb_d, o, 1)
 
 
 def sample_levels(n: int, params: HnswParams,
@@ -185,7 +213,7 @@ def build_device_tables(ids: np.ndarray, data: np.ndarray,
     # the packed flat database: slots 0..n-1 in insertion order (fresh
     # bulk load keeps order), searched with a per-block prefix mask
     flat = FlatIndex(metric)
-    flat.add_batch(list(zip(ids, data)))
+    flat.bulk_load_matrix(ids, data)
     with flat._lock:
         base_dev = dict(flat._sync_device())
     cap_flat = int(base_dev["valid"].shape[0])
