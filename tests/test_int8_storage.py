@@ -1,0 +1,125 @@
+"""int8 storage mode: a quarter of f32's bytes per row, exact search over
+the STORED (per-row pow2-scaled int8) values.
+
+Vectors are quantized at insert; get_vector returns the dequantized
+stored values; the device holds a 1-byte/element code buffer plus a
+4-byte/row scale vector, and search runs the blockwise dequantizing
+scan (ops/topk.py) — exact over the stored value set.
+"""
+
+import numpy as np
+import pytest
+
+from vectordb_tpu import DistanceMetric, VectorStore
+from vectordb_tpu.distance import pairwise_distances
+from vectordb_tpu.index.flat import (FlatIndex, _int8_codes_scales,
+                                     _int8_row_scales, _quantize_int8)
+from vectordb_tpu.vector import Vector
+
+
+def _mk(n=600, d=48, metric=DistanceMetric.EUCLIDEAN, seed=0):
+    rng = np.random.default_rng(seed)
+    data = rng.standard_normal((n, d)).astype(np.float32)
+    idx = FlatIndex(metric, storage="int8")
+    idx.add_batch(list(enumerate(data)))
+    return data, idx
+
+
+def _oracle_topk(stored, queries, metric, k):
+    d = pairwise_distances(np, queries, stored, metric)
+    order = np.argsort(d, axis=1, kind="stable")[:, :k]
+    return order, np.take_along_axis(d, order, axis=1)
+
+
+def test_pow2_scales_exact_roundtrip():
+    rng = np.random.default_rng(1)
+    mat = rng.standard_normal((200, 32)).astype(np.float32) * \
+        np.exp(rng.uniform(-8, 8, (200, 1))).astype(np.float32)
+    q1 = _quantize_int8(mat)
+    # idempotent: requantizing stored values is the identity
+    np.testing.assert_array_equal(q1, _quantize_int8(q1))
+    # codes/scales recovered from stored rows reproduce them bit-exactly
+    codes, scales = _int8_codes_scales(q1)
+    np.testing.assert_array_equal(
+        q1, codes.astype(np.float32) * scales[:, None])
+    assert np.abs(codes).max() <= 127
+    # scales are powers of two
+    s = _int8_row_scales(q1)
+    np.testing.assert_array_equal(s, np.exp2(np.round(np.log2(s))))
+
+
+def test_zero_row_quantizes_to_zero():
+    z = np.zeros((3, 8), np.float32)
+    np.testing.assert_array_equal(_quantize_int8(z), z)
+
+
+@pytest.mark.parametrize("metric", [DistanceMetric.EUCLIDEAN,
+                                    DistanceMetric.COSINE,
+                                    DistanceMetric.DOT_PRODUCT])
+def test_search_exact_over_stored_values(metric):
+    data, idx = _mk(metric=metric)
+    stored = np.stack([__import__("vectordb_tpu").vector.as_f32_array(idx.get_vector(i))
+                       for i in range(len(data))])
+    # stored values are the quantized set, not the originals
+    np.testing.assert_array_equal(stored, _quantize_int8(data))
+    rng = np.random.default_rng(7)
+    queries = rng.standard_normal((16, data.shape[1])).astype(np.float32)
+    want_ids, want_d = _oracle_topk(stored, queries, metric, 10)
+    got = idx.search_batch(queries, 10)
+    for qi in range(queries.shape[0]):
+        ids = [i for i, _ in got[qi]]
+        ds = np.array([dv for _, dv in got[qi]], np.float32)
+        assert ids == list(want_ids[qi]), (qi, ids, want_ids[qi])
+        np.testing.assert_allclose(ds, want_d[qi], rtol=1e-5, atol=1e-5)
+
+
+def test_mutations_and_dirty_scatter():
+    data, idx = _mk(n=300, d=24)
+    q = data[17]
+    # force a device sync, then mutate (dirty-scatter path)
+    idx.search_batch(q.reshape(1, -1), 3)
+    rng = np.random.default_rng(3)
+    new = rng.standard_normal(24).astype(np.float32)
+    idx.add(9999, Vector(new))
+    idx.remove(17)
+    got = idx.search_batch(_quantize_int8(new).reshape(1, -1), 2)[0]
+    assert got[0][0] == 9999
+    assert all(i != 17 for i, _ in got)
+
+
+def test_quarter_footprint():
+    _, idx = _mk(n=200, d=64)
+    dev = idx._sync_device()
+    assert dev["db"].dtype == np.int8
+    assert dev["db"].nbytes == idx.capacity * 64
+    assert dev.get("int8_storage") is True
+
+
+def test_int8_rejected_where_unsupported():
+    import jax
+    from jax.sharding import Mesh
+    with pytest.raises(ValueError):
+        FlatIndex(DistanceMetric.EUCLIDEAN, storage="int8",
+                  mesh=Mesh(np.array(jax.devices()[:2]), ("shard",)))
+    from vectordb_tpu.index.ivf import IvfFlatIndex
+    with pytest.raises(ValueError):
+        IvfFlatIndex(DistanceMetric.EUCLIDEAN, storage="int8")
+
+
+def test_store_level_int8():
+    rng = np.random.default_rng(5)
+    data = rng.standard_normal((400, 32)).astype(np.float32)
+    store = VectorStore.with_flat_index(DistanceMetric.EUCLIDEAN,
+                                        storage="int8")
+    from vectordb_tpu.metadata import Metadata
+    from vectordb_tpu.store import BatchInsertItem
+    store.insert_batch([BatchInsertItem(f"v{i}", Vector(data[i]),
+                                        Metadata({"g": str(i % 2)}))
+                        for i in range(400)])
+    res = store.search(Vector(data[10]), 3)
+    assert res[0].id == "v10"
+    from vectordb_tpu import MetadataFilter
+    filt = MetadataFilter.from_dict({"op": "eq", "field": "g",
+                                     "value": "1"})
+    fres = store.search_with_filter(Vector(data[10]), 3, filt)
+    assert fres and all(int(r.id[1:]) % 2 == 1 for r in fres)

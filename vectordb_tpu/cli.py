@@ -42,7 +42,7 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Flat scan mode: exact full-precision, or the "
                              "two-tier fast path (~1.4x throughput, exact "
                              "distances, ~99%% top-k id agreement)")
-    parser.add_argument("--storage", choices=["f32", "bf16"],
+    parser.add_argument("--storage", choices=["f32", "bf16", "int8"],
                         default="f32",
                         help="Flat-index vector storage: f32 (default) or "
                              "bf16 (half the device memory, 2x the rows "

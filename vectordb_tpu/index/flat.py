@@ -66,6 +66,36 @@ def _quantize_bf16(arr: np.ndarray) -> np.ndarray:
     return arr.astype(ml_dtypes.bfloat16).astype(np.float32)
 
 
+def _int8_row_scales(mat: np.ndarray) -> np.ndarray:
+    """Per-row POWER-OF-TWO int8 scale: s = 2^ceil(log2(max|row|/127)).
+
+    A pow2 scale makes the whole scheme exact in f32 arithmetic:
+    code * s is exact (|code| <= 127 integer times a power of two), so
+    quantization is idempotent, and the scale is recoverable from a
+    stored row (max|code| lands in (63.5, 127], so max|stored|/127 is
+    in (s/2, s] and ceils back to exactly s) — no side table."""
+    mx = np.abs(mat).max(axis=1)
+    mx = np.where(mx > 0.0, mx, np.float32(127.0))  # zero rows -> s = 1
+    return np.exp2(np.ceil(np.log2(mx / np.float32(127.0)))
+                   ).astype(np.float32)
+
+
+def _quantize_int8(arr: np.ndarray) -> np.ndarray:
+    """Round-trip a row/matrix through per-row pow2-scaled int8 (the
+    stored value set for storage=\"int8\")."""
+    squeeze = arr.ndim == 1
+    mat = np.atleast_2d(np.asarray(arr, dtype=np.float32))
+    s = _int8_row_scales(mat)
+    out = (np.round(mat / s[:, None]) * s[:, None]).astype(np.float32)
+    return out[0] if squeeze else out
+
+
+def _int8_codes_scales(rows: np.ndarray):
+    """(int8 codes, f32 pow2 scales) recovered exactly from stored rows."""
+    s = _int8_row_scales(rows)
+    return np.round(rows / s[:, None]).astype(np.int8), s
+
+
 def _pallas_mirrors_enabled(capacity: int, dim: int, mesh) -> bool:
     """Maintain bf16 hi/lo mirrors (fastest path, +4 bytes/element)? Above
     the memory gate the kernel streams the f32 database instead (the
@@ -83,8 +113,11 @@ class FlatIndex(Index):
                  storage: str = "f32"):
         if search_mode not in ("exact", "fast"):
             raise ValueError(f"unknown search_mode: {search_mode!r}")
-        if storage not in ("f32", "bf16"):
+        if storage not in ("f32", "bf16", "int8"):
             raise ValueError(f"unknown storage: {storage!r}")
+        if storage == "int8" and mesh is not None:
+            raise ValueError("storage='int8' is single-chip (the sharded "
+                             "scan paths do not dequantize int8 yet)")
         # "exact": full-f32 MXU scan + exact top_k. "fast": same scan
         # reduced with approx_min_k into a candidate pool + exact re-rank
         # (~1.4x throughput, exact distances, ~99% top-k id agreement).
@@ -95,6 +128,10 @@ class FlatIndex(Index):
         # 768-d on one 16 GB v5e). Search stays certified-exact with
         # respect to the STORED values: the db is its own hi mirror, so
         # the 1-pass certificate runs with elo_max = 0.
+        # storage="int8": per-row pow2-scaled int8 AT INSERT — a 1-byte
+        # device buffer, 4x f32's rows per chip (16M x 768-d on one v5e).
+        # Search is the blockwise dequantizing scan (ops/topk.py), exact
+        # over the stored values.
         self.storage = storage
         # With a jax.sharding.Mesh, the packed arrays live sharded over the
         # mesh's row axis and searches run the distributed per-shard scan +
@@ -145,6 +182,15 @@ class FlatIndex(Index):
 
     def slot_of(self, internal_id: int) -> Optional[int]:
         return self._slot_of_id.get(internal_id)
+
+    def _quantize(self, arr: np.ndarray) -> np.ndarray:
+        """Apply the storage mode's insert-time quantization (identity
+        for f32)."""
+        if self.storage == "bf16":
+            return _quantize_bf16(arr)
+        if self.storage == "int8":
+            return _quantize_int8(arr)
+        return arr
 
     # -- storage management -------------------------------------------------
 
@@ -249,8 +295,7 @@ class FlatIndex(Index):
             mat[j] = row
         if n == 0 and error is not None:
             raise error
-        if self.storage == "bf16":
-            mat = _quantize_bf16(mat)
+        mat = self._quantize(mat)
         self._vectors[:n] = mat
         sq = np.einsum("ij,ij->i", mat, mat).astype(np.float32)
         self._sq_norms[:n] = sq
@@ -283,8 +328,7 @@ class FlatIndex(Index):
             if self._dim is not None and dim != self._dim:
                 raise DimensionMismatchError(self._dim, dim)
             self._ensure_storage(dim, n)
-            if self.storage == "bf16":
-                mat = _quantize_bf16(mat)
+            mat = self._quantize(mat)
             self._vectors[:n] = mat
             sq = np.einsum("ij,ij->i", mat, mat).astype(np.float32)
             self._sq_norms[:n] = sq
@@ -299,8 +343,7 @@ class FlatIndex(Index):
             self._dirty_slots.clear()
 
     def _write_slot(self, slot: int, internal_id: int, arr: np.ndarray) -> None:
-        if self.storage == "bf16":
-            arr = _quantize_bf16(arr)   # norms below see the stored values
+        arr = self._quantize(arr)   # norms below see the stored values
         self._vectors[slot] = arr
         sq = float(np.dot(arr, arr))
         self._sq_norms[slot] = sq
@@ -386,6 +429,21 @@ class FlatIndex(Index):
                 self._dirty_slots.clear()
             return self._device
         if self._device is None:
+            if self.storage == "int8":
+                # host-side requantization: a 1-byte transfer per element
+                # (values were already pow2-quantized at insert, so the
+                # codes are exact) plus a 4-byte/row scale vector
+                codes, scales = _int8_codes_scales(self._vectors)
+                self._device = {
+                    "db": jnp.asarray(codes),
+                    "scales": jnp.asarray(scales),
+                    "sq_norms": jnp.asarray(self._sq_norms),
+                    "norms": jnp.asarray(self._norms),
+                    "valid": jnp.asarray(self._valid),
+                    "int8_storage": True,
+                }
+                self._dirty_slots.clear()
+                return self._device
             if self.storage == "bf16":
                 import ml_dtypes
                 # host-side cast: a 2-byte transfer and no f32 device temp
@@ -439,6 +497,17 @@ class FlatIndex(Index):
                 s_rows, s_vals = scatter_rows_copy, scatter_values_copy
             else:
                 s_rows, s_vals = scatter_rows, scatter_values
+            if self.storage == "int8":
+                # patched rows as int8 codes + scales (1-byte transfer)
+                codes, scales = _int8_codes_scales(self._vectors[idx])
+                dev["db"] = s_rows(dev["db"], idx, jnp.asarray(codes))
+                dev["scales"] = s_vals(dev["scales"], idx, scales)
+                dev["sq_norms"] = s_vals(dev["sq_norms"], idx,
+                                         self._sq_norms[idx])
+                dev["norms"] = s_vals(dev["norms"], idx, self._norms[idx])
+                dev["valid"] = s_vals(dev["valid"], idx, self._valid[idx])
+                self._dirty_slots.clear()
+                return self._device
             # ONE H2D transfer of the patched rows, shared by the db
             # scatter, the mirror scatter, and the residual-bound update
             # (each transfer costs a ~25 ms relay round-trip)

@@ -61,7 +61,12 @@ class IvfFlatIndex(FlatIndex):
         # storage="bf16" composes: vectors quantize at insert (the host
         # mirror keeps the quantized values in f32, so training/repack
         # are unchanged) and the probed refine computes exact distances
-        # over the stored bf16 values — 8M x 768 fits one chip
+        # over the stored bf16 values — 8M x 768 fits one chip.
+        # int8 is flat-only for now: the probed tile gather scores raw
+        # db rows and does not dequantize codes.
+        if storage == "int8":
+            raise ValueError("storage='int8' is not supported by the IVF "
+                             "index (use FlatIndex)")
         super().__init__(metric, search_mode="exact", storage=storage)
         self._want_mirrors = False
         if nlist is not None and nlist < 2:

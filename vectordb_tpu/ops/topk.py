@@ -295,6 +295,64 @@ def flat_search_bf16(queries, db16, db_sq_norms, db_norms, valid,
                                  valid, metric.value, int(k))
 
 
+@functools.partial(jax.jit, static_argnames=("metric_name", "k"))
+def _flat_search_int8_jit(queries, db8, scales, db_sq_norms, db_norms,
+                          valid, metric_name, k):
+    """Exact scan over an int8-stored database (storage=\"int8\"):
+    dequantizes one row block at a time (code * pow2 row scale — exact
+    in f32, see index/flat._int8_row_scales) and keeps a running top-k.
+    Exact with respect to the stored values; peak extra memory is one
+    widened block."""
+    metric = DistanceMetric(metric_name)
+    n = db8.shape[0]
+    q = queries.shape[0]
+    b = min(_BF16_SCAN_BLOCK, n)
+    kk = min(k, n)
+    rem = n % b
+    if rem:
+        pad = b - rem
+        db8 = jnp.concatenate(
+            [db8, jnp.zeros((pad, db8.shape[1]), db8.dtype)])
+        scales = jnp.concatenate([scales, jnp.ones((pad,), scales.dtype)])
+        db_sq_norms = jnp.concatenate(
+            [db_sq_norms, jnp.zeros((pad,), db_sq_norms.dtype)])
+        db_norms = jnp.concatenate(
+            [db_norms, jnp.zeros((pad,), db_norms.dtype)])
+        valid = jnp.concatenate([valid, jnp.zeros((pad,), bool)])
+        n += pad
+    nb = n // b
+
+    def scan_block(carry, blk):
+        run_d, run_i = carry
+        db_blk, s_blk, sq_blk, nrm_blk, v_blk, base = blk
+        rows = db_blk.astype(jnp.float32) * s_blk[:, None]
+        dists = pairwise_distances(
+            jnp, queries, rows, metric,
+            db_sq_norms=sq_blk, db_norms=nrm_blk,
+            precision=MATMUL_PRECISION)
+        dists = jnp.where(v_blk[None, :], dists, jnp.inf)
+        neg, idx = jax.lax.top_k(-dists, min(kk, b))
+        all_d = jnp.concatenate([run_d, -neg], axis=1)
+        all_i = jnp.concatenate([run_i, idx + base], axis=1)
+        neg2, pos = jax.lax.top_k(-all_d, kk)
+        return (-neg2, jnp.take_along_axis(all_i, pos, axis=1)), None
+
+    init = (jnp.full((q, kk), jnp.inf, jnp.float32),
+            jnp.zeros((q, kk), jnp.int32))
+    blocks = (db8.reshape(nb, b, -1), scales.reshape(nb, b),
+              db_sq_norms.reshape(nb, b), db_norms.reshape(nb, b),
+              valid.reshape(nb, b), jnp.arange(nb, dtype=jnp.int32) * b)
+    (dists, idx), _ = jax.lax.scan(scan_block, init, blocks)
+    return dists, idx
+
+
+def flat_search_int8(queries, db8, scales, db_sq_norms, db_norms, valid,
+                     metric: DistanceMetric, k: int):
+    """Blockwise exact scan for int8-stored databases."""
+    return _flat_search_int8_jit(queries, db8, scales, db_sq_norms,
+                                 db_norms, valid, metric.value, int(k))
+
+
 class SearchHandle:
     """An in-flight batched search launched by flat_search_batched_submit.
 
@@ -344,6 +402,19 @@ def flat_search_batched_submit(queries_np: np.ndarray, device_state: dict,
                                   dtype=queries_np.dtype)], axis=0)
     k_eff = min(next_pow2(k, floor=1), capacity)
     queries_dev = jnp.asarray(queries_np)
+
+    if device_state.get("int8_storage"):
+        # int8 storage: the blockwise dequantizing scan is the exact
+        # path (serves both modes — there is no separate fast tier yet)
+        out8 = flat_search_int8(
+            queries_dev, device_state["db"], device_state["scales"],
+            device_state["sq_norms"], device_state["norms"],
+            device_state["valid"], metric, k_eff)
+
+        def collect_int8():
+            d_, i_ = jax.device_get(out8)
+            return d_[:q], i_[:q]
+        return SearchHandle(collect_int8)
 
     if "hi" in device_state or device_state.get("coarse_f32"):
         from . import coarse_kernel
