@@ -50,6 +50,7 @@ def main():
         vectors = z["vectors"]
         norms = z["norms"]
         neighbors = z["neighbors"]
+        levels = z["levels"]
         valid = z["valid"]
         id_of_slot = z["id_of_slot"].astype(np.int32)
         entry = int(z["entry"])
@@ -69,7 +70,8 @@ def main():
     g = NativeHnswGraph(DistanceMetric.EUCLIDEAN, h1m.params())
     g.import_padded_tables({
         "vectors": vectors, "norms": norms, "neighbors": neighbors,
-        "valid": valid, "id_of_slot": id_of_slot.astype(np.int64),
+        "levels": levels, "valid": valid,
+        "id_of_slot": id_of_slot.astype(np.int64),
         "entry": entry, "max_level": max_level})
     nq_host = min(Q, 64)
     t0 = time.perf_counter()
@@ -88,17 +90,17 @@ def main():
     t0 = time.perf_counter()
     d_, i_ = hnsw_search_device(*tabs, qdev, "euclidean", K, EF,
                                 max_layers)
-    jax.block_until_ready((d_, i_))
+    jax.device_get((d_, i_))   # block_until_ready lies through the relay
     t_compile = time.perf_counter() - t0
     print(f"compile+first batch: {t_compile:.0f}s", flush=True)
     times = []
     for it in range(3):
         qd = jnp.asarray(queries + np.float32(0.001 * (it + 1)))
-        qd.block_until_ready()
+        jax.device_get(qd[0])
         t0 = time.perf_counter()
         d_, i_ = hnsw_search_device(*tabs, qd, "euclidean", K, EF,
                                     max_layers)
-        jax.block_until_ready((d_, i_))
+        jax.device_get((d_, i_))
         times.append(time.perf_counter() - t0)
     per = min(times) / Q
     print(f"device traversal: {per * 1e3:.2f} ms/query "
