@@ -123,3 +123,111 @@ def test_store_level_int8():
                                      "value": "1"})
     fres = store.search_with_filter(Vector(data[10]), 3, filt)
     assert fres and all(int(r.id[1:]) % 2 == 1 for r in fres)
+
+
+# ---- int8-source 1-pass certified tier (Pallas interpret mode) ----------
+
+import jax.numpy as jnp  # noqa: E402
+
+from vectordb_tpu.ops import coarse_kernel  # noqa: E402
+from vectordb_tpu.ops import topk as topk_mod  # noqa: E402
+
+
+@pytest.fixture
+def _tier1(monkeypatch):
+    monkeypatch.setenv("VDB_TPU_PALLAS_INTERPRET", "1")
+
+
+def _stored_rows(idx):
+    from vectordb_tpu.vector import as_f32_array
+    cap = idx.capacity
+    rows = idx._vectors.copy()
+    return rows, idx._valid.copy()
+
+
+@pytest.mark.parametrize("metric", [DistanceMetric.EUCLIDEAN,
+                                    DistanceMetric.COSINE,
+                                    DistanceMetric.DOT_PRODUCT])
+def test_int8_tier1_matches_blockwise_scan(metric, _tier1, monkeypatch):
+    data, idx = _mk(n=700, d=48, metric=metric, seed=11)
+    idx.remove(5)
+    idx.remove(123)
+    dev = idx._sync_device()
+    assert dev.get("int8_storage") and "elo_max" in dev
+    rng = np.random.default_rng(8)
+    queries = rng.standard_normal((9, 48)).astype(np.float32)
+    d1, i1 = topk_mod.flat_search_batched(queries, dev, metric, 10)
+    # the blockwise dequantizing scan (tier disabled) must agree: same
+    # ids, same distances over the same stored value set
+    monkeypatch.setenv("VDB_TPU_EXACT1P", "0")
+    d0, i0 = topk_mod.flat_search_batched(queries, dev, metric, 10)
+    assert np.array_equal(i1[:, :10], i0[:, :10])
+    np.testing.assert_allclose(d1[:, :10], d0[:, :10], rtol=1e-5,
+                               atol=1e-6)
+    # and both match the numpy oracle over live stored rows
+    rows, valid = _stored_rows(idx)
+    dfull = pairwise_distances(np, queries, rows, metric)
+    dfull[:, ~valid] = np.inf
+    want = np.argsort(dfull, axis=1, kind="stable")[:, :10]
+    assert np.array_equal(i1[:, :10], want)
+
+
+def test_int8_certificates_hold_on_gaussian(_tier1):
+    data, idx = _mk(n=1000, d=48, seed=3)
+    dev = idx._sync_device()
+    queries = np.random.default_rng(4).standard_normal(
+        (8, 48)).astype(np.float32)
+    dists, ids, cert = coarse_kernel.coarse_search_1p(
+        jnp.asarray(queries), dev["db"], dev["sq_norms"], dev["norms"],
+        dev["valid"], None, dev["elo_max"], DistanceMetric.EUCLIDEAN, 10,
+        scales=dev["scales"])
+    assert np.asarray(cert).all(), "zero db residual: gaussian certifies"
+
+
+def test_int8_tier1_engages_and_huge_elo_falls_back_exact(
+        _tier1, monkeypatch):
+    data, idx = _mk(n=900, d=32, seed=9)
+    dev = idx._sync_device()
+    calls = []
+    real = coarse_kernel.coarse_search_1p
+
+    def spy(*args, **kwargs):
+        calls.append(True)
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(coarse_kernel, "coarse_search_1p", spy)
+    rng = np.random.default_rng(2)
+    queries = rng.standard_normal((4, 32)).astype(np.float32)
+    d1, i1 = topk_mod.flat_search_batched(queries, dev,
+                                          DistanceMetric.EUCLIDEAN, 7)
+    assert calls, "int8 tier 1 should have engaged"
+    # sabotaged bound -> all queries uncertified -> blockwise fallback
+    # must still return exact results over the stored values
+    dev2 = dict(dev)
+    dev2["elo_max"] = jnp.float32(1e9)
+    d2, i2 = topk_mod.flat_search_batched(queries, dev2,
+                                          DistanceMetric.EUCLIDEAN, 7)
+    assert np.array_equal(i1[:, :7], i2[:, :7])
+    np.testing.assert_allclose(d1[:, :7], d2[:, :7], rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_int8_tier1_respects_filter_mask(_tier1):
+    """The filtered-search path swaps a narrowed valid mask into the
+    device state; the certificate must stay sound under any mask."""
+    data, idx = _mk(n=800, d=32, seed=13)
+    dev = dict(idx._sync_device())
+    mask = np.zeros(idx.capacity, dtype=bool)
+    mask[:64] = True
+    dev["valid"] = jnp.logical_and(dev["valid"], jnp.asarray(mask))
+    rng = np.random.default_rng(6)
+    queries = rng.standard_normal((5, 32)).astype(np.float32)
+    d1, i1 = topk_mod.flat_search_batched(queries, dev,
+                                          DistanceMetric.EUCLIDEAN, 5)
+    assert (i1[:, :5] < 64).all()
+    rows, valid = _stored_rows(idx)
+    valid &= mask
+    dfull = pairwise_distances(np, queries, rows, DistanceMetric.EUCLIDEAN)
+    dfull[:, ~valid] = np.inf
+    want = np.argsort(dfull, axis=1, kind="stable")[:, :5]
+    assert np.array_equal(i1[:, :5], want)

@@ -130,8 +130,10 @@ class FlatIndex(Index):
         # the 1-pass certificate runs with elo_max = 0.
         # storage="int8": per-row pow2-scaled int8 AT INSERT — a 1-byte
         # device buffer, 4x f32's rows per chip (16M x 768-d on one v5e).
-        # Search is the blockwise dequantizing scan (ops/topk.py), exact
-        # over the stored values.
+        # Search runs the int8-source 1-pass certified coarse kernel
+        # (codes cast to bf16 exactly in VMEM -> zero db-side residual,
+        # elo_max = 0), exact over the stored values; uncertified rows
+        # and unsupported shapes take the blockwise dequantizing scan.
         self.storage = storage
         # With a jax.sharding.Mesh, the packed arrays live sharded over the
         # mesh's row axis and searches run the distributed per-shard scan +
@@ -442,6 +444,11 @@ class FlatIndex(Index):
                     "valid": jnp.asarray(self._valid),
                     "int8_storage": True,
                 }
+                if _pallas_enabled(self._mesh):
+                    # arm the int8-source 1-pass certified tier: codes
+                    # cast to bf16 exactly in VMEM, so the database-side
+                    # residual bound is zero
+                    self._device["elo_max"] = jnp.float32(0.0)
                 self._dirty_slots.clear()
                 return self._device
             if self.storage == "bf16":

@@ -326,17 +326,61 @@ def _coarse_kernel_f32_1p_sup(qhi_ref, qrow_ref, db_ref, col_ref, inv_ref,
     sup_ref[:] = supmin
 
 
+def _coarse_kernel_int8_1p_sup(qhi_ref, qrow_ref, db_ref, scl_ref, col_ref,
+                               inv_ref, out_ref, sup_ref, *, mode: str,
+                               tn: int):
+    """int8-source single-pass kernel with the fused SUPER reduction
+    (1 byte/element streamed — serves 16M x 768 = 12 GB of codes).
+
+    Codes are integers in [-127, 127], so the in-kernel cast to bf16 is
+    EXACT (bf16 represents every integer up to 256): the database-side
+    residual is zero and the only coarse error vs the stored values
+    s_r * code_r is the query's bf16 residual plus f32 accumulation —
+    the standard 1-pass certificate with elo_max = 0. The per-row pow2
+    scale multiply is exact in f32 (a pure exponent shift, see
+    index/flat._int8_row_scales), so it adds no margin term."""
+    codes = db_ref[:].astype(jnp.bfloat16)               # exact cast
+    dots = jax.lax.dot_general(
+        codes, qhi_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)              # (TN, QB)
+    sdots = dots * scl_ref[:].T                          # pow2: exact
+    col_t = col_ref[:].T
+    inv_t = inv_ref[:].T
+    if mode == "euclidean":
+        score = col_t + qrow_ref[:] - 2.0 * sdots
+    elif mode == "dot":
+        score = -sdots
+    else:
+        score = -(sdots * col_t * qrow_ref[:])
+    score += inv_t * PENALTY
+    qb = score.shape[1]
+    tmin = score.reshape(tn // SUB, SUB, qb).min(axis=1)
+    out_ref[:] = tmin
+    rows = tn // (SUB * SUPER)
+    supmin = tmin.reshape(rows, SUPER, qb).min(axis=1)
+    if rows % _SUP_PAD:
+        supmin = jnp.concatenate(
+            [supmin, jnp.full((_SUP_PAD - rows, qb), jnp.inf,
+                              jnp.float32)], axis=0)
+    sup_ref[:] = supmin
+
+
 def _minima_1p_sup(qThi, qrow, dbarr, col, inv_col, mode: str,
-                   interpret: bool, src: str):
+                   interpret: bool, src: str, scales=None):
     """(tile minima (T, Qp), super minima (T2, Qp)) in one kernel pass.
-    ``dbarr`` is the bf16 hi mirror (src != "f32") or the f32 database
-    (src == "f32")."""
+    ``dbarr`` is the bf16 hi mirror (src != "f32"), the f32 database
+    (src == "f32"), or the int8 code matrix (src == "int8", with the
+    per-row pow2 ``scales`` vector)."""
     d, qp = qThi.shape
     n = dbarr.shape[0]
     tn = _tile_cols(d)
     if tn % (SUB * SUPER):
         # very wide vectors shrink the db tile below one super-tile; fall
         # back to the single-output kernel + an XLA reduce
+        if src == "int8":
+            # no int8 single-output variant — supports_1p_int8 gates this
+            raise NotImplementedError(
+                "int8 coarse tier requires whole super-tiles per db tile")
         if src == "f32":
             qTlo = jnp.zeros_like(qThi)
             tile_tq = _coarse_minima_f32(qThi, qTlo, qrow, dbarr, col,
@@ -352,21 +396,29 @@ def _minima_1p_sup(qThi, qrow, dbarr, col, inv_col, mode: str,
     # Mosaic wants sublane-dim-multiple-of-8 output blocks: pad the super
     # block to 8 rows (+inf rows, sliced away below)
     prows = rows if rows % _SUP_PAD == 0 else _SUP_PAD
-    bytes_db = n * d * (4 if src == "f32" else 2) * (qp // qb)
+    itemsize = {"f32": 4, "int8": 1}.get(src, 2)
+    bytes_db = n * d * itemsize * (qp // qb)
+    in_specs = [
+        pl.BlockSpec((d, qb), lambda qi, ti: (0, qi),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, qb), lambda qi, ti: (0, qi),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tn, d), lambda qi, ti: (ti, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tn), lambda qi, ti: (0, ti),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tn), lambda qi, ti: (0, ti),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [qThi, qrow, dbarr, col, inv_col]
+    if src == "int8":
+        # per-row pow2 scale vector, same (1, TN) layout trick as col
+        in_specs.insert(3, pl.BlockSpec((1, tn), lambda qi, ti: (0, ti),
+                                        memory_space=pltpu.VMEM))
+        operands.insert(3, scales.reshape(1, n))
     grid_spec = pl.GridSpec(
         grid=(qp // qb, t),
-        in_specs=[
-            pl.BlockSpec((d, qb), lambda qi, ti: (0, qi),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, qb), lambda qi, ti: (0, qi),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tn, d), lambda qi, ti: (ti, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tn), lambda qi, ti: (0, ti),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tn), lambda qi, ti: (0, ti),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((tn // SUB, qb), lambda qi, ti: (ti, qi),
                          memory_space=pltpu.VMEM),
@@ -374,8 +426,9 @@ def _minima_1p_sup(qThi, qrow, dbarr, col, inv_col, mode: str,
                          memory_space=pltpu.VMEM),
         ),
     )
-    kern = (_coarse_kernel_f32_1p_sup if src == "f32"
-            else _coarse_kernel_1p_sup)
+    kern = {"f32": _coarse_kernel_f32_1p_sup,
+            "int8": _coarse_kernel_int8_1p_sup}.get(src,
+                                                    _coarse_kernel_1p_sup)
     tile_tq, sup_pad = pl.pallas_call(
         functools.partial(kern, mode=mode, tn=tn),
         out_shape=(
@@ -390,7 +443,7 @@ def _minima_1p_sup(qThi, qrow, dbarr, col, inv_col, mode: str,
             + qp * (n // SUB) * 4 + qp * t * prows * 4,
             transcendentals=0,
         ),
-    )(qThi, qrow, dbarr, col, inv_col)
+    )(*operands)
     if prows != rows:
         sup_tq = sup_pad.reshape(t, prows, qp)[:, :rows].reshape(
             t * rows, qp)
@@ -517,8 +570,14 @@ _REFINE_M_CHUNK = 32   # max tiles per refine-kernel call (VMEM scratch cap)
 
 
 def _refine_topk(tile_idx, queries, qsq, qn, db, db_sq, db_norms, valid,
-                 mode: str, m: int, k: int, interpret: bool):
+                 mode: str, m: int, k: int, interpret: bool, scales=None):
     """Exact f32-highest re-rank of each query's m candidate tiles.
+
+    ``scales`` (int8 storage only): per-row pow2 scale vector. The dot
+    runs HIGHEST over the raw integer codes and the scale is applied to
+    the finished dots — bit-identical to dotting the dequantized rows,
+    because a pow2 multiply only shifts exponents (every product and
+    partial sum scales exactly; index/flat._int8_row_scales).
 
     Returns (sk, pos, w): the k best refined scores ascending, their
     positions within the (m*SUB) candidate pool, and the refined minimum
@@ -538,8 +597,13 @@ def _refine_topk(tile_idx, queries, qsq, qn, db, db_sq, db_norms, valid,
     sq2 = db_sq.reshape(t_all, SUB)
     nrm2 = db_norms.reshape(t_all, SUB)
     vld2 = valid.reshape(t_all, SUB)
+    scl2 = scales.reshape(t_all, SUB) if scales is not None else None
 
-    if d % 128 == 0 and not os.environ.get("VDB_TPU_NO_REFINE_KERNEL"):
+    # int8 codes take the XLA gather path: the DMA kernel's SUB(=16)-row
+    # async copies are not tile-aligned for int8's (32, 128) VMEM tiling,
+    # and the gathered pool is 4x smaller than f32's anyway
+    if (d % 128 == 0 and scales is None
+            and not os.environ.get("VDB_TPU_NO_REFINE_KERNEL")):
         qbr = _REFINE_QBR
         qp2 = ((qp + qbr - 1) // qbr) * qbr
         if qp2 != qp:
@@ -578,10 +642,13 @@ def _refine_topk(tile_idx, queries, qsq, qn, db, db_sq, db_norms, valid,
         t_i, q_i, qs_i, qn_i = args
         rows = db3[t_i].reshape(-1, m * SUB, d)
         if rows.dtype != jnp.float32:
-            rows = rows.astype(jnp.float32)
+            rows = rows.astype(jnp.float32)          # int8/bf16: exact
         dots = jnp.einsum("qcd,qd->qc", rows, q_i,
                           preferred_element_type=jnp.float32,
                           precision="highest")
+        if scl2 is not None:
+            # pow2 per-row scale: exact, bit-identical to pre-scaled rows
+            dots = dots * scl2[t_i].reshape(-1, m * SUB)
         if mode == "euclidean":
             s2 = qs_i[:, None] + sq2[t_i].reshape(-1, m * SUB) - 2.0 * dots
         elif mode == "dot":
@@ -861,12 +928,19 @@ def supports_1p(capacity: int, d: int, k_eff: int) -> bool:
             and capacity // (SUB * SUPER) >= 2)
 
 
+def supports_1p_int8(capacity: int, d: int, k_eff: int) -> bool:
+    """The int8-source tier additionally needs whole super-tiles per db
+    tile (the wide-d single-output fallback kernel has no int8 variant)."""
+    return (supports_1p(capacity, d, k_eff)
+            and _tile_cols(d) % (SUB * SUPER) == 0)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("metric_name", "k", "m2", "m",
                                     "interpret", "src"))
 def _coarse_search_1p_jit(queries, db, db_sq, db_norms, valid, db_hi,
                           elo_max, metric_name: str, k: int, m2: int,
-                          m: int, interpret: bool, src: str):
+                          m: int, interpret: bool, src: str, scales=None):
     mode = _metric_mode(metric_name)
     qp, d = queries.shape
     n = db.shape[0]
@@ -899,9 +973,11 @@ def _coarse_search_1p_jit(queries, db, db_sq, db_norms, valid, db_hi,
     # src == "bf16": db IS its own hi mirror — one buffer serves the scan
     # AND the refine (passing it twice would bill HBM twice in the
     # compiled program's arguments: 24 GB at 8M x 768).
+    # src == "int8": db is the code matrix; the kernel casts codes to
+    # bf16 (exact) and applies the pow2 row scales in VMEM.
     src_arr = db_hi if src == "mirrors" else db
     tile_tq, sup_tq = _minima_1p_sup(qThi, qrow, src_arr, col, inv_col,
-                                     mode, interpret, src)
+                                     mode, interpret, src, scales)
     minima2 = jax.lax.optimization_barrier(sup_tq.T)     # (Qp, T2) small
     neg_sup, sup_idx = jax.lax.top_k(-minima2, m2)
     m3_tq = tile_tq.reshape(t_all // SUPER, SUPER, qp)
@@ -927,7 +1003,8 @@ def _coarse_search_1p_jit(queries, db, db_sq, db_norms, valid, db_hi,
     # exact refine via the shared helper (DMA refine kernel, chunked over
     # tile groups; XLA tile-gather fallback) — bit-identical either way
     sk, pos, _ = _refine_topk(tile_idx, queries, qsq, qn, db, db_sq,
-                              db_norms, valid, mode, m, k, interpret)
+                              db_norms, valid, mode, m, k, interpret,
+                              scales=scales)
     idx_out = jnp.take_along_axis(cand, pos, axis=1)
 
     # rigorous per-query margin from computed residual norms (module
@@ -979,18 +1056,25 @@ def _coarse_search_1p_jit(queries, db, db_sq, db_norms, valid, db_hi,
 
 
 def coarse_search_1p(queries, db, db_sq, db_norms, valid, db_hi, elo_max,
-                     metric: DistanceMetric, k: int):
+                     metric: DistanceMetric, k: int, scales=None):
     """1-pass certified-exact search: (dists, idx, certified).
 
     ``elo_max`` is an upper bound on max_r |row_r - bf16(row_r)| (the index
     maintains it; stale-high is safe — the margin only widens). With
     ``db_hi is None`` the f32-source kernel streams the database and splits
-    in VMEM. Uncertified queries must be re-run by the caller through the
-    bf16x3 certified path.
+    in VMEM. With ``scales`` given (int8 storage), ``db`` is the int8 code
+    matrix and the kernel searches the stored values code * pow2-scale
+    exactly (database-side residual is zero; pass elo_max = 0). Uncertified
+    queries must be re-run by the caller through the next exact tier.
     """
     n = db.shape[0]
     m2, m = _exact1p_pool(k, n // SUB)
-    if db_hi is db and db.dtype == jnp.bfloat16:
+    if scales is not None:
+        if db.dtype != jnp.int8:
+            raise ValueError("scales= requires an int8 code matrix")
+        src = "int8"
+        db_hi = jnp.zeros((1, 1), jnp.bfloat16)   # pruned by jit
+    elif db_hi is db and db.dtype == jnp.bfloat16:
         # bf16 storage: one buffer, one jit argument (a tiny placeholder
         # replaces db_hi; the src="bf16" trace never touches it, so jit
         # prunes it from the compiled program)
@@ -1003,7 +1087,7 @@ def coarse_search_1p(queries, db, db_sq, db_norms, valid, db_hi, elo_max,
         db_hi = db
     return _coarse_search_1p_jit(queries, db, db_sq, db_norms, valid,
                                  db_hi, elo_max, metric.value, int(k),
-                                 m2, m, interpret_mode(), src)
+                                 m2, m, interpret_mode(), src, scales)
 
 
 @jax.jit
@@ -1087,5 +1171,6 @@ def scatter_hi_lo_copy(hi, lo, idx, rows_f32):
 
 __all__ = ["coarse_search", "coarse_search_1p", "split_hi_lo",
            "scatter_hi_lo", "scatter_hi_lo_copy", "supports",
-           "supports_1p", "residual_max_norm", "residual_max_norm_f32",
-           "interpret_mode", "SUB", "SUPER", "MAX_K", "PENALTY"]
+           "supports_1p", "supports_1p_int8", "residual_max_norm",
+           "residual_max_norm_f32", "interpret_mode", "SUB", "SUPER",
+           "MAX_K", "PENALTY"]

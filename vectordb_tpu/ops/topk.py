@@ -404,8 +404,29 @@ def flat_search_batched_submit(queries_np: np.ndarray, device_state: dict,
     queries_dev = jnp.asarray(queries_np)
 
     if device_state.get("int8_storage"):
-        # int8 storage: the blockwise dequantizing scan is the exact
-        # path (serves both modes — there is no separate fast tier yet)
+        from . import coarse_kernel
+        # tier 1: the int8-source 1-pass certified pipeline (codes cast
+        # to bf16 exactly in VMEM, so the database-side residual is zero
+        # — elo_max = 0). Serves both modes: it is already a single MXU
+        # pass over the only stored precision. Uncertified rows re-run
+        # through the blockwise dequantizing scan below.
+        k_pallas = min(int(k), capacity)
+        if ("elo_max" in device_state
+                and coarse_kernel.supports_1p_int8(
+                    capacity, queries_np.shape[1], k_pallas)
+                and os.environ.get("VDB_TPU_EXACT1P", "1") != "0"):
+            dists, idx, certified = coarse_kernel.coarse_search_1p(
+                queries_dev, device_state["db"], device_state["sq_norms"],
+                device_state["norms"], device_state["valid"], None,
+                device_state["elo_max"], metric, k_pallas,
+                scales=device_state["scales"])
+            fb_state = {kk: vv for kk, vv in device_state.items()
+                        if kk != "elo_max"}
+            return SearchHandle(functools.partial(
+                _collect_certified, dists, idx, certified, queries_np, q,
+                fb_state, metric, k))
+
+        # blockwise dequantizing scan: the exact fallback tier
         out8 = flat_search_int8(
             queries_dev, device_state["db"], device_state["scales"],
             device_state["sq_norms"], device_state["norms"],
