@@ -204,3 +204,63 @@ def test_fast_mode_with_deletes_and_mask(rng):
 def test_search_mode_validation():
     with pytest.raises(ValueError):
         FlatIndex(DistanceMetric.EUCLIDEAN, search_mode="approximate")
+
+
+def test_bulk_append_fresh_ids_into_live_index(rng):
+    """add_batch of fresh distinct ids into a NON-empty index takes the
+    vectorized append path with identical semantics to per-item adds."""
+    from vectordb_tpu.distance import DistanceMetric
+    from vectordb_tpu.index.flat import FlatIndex
+
+    d = 16
+    idx = FlatIndex(DistanceMetric.EUCLIDEAN)
+    base = rng.standard_normal((10, d)).astype(np.float32)
+    idx.add_batch(list(enumerate(base)))
+    more = rng.standard_normal((50, d)).astype(np.float32)
+    idx.add_batch([(100 + i, more[i]) for i in range(50)])
+    assert len(idx) == 60
+    got = idx.search_batch(more[3].reshape(1, -1), 1)[0]
+    assert got[0][0] == 103
+    # dirty slots flow through the scatter path on the next search
+    got = idx.search_batch(base[2].reshape(1, -1), 1)[0]
+    assert got[0][0] == 2
+
+
+def test_bulk_append_prefix_applied_on_dim_error(rng):
+    """Reference add_batch semantics on the bulk-append path: the accepted
+    prefix is applied before the dimension error surfaces
+    (storage.rs:293-298)."""
+    from vectordb_tpu.distance import DistanceMetric
+    from vectordb_tpu.errors import DimensionMismatchError
+    from vectordb_tpu.index.flat import FlatIndex
+
+    d = 8
+    idx = FlatIndex(DistanceMetric.EUCLIDEAN)
+    idx.add_batch(list(enumerate(
+        rng.standard_normal((4, d)).astype(np.float32))))
+    items = [(10, rng.standard_normal(d).astype(np.float32)),
+             (11, rng.standard_normal(d).astype(np.float32)),
+             (12, rng.standard_normal(d + 1).astype(np.float32)),
+             (13, rng.standard_normal(d).astype(np.float32))]
+    with pytest.raises(DimensionMismatchError):
+        idx.add_batch(items)
+    assert len(idx) == 6
+    assert idx.slot_of(10) is not None and idx.slot_of(11) is not None
+    assert idx.slot_of(12) is None and idx.slot_of(13) is None
+
+
+def test_bulk_append_falls_back_on_upsert(rng):
+    """A batch containing an EXISTING id must take the per-item path so
+    upsert semantics (old row removed, fresh slot) hold."""
+    from vectordb_tpu.distance import DistanceMetric
+    from vectordb_tpu.index.flat import FlatIndex
+
+    d = 8
+    idx = FlatIndex(DistanceMetric.EUCLIDEAN)
+    rows = rng.standard_normal((5, d)).astype(np.float32)
+    idx.add_batch(list(enumerate(rows)))
+    new2 = (rows[2] + 10.0).astype(np.float32)
+    idx.add_batch([(2, new2), (50, rows[0] + 5.0)])
+    assert len(idx) == 6
+    got = idx.search_batch(new2.reshape(1, -1), 1)[0]
+    assert got[0][0] == 2

@@ -101,9 +101,6 @@ def test_int8_rejected_where_unsupported():
     with pytest.raises(ValueError):
         FlatIndex(DistanceMetric.EUCLIDEAN, storage="int8",
                   mesh=Mesh(np.array(jax.devices()[:2]), ("shard",)))
-    from vectordb_tpu.index.ivf import IvfFlatIndex
-    with pytest.raises(ValueError):
-        IvfFlatIndex(DistanceMetric.EUCLIDEAN, storage="int8")
 
 
 def test_store_level_int8():
@@ -231,3 +228,29 @@ def test_int8_tier1_respects_filter_mask(_tier1):
     dfull[:, ~valid] = np.inf
     want = np.argsort(dfull, axis=1, kind="stable")[:, :5]
     assert np.array_equal(i1[:, :5], want)
+
+
+def test_engine_int8_storage_recovers_bit_exact(tmp_path):
+    """EngineConfig(storage="int8"): quantization at insert is idempotent
+    (pow2 scales), so WAL replay + snapshot re-insert reproduce the
+    stored values — and therefore search results — bit-exactly."""
+    from vectordb_tpu.persistence import EngineConfig, StorageEngine
+
+    rng = np.random.default_rng(21)
+    data = rng.standard_normal((60, 24)).astype(np.float32) * \
+        np.exp(rng.uniform(-6, 6, (60, 1))).astype(np.float32)
+    cfg = EngineConfig(checkpoint_interval=25, metric=DistanceMetric.EUCLIDEAN,
+                       storage="int8")
+    with StorageEngine.open(tmp_path, cfg) as eng:
+        for i in range(60):
+            eng.insert(f"v{i}", Vector(data[i]))
+        before = [(r.id, r.distance) for r in
+                  eng.search(Vector(data[7]), 5)]
+        assert before[0][0] == "v7"
+    with StorageEngine.open(tmp_path, cfg) as eng:
+        assert len(eng) == 60
+        after = [(r.id, r.distance) for r in
+                 eng.search(Vector(data[7]), 5)]
+    assert [i for i, _ in after] == [i for i, _ in before]
+    np.testing.assert_array_equal([d for _, d in after],
+                                  [d for _, d in before])

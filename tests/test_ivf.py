@@ -435,3 +435,61 @@ def test_ivf_bf16_storage_composes(rng):
         # and the flat bf16 scan round the score assembly differently
         np.testing.assert_allclose([d for _, d in g], [d for _, d in w],
                                    rtol=1e-3, atol=1e-4)
+
+
+def test_ivf_int8_storage_composes(rng):
+    """IVF x int8 storage (the 16M-on-one-chip ANN lane): training
+    assignment and the probed refine dot raw codes and apply the pow2
+    row scale to the dots — exact over the stored values, full recall
+    when probing every cluster."""
+    from vectordb_tpu.index import IvfFlatIndex
+    from vectordb_tpu.index.flat import FlatIndex
+    idx = IvfFlatIndex(DistanceMetric.EUCLIDEAN, nlist=4, nprobe=4,
+                       seed=0, auto_train_min=10 ** 9, storage="int8")
+    data = rng.standard_normal((300, 16)).astype(np.float32) * \
+        np.exp(rng.uniform(-4, 4, (300, 1))).astype(np.float32)
+    idx.add_batch(list(enumerate(data)))
+    idx.train()
+    dev = idx._sync_device()
+    assert dev["db"].dtype == np.int8 and "scales" in dev
+    queries = data[:8] + np.float32(0.01)
+    got = idx.search_batch(queries, 5)
+    want = FlatIndex.search_batch(idx, queries, 5)  # exact, same storage
+    for g, w in zip(got, want):
+        assert [i for i, _ in g] == [i for i, _ in w]
+        # the wide pow2 scale spread (exp +-4) makes small distances of
+        # large-norm rows cancellation-limited (~|x|^2 * 2^-24): compare
+        # with a tolerance matched to that, not to the bf16 test's
+        np.testing.assert_allclose([d for _, d in g], [d for _, d in w],
+                                   rtol=2e-3, atol=5e-3)
+    # post-train mutation routes through cluster placement on codes
+    new = rng.standard_normal(16).astype(np.float32)
+    idx.add(7777, new)
+    got2 = idx.search_batch(
+        np.asarray([_quantize_int8_row(new)]), 1)
+    assert got2[0][0][0] == 7777
+
+
+def _quantize_int8_row(row):
+    from vectordb_tpu.index.flat import _quantize_int8
+    return _quantize_int8(row)
+
+
+def test_ivf_int8_hier_assignment(rng):
+    """Two-level assignment with int8 codes: scales must flow through the
+    super routing and the per-super scoring (a code-space assignment
+    would mis-route rows with large scale spread)."""
+    from vectordb_tpu.index import IvfFlatIndex
+    idx = IvfFlatIndex(DistanceMetric.EUCLIDEAN, nlist=32, nprobe=32,
+                       seed=1, auto_train_min=10 ** 9, storage="int8",
+                       assign_mode="hier")
+    data = rng.standard_normal((600, 12)).astype(np.float32) * \
+        np.exp(rng.uniform(-5, 5, (600, 1))).astype(np.float32)
+    idx.add_batch(list(enumerate(data)))
+    idx.train()
+    queries = data[:6] + np.float32(0.001)
+    got = idx.search_batch(queries, 3)
+    from vectordb_tpu.index.flat import FlatIndex
+    want = FlatIndex.search_batch(idx, queries, 3)
+    for g, w in zip(got, want):
+        assert [i for i, _ in g] == [i for i, _ in w]

@@ -135,7 +135,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                 from .server.app import AppState, serve
                 serve(args.addr,
                       AppState(VectorStore.with_index(
-                          IvfFlatIndex(metric))),
+                          IvfFlatIndex(metric, storage=args.storage))),
                       batch_window_ms=args.batch_window_ms,
                       backend=args.http)
                 return 0
@@ -156,13 +156,15 @@ def main(argv: Optional[List[str]] = None) -> int:
             # hnsw also works in persistent mode, with fast graph reopen
             config = EngineConfig(checkpoint_interval=1000, metric=metric,
                                   index_type=args.index,
-                                  search_mode=args.search_mode)
+                                  search_mode=args.search_mode,
+                                  storage=args.storage)
             with StorageEngine.open(args.data_dir, config) as engine:
                 return _run_commands(engine, args)
 
         if args.index == "ivf":
             from .index.ivf import IvfFlatIndex
-            store = VectorStore.with_index(IvfFlatIndex(metric))
+            store = VectorStore.with_index(
+                IvfFlatIndex(metric, storage=args.storage))
         elif args.index == "hnsw":
             store = VectorStore.with_index(HnswIndex(metric, HnswParams()))
         else:

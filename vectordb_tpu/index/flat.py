@@ -80,20 +80,36 @@ def _int8_row_scales(mat: np.ndarray) -> np.ndarray:
                    ).astype(np.float32)
 
 
+_QUANT_CHUNK = 1 << 20   # rows per chunk: bounds f32 temps to ~3 GB @ 768-d
+
+
 def _quantize_int8(arr: np.ndarray) -> np.ndarray:
     """Round-trip a row/matrix through per-row pow2-scaled int8 (the
-    stored value set for storage=\"int8\")."""
+    stored value set for storage=\"int8\"). Chunked over rows so the
+    f32 temporaries stay bounded at multi-million-row scale (a whole-
+    matrix round trip at 16M x 768 would allocate 2x 48 GB)."""
     squeeze = arr.ndim == 1
     mat = np.atleast_2d(np.asarray(arr, dtype=np.float32))
-    s = _int8_row_scales(mat)
-    out = (np.round(mat / s[:, None]) * s[:, None]).astype(np.float32)
+    out = np.empty_like(mat)
+    for lo in range(0, mat.shape[0], _QUANT_CHUNK):
+        blk = mat[lo:lo + _QUANT_CHUNK]
+        s = _int8_row_scales(blk)
+        out[lo:lo + _QUANT_CHUNK] = np.round(blk / s[:, None]) * s[:, None]
     return out[0] if squeeze else out
 
 
 def _int8_codes_scales(rows: np.ndarray):
-    """(int8 codes, f32 pow2 scales) recovered exactly from stored rows."""
-    s = _int8_row_scales(rows)
-    return np.round(rows / s[:, None]).astype(np.int8), s
+    """(int8 codes, f32 pow2 scales) recovered exactly from stored rows.
+    Chunked for the same temp-bounding reason as _quantize_int8."""
+    n = rows.shape[0]
+    codes = np.empty(rows.shape, np.int8)
+    scales = np.empty(n, np.float32)
+    for lo in range(0, n, _QUANT_CHUNK):
+        blk = rows[lo:lo + _QUANT_CHUNK]
+        s = _int8_row_scales(blk)
+        codes[lo:lo + _QUANT_CHUNK] = np.round(blk / s[:, None])
+        scales[lo:lo + _QUANT_CHUNK] = s
+    return codes, scales
 
 
 def _pallas_mirrors_enabled(capacity: int, dim: int, mesh) -> bool:
@@ -259,12 +275,19 @@ class FlatIndex(Index):
             if self._dim is not None and dim != self._dim:
                 raise DimensionMismatchError(self._dim, dim)
             self._ensure_storage(dim, self._len + len(items))
-            if self._len == 0 and not self._slot_of_id:
-                ids = np.fromiter((int(i) for i, _ in items), dtype=np.int64,
-                                  count=len(items))
-                if np.unique(ids).size == len(items):
-                    self._bulk_load_fresh(ids, items, dim)
-                    return
+            ids = np.fromiter((int(i) for i, _ in items), dtype=np.int64,
+                              count=len(items))
+            distinct = np.unique(ids).size == len(items)
+            if self._len == 0 and not self._slot_of_id and distinct:
+                self._bulk_load_fresh(ids, items, dim)
+                return
+            if distinct and not any(int(i) in self._slot_of_id
+                                    for i in ids):
+                # vectorized APPEND: fresh distinct ids into a live index
+                # (the per-row _write_slot path costs ~0.3 ms/row of host
+                # Python — hours at 10^7-row ingest)
+                self._bulk_append_fresh(ids, items, dim)
+                return
             for internal_id, vector in items:
                 arr = as_f32_array(vector)
                 if arr.shape[0] != self._dim:
@@ -274,6 +297,41 @@ class FlatIndex(Index):
                     self._clear_slot(old_slot)
                 slot = self._take_slot()
                 self._write_slot(slot, internal_id, arr)
+
+    def _bulk_append_fresh(self, ids: np.ndarray, items, dim: int) -> None:
+        """Vectorized append of fresh distinct ids (lock held, storage
+        pre-sized). Keeps reference add_batch semantics: on a dimension
+        mismatch the accepted PREFIX is applied before the error surfaces
+        (storage.rs:293-298)."""
+        n = len(items)
+        mat = np.empty((n, dim), dtype=np.float32)
+        error = None
+        for j, (_, vector) in enumerate(items):
+            row = as_f32_array(vector)
+            if row.shape[0] != dim:
+                error = DimensionMismatchError(dim, row.shape[0])
+                n = j
+                mat = mat[:n]
+                ids = ids[:n]
+                break
+            mat[j] = row
+        if n:
+            slots = np.fromiter((self._take_slot() for _ in range(n)),
+                                dtype=np.int64, count=n)
+            mat = self._quantize(mat)
+            self._vectors[slots] = mat
+            sq = np.einsum("ij,ij->i", mat, mat).astype(np.float32)
+            self._sq_norms[slots] = sq
+            self._norms[slots] = np.sqrt(sq)
+            self._valid[slots] = True
+            self._id_of_slot[slots] = ids
+            self._slot_of_id.update(
+                zip(ids.tolist(), slots.tolist()))
+            self._len += n
+            self._zero_norm_live += int((sq == 0.0).sum())
+            self._dirty_slots.update(slots.tolist())
+        if error is not None:
+            raise error
 
     def _bulk_load_fresh(self, ids: np.ndarray, items, dim: int) -> None:
         """Vectorized first-load: an empty index ingesting n distinct IDs
@@ -330,9 +388,15 @@ class FlatIndex(Index):
             if self._dim is not None and dim != self._dim:
                 raise DimensionMismatchError(self._dim, dim)
             self._ensure_storage(dim, n)
-            mat = self._quantize(mat)
-            self._vectors[:n] = mat
-            sq = np.einsum("ij,ij->i", mat, mat).astype(np.float32)
+            # quantize CHUNK-WISE straight into the packed storage: a
+            # whole-matrix `self._quantize(mat)` materializes a second
+            # (n, d) f32 (48 GB at 16M x 768) on top of the caller's
+            # matrix and the storage itself
+            for lo in range(0, n, _QUANT_CHUNK):
+                self._vectors[lo:min(lo + _QUANT_CHUNK, n)] = \
+                    self._quantize(mat[lo:lo + _QUANT_CHUNK])
+            sq = np.einsum("ij,ij->i", self._vectors[:n],
+                           self._vectors[:n]).astype(np.float32)
             self._sq_norms[:n] = sq
             self._norms[:n] = np.sqrt(sq)
             self._valid[:n] = True

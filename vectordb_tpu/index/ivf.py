@@ -57,16 +57,17 @@ class IvfFlatIndex(FlatIndex):
                  nprobe: int = 8, train_iters: int = 10,
                  spill_frac: float = 0.02, auto_train_min: int = 4096,
                  seed: int = 0, storage: str = "f32",
-                 assign_mode: str = "auto"):
+                 assign_mode: str = "auto",
+                 balance_slack: float = _BALANCE_SLACK):
         # storage="bf16" composes: vectors quantize at insert (the host
         # mirror keeps the quantized values in f32, so training/repack
         # are unchanged) and the probed refine computes exact distances
         # over the stored bf16 values — 8M x 768 fits one chip.
-        # int8 is flat-only for now: the probed tile gather scores raw
-        # db rows and does not dequantize codes.
-        if storage == "int8":
-            raise ValueError("storage='int8' is not supported by the IVF "
-                             "index (use FlatIndex)")
+        # storage="int8" composes likewise: the device holds 1-byte codes
+        # + pow2 row scales; training assignment and the probed refine dot
+        # raw codes and apply the scale to the dots (exact — a pow2
+        # multiply only shifts exponents), so distances stay exact over
+        # the stored values and 16M x 768 fits one chip with ANN speed.
         super().__init__(metric, search_mode="exact", storage=storage)
         self._want_mirrors = False
         if nlist is not None and nlist < 2:
@@ -79,6 +80,13 @@ class IvfFlatIndex(FlatIndex):
         if assign_mode not in ("auto", "flat", "hier"):
             raise ValueError(f"unknown assign_mode: {assign_mode!r}")
         self.assign_mode = assign_mode
+        # cluster capacity = mean size * slack. Lower slack shrinks the
+        # repacked capacity (host RAM: capacity*d*4 bytes beside the old
+        # arrays — the 16M x 768 lane needs <= ~1.2) at the cost of more
+        # overflow rows landing in the always-scanned spill region.
+        if balance_slack < 1.0:
+            raise ValueError("balance_slack must be >= 1.0")
+        self.balance_slack = float(balance_slack)
         self._seed = int(seed)
         self._layout_version = 0
         # trained-state
@@ -120,23 +128,40 @@ class IvfFlatIndex(FlatIndex):
                         min(n, _TRAIN_SAMPLE_MAX))
             nlist = max(nlist, 2)
             live = np.nonzero(self._valid)[0]
-            rows = self._vectors[live]                     # (n, d) f32
+            if live.size == n and n and int(live[-1]) == n - 1:
+                # contiguous prefix (fresh bulk load): a VIEW, not a 48 GB
+                # copy at 16M x 768 — the repack below allocates its own
+                # full-size arrays, and copy+repack together would exceed
+                # host RAM
+                rows = self._vectors[:n]
+            else:
+                rows = self._vectors[live]                 # (n, d) f32
             d = rows.shape[1]
 
             # everything big stays on device: reuse the buffer the index
             # already syncs for search (the host link is bursty; shipping
             # the dataset again for training costs minutes at 3 GB)
             from ..ops.ivf import assign_preferences, kmeans_fit
-            dev_db = self._sync_device()["db"]
+            dev_state = self._sync_device()
+            dev_db = dev_state["db"]
+            dev_scales = dev_state.get("scales")      # int8 storage only
             key = jax.random.PRNGKey(self._seed)
             if n > _TRAIN_SAMPLE_MAX:
-                sel = np.random.default_rng(self._seed).choice(
-                    live, _TRAIN_SAMPLE_MAX, replace=False)
-                sample = dev_db[jnp.asarray(sel)]         # device gather
+                sel = jnp.asarray(np.random.default_rng(self._seed).choice(
+                    live, _TRAIN_SAMPLE_MAX, replace=False))
+                sample = dev_db[sel]                      # device gather
+                s_smp = None if dev_scales is None else dev_scales[sel]
             elif n == self._capacity:
                 sample = dev_db
+                s_smp = dev_scales
             else:
-                sample = dev_db[jnp.asarray(live)]
+                sel = jnp.asarray(live)
+                sample = dev_db[sel]
+                s_smp = None if dev_scales is None else dev_scales[sel]
+            if s_smp is not None:
+                # dequantize the (bounded-size) sample: codes x pow2
+                # scale is exact, and k-means wants real magnitudes
+                sample = sample.astype(jnp.float32) * s_smp[:, None]
             centroids_dev = kmeans_fit(sample, key, nlist,
                                        self.train_iters)
             centroids = np.asarray(jax.device_get(centroids_dev))
@@ -152,12 +177,13 @@ class IvfFlatIndex(FlatIndex):
                 from ..ops.ivf import assign_preferences_hier
                 pref_all = np.asarray(assign_preferences_hier(
                     dev_db, centroids_dev, cand, chunk,
-                    jax.random.fold_in(key, 1)))
+                    jax.random.fold_in(key, 1), scales=dev_scales))
             else:
                 pref_all = np.asarray(assign_preferences(
-                    dev_db, centroids_dev, cand, chunk))
+                    dev_db, centroids_dev, cand, chunk,
+                    scales=dev_scales))
             pref = pref_all[live]
-            cap_rows = int(math.ceil(n / nlist * _BALANCE_SLACK))
+            cap_rows = int(math.ceil(n / nlist * self.balance_slack))
             t_c = max(1, math.ceil(cap_rows / SUB))
             cap_rows = t_c * SUB
             # vectorized greedy balance: round r offers every unassigned
@@ -418,7 +444,8 @@ class IvfFlatIndex(FlatIndex):
             dists, idx = ivf_search(jnp.asarray(qs), dev["db"],
                                     dev["sq_norms"], dev["norms"],
                                     valid, cdev, self._metric,
-                                    k_req, np_eff, t_c, s_t)
+                                    k_req, np_eff, t_c, s_t,
+                                    scales=dev.get("scales"))
             dists = np.asarray(jax.device_get(dists))[:q]
             idx = np.asarray(jax.device_get(idx))[:q]
         finally:

@@ -62,15 +62,21 @@ def kmeans_fit(data, key, nlist: int, iters: int):
 
 
 @jax.jit
-def kmeans_assign_scores(data, centroids):
+def kmeans_assign_scores(data, centroids, scales=None):
     """(S, nlist) anti-affinity scores (-2xc + |c|^2): row argmin = nearest
-    centroid; full sorted order is used for balanced overflow assignment."""
+    centroid; full sorted order is used for balanced overflow assignment.
+    ``scales`` (int8 storage): per-row pow2 scales — the dot runs on raw
+    codes and the scale is applied to the finished dots (exact)."""
     c_sq = jnp.sum(centroids * centroids, axis=1)
-    return data @ centroids.T * -2.0 + c_sq[None, :]
+    dots = data.astype(jnp.float32) @ centroids.T
+    if scales is not None:
+        dots = dots * scales[:, None]
+    return dots * -2.0 + c_sq[None, :]
 
 
 @functools.partial(jax.jit, static_argnames=("cand", "chunk"))
-def kmeans_assign_topk_all(db, centroids, cand: int, chunk: int):
+def kmeans_assign_topk_all(db, centroids, cand: int, chunk: int,
+                           scales=None):
     """Preference lists for EVERY slot of a device-resident database in
     one dispatch: internal lax.map chunking bounds the (chunk, nlist)
     score matrix, and only (cap, cand) int32 ids come back to the host.
@@ -81,18 +87,31 @@ def kmeans_assign_topk_all(db, centroids, cand: int, chunk: int):
     if cap2 != cap:
         db = jnp.concatenate(
             [db, jnp.zeros((cap2 - cap, d), db.dtype)], axis=0)
+        if scales is not None:
+            scales = jnp.concatenate(
+                [scales, jnp.ones((cap2 - cap,), scales.dtype)])
 
-    def f(blk):
-        scores = kmeans_assign_scores(blk, centroids)
-        return jax.lax.top_k(-scores, cand)[1]
+    if scales is None:
+        def f(blk):
+            scores = kmeans_assign_scores(blk, centroids)
+            return jax.lax.top_k(-scores, cand)[1]
 
-    pref = jax.lax.map(f, db.reshape(cap2 // chunk, chunk, d))
+        pref = jax.lax.map(f, db.reshape(cap2 // chunk, chunk, d))
+    else:
+        def f(args):
+            blk, s_blk = args
+            scores = kmeans_assign_scores(blk, centroids, s_blk)
+            return jax.lax.top_k(-scores, cand)[1]
+
+        pref = jax.lax.map(f, (db.reshape(cap2 // chunk, chunk, d),
+                               scales.reshape(cap2 // chunk, chunk)))
     return pref.reshape(cap2, cand)[:cap]
 
 
 @functools.partial(jax.jit, static_argnames=("cand",))
-def _assign_topk_chunk(blk, centroids, cand: int):
-    scores = kmeans_assign_scores(blk.astype(jnp.float32), centroids)
+def _assign_topk_chunk(blk, centroids, cand: int, s_blk=None):
+    scores = kmeans_assign_scores(blk.astype(jnp.float32), centroids,
+                                  s_blk)
     return jax.lax.top_k(-scores, cand)[1]
 
 
@@ -104,7 +123,7 @@ def _assign_topk_chunk(blk, centroids, cand: int):
 _ASSIGN_ONE_DISPATCH_MAX = 1 << 21
 
 
-def assign_preferences(db, centroids, cand: int, chunk: int):
+def assign_preferences(db, centroids, cand: int, chunk: int, scales=None):
     """Preference lists for every slot; picks the single-dispatch map for
     small databases and host-driven chunked dispatches for large ones."""
     import numpy as np
@@ -112,10 +131,12 @@ def assign_preferences(db, centroids, cand: int, chunk: int):
     cap = db.shape[0]
     if cap <= _ASSIGN_ONE_DISPATCH_MAX:
         return jax.device_get(kmeans_assign_topk_all(
-            db, centroids, cand, chunk))
+            db, centroids, cand, chunk, scales))
     out = np.empty((cap, cand), np.int32)
-    handles = [(lo, _assign_topk_chunk(db[lo:lo + chunk], centroids, cand))
-               for lo in range(0, cap, chunk)]      # async dispatches
+    handles = [(lo, _assign_topk_chunk(
+        db[lo:lo + chunk], centroids, cand,
+        None if scales is None else scales[lo:lo + chunk]))
+        for lo in range(0, cap, chunk)]             # async dispatches
     for lo, h in handles:
         out[lo:lo + chunk] = jax.device_get(h)[: cap - lo]
     return out
@@ -140,26 +161,32 @@ _HIER_S_TOP = 12
 
 
 @functools.partial(jax.jit, static_argnames=("cand",))
-def _score_vs_subset(rows, cents_sub, col_valid, cand: int):
+def _score_vs_subset(rows, cents_sub, col_valid, cand: int, s_rows=None):
     """top-cand of rows (R, d) against a gathered centroid subset
     (nb, d); padded columns are masked out. Returns LOCAL indices."""
     c_sq = jnp.sum(cents_sub * cents_sub, axis=1)
-    scores = rows.astype(jnp.float32) @ cents_sub.T * -2.0 + c_sq[None, :]
+    dots = rows.astype(jnp.float32) @ cents_sub.T
+    if s_rows is not None:
+        dots = dots * s_rows[:, None]
+    scores = dots * -2.0 + c_sq[None, :]
     scores = jnp.where(col_valid[None, :], scores, jnp.inf)
     return jax.lax.top_k(-scores, cand)[1]
 
 
 @functools.partial(jax.jit, static_argnames=())
-def _top1_super(rows, supers):
+def _top1_super(rows, supers, s_rows=None):
     s_sq = jnp.sum(supers * supers, axis=1)
-    scores = rows.astype(jnp.float32) @ supers.T * -2.0 + s_sq[None, :]
+    dots = rows.astype(jnp.float32) @ supers.T
+    if s_rows is not None:
+        dots = dots * s_rows[:, None]
+    scores = dots * -2.0 + s_sq[None, :]
     return jnp.argmin(scores, axis=1).astype(jnp.int32)
 
 
 def assign_preferences_hier(db, centroids, cand: int, chunk: int,
                             key, n_super: int = 0,
                             s_top: int = _HIER_S_TOP,
-                            iters: int = 8):
+                            iters: int = 8, scales=None):
     """Two-level preference lists (global centroid ids, (cap, cand) int32).
 
     ``n_super=0`` auto-scales the super count with nlist. Falls back to
@@ -173,7 +200,7 @@ def assign_preferences_hier(db, centroids, cand: int, chunk: int,
         n_super = min(_HIER_N_SUPER, max(2, nlist // 16))
     s_top = min(s_top, n_super)
     if nlist < 4 * n_super or nlist < 4 * cand:
-        return assign_preferences(db, centroids, cand, chunk)
+        return assign_preferences(db, centroids, cand, chunk, scales)
 
     # 1. supers = k-means over the fine centroids (tiny: nlist x d)
     supers = kmeans_fit(centroids, key, n_super, iters)
@@ -192,8 +219,10 @@ def assign_preferences_hier(db, centroids, cand: int, chunk: int,
 
     # 4. route rows to their nearest super (chunked device passes)
     row_super = np.empty(cap, np.int32)
-    handles = [(lo, _top1_super(db[lo:lo + chunk], supers))
-               for lo in range(0, cap, chunk)]
+    handles = [(lo, _top1_super(
+        db[lo:lo + chunk], supers,
+        None if scales is None else scales[lo:lo + chunk]))
+        for lo in range(0, cap, chunk)]
     for lo, h in handles:
         row_super[lo:lo + chunk] = jax.device_get(h)[: cap - lo]
 
@@ -225,8 +254,11 @@ def assign_preferences_hier(db, centroids, cand: int, chunk: int,
         r_pad = next_pow2(max(int(rows_s.size), 8))
         idx_pad = np.full(r_pad, int(rows_s[0]), np.int64)
         idx_pad[: rows_s.size] = rows_s
-        local = _score_vs_subset(db[jnp.asarray(idx_pad)], cents_sub,
-                                 jnp.asarray(col_valid), cand)
+        idx_dev = jnp.asarray(idx_pad)
+        local = _score_vs_subset(db[idx_dev], cents_sub,
+                                 jnp.asarray(col_valid), cand,
+                                 None if scales is None else
+                                 scales[idx_dev])
         pend.append((rows_s, ids_pad, local))
     for rows_s, ids_pad, local in pend:
         loc = np.asarray(jax.device_get(local))[: rows_s.size]
@@ -239,10 +271,12 @@ def assign_preferences_hier(db, centroids, cand: int, chunk: int,
                                     "s_t"))
 def _ivf_search_jit(queries, db, db_sq, db_norms, valid, centroids,
                     metric_name: str, k: int, nprobe: int, t_c: int,
-                    s_t: int):
+                    s_t: int, scales=None):
     """Cluster-pruned search. Probes the nprobe nearest clusters (t_c tiles
     each) plus the s_t spill tiles at the end of the slot space; exact
-    f32-highest refine over the gathered candidates."""
+    f32-highest refine over the gathered candidates. ``scales`` (int8
+    storage): per-row pow2 scales — gathered codes are dotted raw and the
+    scale applied to the dots, bit-identical to dequantized rows."""
     metric = DistanceMetric(metric_name)
     qp, d = queries.shape
     n = db.shape[0]
@@ -272,6 +306,7 @@ def _ivf_search_jit(queries, db, db_sq, db_norms, valid, centroids,
     sq2 = db_sq.reshape(t_all, SUB)
     nrm2 = db_norms.reshape(t_all, SUB)
     vld2 = valid.reshape(t_all, SUB)
+    scl2 = scales.reshape(t_all, SUB) if scales is not None else None
     offs = jnp.arange(SUB, dtype=jnp.int32)
     cand_all = (tiles[:, :, None] * SUB + offs[None, None, :]).reshape(
         qp, m_t * SUB)
@@ -283,9 +318,13 @@ def _ivf_search_jit(queries, db, db_sq, db_norms, valid, centroids,
     def refine_chunk(args):
         t_i, q_i, qs_i, qn_i = args
         rows = db3[t_i].reshape(-1, m_t * SUB, d)
+        if rows.dtype != jnp.float32:
+            rows = rows.astype(jnp.float32)          # int8/bf16: exact
         dots = jnp.einsum("qcd,qd->qc", rows, q_i,
                           preferred_element_type=jnp.float32,
                           precision="highest")
+        if scl2 is not None:
+            dots = dots * scl2[t_i].reshape(-1, m_t * SUB)
         if metric is DistanceMetric.EUCLIDEAN:
             s2 = qs_i[:, None] + sq2[t_i].reshape(-1, m_t * SUB) \
                 - 2.0 * dots
@@ -332,9 +371,13 @@ def _ivf_search_jit(queries, db, db_sq, db_norms, valid, centroids,
         # spill) — and merged into the per-query top-k.
         base = (t_all - s_t) * SUB
         db_sp = db[base:]
+        if db_sp.dtype != jnp.float32:
+            db_sp = db_sp.astype(jnp.float32)        # int8/bf16: exact
         dots = jnp.einsum("qd,cd->qc", queries[:qp], db_sp,
                           preferred_element_type=jnp.float32,
                           precision="highest")
+        if scales is not None:
+            dots = dots * scales[None, base:]
         if metric is DistanceMetric.EUCLIDEAN:
             s2 = qsq[:qp, None] + db_sq[None, base:] - 2.0 * dots
         elif metric is DistanceMetric.DOT_PRODUCT:
@@ -367,10 +410,10 @@ def _ivf_search_jit(queries, db, db_sq, db_norms, valid, centroids,
 
 def ivf_search(queries, db, db_sq, db_norms, valid, centroids,
                metric: DistanceMetric, k: int, nprobe: int, t_c: int,
-               s_t: int):
+               s_t: int, scales=None):
     return _ivf_search_jit(queries, db, db_sq, db_norms, valid, centroids,
                            metric.value, int(k), int(nprobe), int(t_c),
-                           int(s_t))
+                           int(s_t), scales)
 
 
 __all__ = ["kmeans_fit", "kmeans_assign_topk_all", "assign_preferences",

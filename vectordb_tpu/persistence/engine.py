@@ -55,6 +55,11 @@ class EngineConfig:
     hnsw_params: Optional[object] = None
     mesh: Optional[object] = None   # jax.sharding.Mesh for sharded storage
     search_mode: str = "exact"      # flat scan mode: "exact" | "fast"
+    # flat/ivf vector storage mode ("f32" | "bf16" | "int8"): quantization
+    # happens at insert and is IDEMPOTENT (pow2 scales / bf16 round-trip),
+    # so WAL replay and snapshot re-insert reproduce the stored values
+    # bit-exactly on recovery
+    storage: str = "f32"
 
 
 class StorageEngine:
@@ -72,12 +77,13 @@ class StorageEngine:
         elif self.config.index_type == "ivf":
             from ..index.ivf import IvfFlatIndex
             self.store = VectorStore.with_index(
-                IvfFlatIndex(self.config.metric))
+                IvfFlatIndex(self.config.metric,
+                             storage=self.config.storage))
         elif self.config.index_type == "flat":
             from ..index.flat import FlatIndex
             self.store = VectorStore.with_index(FlatIndex(
                 self.config.metric, search_mode=self.config.search_mode,
-                mesh=self.config.mesh))
+                mesh=self.config.mesh, storage=self.config.storage))
         else:
             raise ValueError(
                 f"unknown index_type: {self.config.index_type!r}")
