@@ -71,13 +71,13 @@ def main():
     queries = (centers[qwhich] + NOISE * rng.standard_normal(
         (Q, D))).astype(np.float32)
 
-    # exact ground truth over the SAME stored values (int8 flat scan);
-    # chunked so the (Q, cap) pool stays bounded
+    # exact ground truth over the SAME stored values (int8 flat scan) on
+    # a 256-query subsample — the recall estimate's stderr is ~0.2% and
+    # the full-Q scan at 8-16M costs ~10 min of chip time
+    QGT = 256
     print("ground truth (exact int8 scan)...", flush=True)
     t0 = time.perf_counter()
-    gt = []
-    for lo in range(0, Q, 256):
-        gt.extend(FlatIndex.search_batch(idx, queries[lo:lo + 256], K))
+    gt = FlatIndex.search_batch(idx, queries[:QGT], K)
     print(f"  {time.perf_counter() - t0:.0f}s", flush=True)
     gt_ids = [set(i for i, _ in row) for row in gt]
 
@@ -87,7 +87,7 @@ def main():
         t_first = time.perf_counter() - t0
         recall = np.mean([
             len(set(i for i, _ in got[qi]) & gt_ids[qi]) / K
-            for qi in range(Q)])
+            for qi in range(QGT)])
         times = []
         for it in range(3):
             qv = queries + np.float32(0.001 * (it + 1))

@@ -493,3 +493,35 @@ def test_ivf_int8_hier_assignment(rng):
     want = FlatIndex.search_batch(idx, queries, 3)
     for g, w in zip(got, want):
         assert [i for i, _ in g] == [i for i, _ in w]
+
+
+def test_ivf_int8_masked_search_exact(rng):
+    """Exact filtered search on the int8 IVF index: the slot mask ANDs
+    into validity on the probed path; distances stay exact over stored
+    values and only eligible rows return."""
+    from vectordb_tpu.index import IvfFlatIndex
+    idx = IvfFlatIndex(DistanceMetric.EUCLIDEAN, nlist=8, nprobe=8,
+                       seed=2, auto_train_min=10 ** 9, storage="int8")
+    data = rng.standard_normal((400, 16)).astype(np.float32)
+    idx.add_batch(list(enumerate(data)))
+    idx.train()
+    # eligible = even internal ids, expressed as a slot mask
+    mask = np.zeros(idx.capacity, bool)
+    for iid in range(0, 400, 2):
+        mask[idx.slot_of(iid)] = True
+    queries = data[:5] + np.float32(0.01)
+    got = idx.search_batch(queries, 6, slot_mask=mask,
+                           mask_layout_version=idx.slot_layout_version)
+    stored = np.stack([np.asarray(
+        __import__("vectordb_tpu").vector.as_f32_array(idx.get_vector(i)))
+        for i in range(400)])
+    d = np.sqrt(np.maximum(
+        np.sum(stored * stored, axis=1)[None, :]
+        - 2.0 * queries @ stored.T
+        + np.sum(queries * queries, axis=1)[:, None], 0))
+    d[:, 1::2] = np.inf   # odd ids ineligible
+    want = np.argsort(d, axis=1, kind="stable")[:, :6]
+    for qi in range(5):
+        ids = [i for i, _ in got[qi]]
+        assert all(i % 2 == 0 for i in ids)
+        assert ids == list(want[qi]), (qi, ids, want[qi])
