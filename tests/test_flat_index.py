@@ -264,3 +264,58 @@ def test_bulk_append_falls_back_on_upsert(rng):
     assert len(idx) == 6
     got = idx.search_batch(new2.reshape(1, -1), 1)[0]
     assert got[0][0] == 2
+
+
+def test_search_batch_submit_matches_sync(rng):
+    """The async handle returns exactly what the sync path returns, and
+    releases the in-flight mark on collect."""
+    d = 16
+    idx = FlatIndex(DistanceMetric.EUCLIDEAN)
+    rows = rng.standard_normal((40, d)).astype(np.float32)
+    idx.add_batch(list(enumerate(rows)))
+    queries = rng.standard_normal((6, d)).astype(np.float32)
+    want = idx.search_batch(queries, 5)
+    handle = idx.search_batch_submit(queries, 5)
+    assert idx._searches_in_flight == 1
+    got = handle.collect()
+    assert got == want
+    assert handle.collect() == want  # idempotent
+    assert idx._searches_in_flight == 0
+
+
+def test_search_batch_submit_snapshot_under_mutation(rng):
+    """Writes landing between submit and collect must not leak into the
+    in-flight results (the copy-scatter snapshot contract)."""
+    d = 8
+    idx = FlatIndex(DistanceMetric.EUCLIDEAN)
+    rows = rng.standard_normal((20, d)).astype(np.float32)
+    idx.add_batch(list(enumerate(rows)))
+    query = rows[3].reshape(1, -1)
+    handle = idx.search_batch_submit(query, 1)
+    # mutate while in flight: overwrite the current best hit's row
+    idx.remove(3)
+    idx.add(99, Vector(query[0]))
+    got = handle.collect()
+    assert got[0][0][0] == 3  # snapshot point: row 3 still the hit
+    assert got[0][0][1] == pytest.approx(0.0, abs=1e-5)
+    # a fresh search sees the new state
+    fresh = idx.search_batch(query, 1)
+    assert fresh[0][0][0] == 99
+
+
+def test_search_batch_submit_abandoned_handle_releases(rng):
+    d = 8
+    idx = FlatIndex(DistanceMetric.EUCLIDEAN)
+    idx.add_batch(list(enumerate(
+        rng.standard_normal((10, d)).astype(np.float32))))
+    handle = idx.search_batch_submit(
+        rng.standard_normal((2, d)).astype(np.float32), 3)
+    assert idx._searches_in_flight == 1
+    del handle
+    assert idx._searches_in_flight == 0
+
+
+def test_search_batch_submit_empty_index():
+    idx = FlatIndex(DistanceMetric.EUCLIDEAN)
+    handle = idx.search_batch_submit(np.zeros((3, 4), np.float32), 5)
+    assert handle.collect() == [[], [], []]

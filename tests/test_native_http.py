@@ -276,3 +276,31 @@ def test_cxx_response_bytes_match_python_route(server):
     slow = raw("/search", {**q, "unknown_key": 1})  # Python route
     assert fast == slow, (fast, slow)
     assert b'0.0' in fast and b'\\u00e9' in fast and b'\\ud83d' in fast
+
+
+def test_pipelined_search_insert_interleave(server):
+    """Rapid search/insert/search alternation through the depth-2
+    pipelined drain loop: every search must reflect all writes the same
+    client already had acknowledged (per-connection ordering)."""
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((32, 8)).astype(np.float32)
+    items = [{"id": f"v{i}", "vector": [float(x) for x in base[i]]}
+             for i in range(32)]
+    status, _ = _req(server, "POST", "/vectors/batch", {"vectors": items})
+    assert status == 201
+    for step in range(8):
+        vec = (base[step] + 100.0 * (step + 1)).astype(np.float32)
+        status, _ = _req(server, "POST", "/vectors",
+                         {"id": f"new{step}",
+                          "vector": [float(x) for x in vec]})
+        assert status == 201
+        status, body = _req(server, "POST", "/search",
+                            {"vector": [float(x) for x in vec], "k": 1})
+        assert status == 200
+        assert body[0]["id"] == f"new{step}"
+        status, _ = _req(server, "DELETE", f"/vectors/new{step}")
+        assert status == 200
+        status, body = _req(server, "POST", "/search",
+                            {"vector": [float(x) for x in vec], "k": 1})
+        assert status == 200
+        assert body[0]["id"] != f"new{step}"

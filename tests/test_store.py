@@ -173,3 +173,39 @@ def test_store_with_hnsw_index(rng):
     s.delete("v7")
     results = s.search(Vector(data[7]), 1)
     assert results[0].id != "v7"
+
+
+def test_search_batch_submit_matches_sync(store):
+    rng = np.random.default_rng(7)
+    rows = rng.standard_normal((30, 8)).astype(np.float32)
+    store.insert_batch([BatchInsertItem(id=f"v{i}", vector=Vector(rows[i]))
+                        for i in range(len(rows))])
+    queries = [(Vector(rows[3]), 4), (Vector(rows[9]), 2)]
+    want = store.search_batch(queries)
+    handle = store.search_batch_submit(queries)
+    got = handle.collect()
+    assert got == want
+    assert got[0][0].id == "v3" and got[1][0].id == "v9"
+    assert [len(r) for r in got] == [4, 2]  # per-query k honored
+    assert handle.collect() == want  # idempotent
+
+
+def test_search_batch_submit_eager_for_hnsw():
+    """Index types without a submit path are served eagerly through the
+    same handle contract."""
+    store = VectorStore(HnswIndex(DistanceMetric.EUCLIDEAN))
+    rng = np.random.default_rng(3)
+    rows = rng.standard_normal((50, 8)).astype(np.float32)
+    store.insert_batch([BatchInsertItem(id=f"v{i}", vector=Vector(rows[i]))
+                        for i in range(len(rows))])
+    handle = store.search_batch_submit([(Vector(rows[5]), 3)])
+    got = handle.collect()
+    assert got[0][0].id == "v5"
+
+
+def test_search_batch_submit_empty():
+    store = VectorStore.with_flat_index(DistanceMetric.EUCLIDEAN)
+    assert store.search_batch_submit([]).collect() == []
+    store.insert("a", Vector([1.0, 0.0]))
+    assert store.search_batch_submit(
+        [(Vector([1.0, 0.0]), 1)]).collect()[0][0].id == "a"

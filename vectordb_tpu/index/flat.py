@@ -26,7 +26,7 @@ import numpy as np
 
 from ..distance import DistanceMetric, validate_cosine_operands
 from ..errors import DimensionMismatchError, InvalidVectorError
-from ..ops.topk import flat_search_batched, next_pow2
+from ..ops.topk import flat_search_batched_submit, next_pow2
 from ..ops.update import (scatter_rows, scatter_rows_copy, scatter_values,
                           scatter_values_copy)
 from ..vector import Vector, as_f32_array
@@ -119,6 +119,69 @@ def _pallas_mirrors_enabled(capacity: int, dim: int, mesh) -> bool:
     if not _pallas_enabled(mesh):
         return False
     return capacity * dim * 8 <= _PALLAS_MEM_LIMIT
+
+
+class SearchBatchHandle:
+    """An in-flight index-level batched search (search_batch_submit).
+
+    ``collect()`` blocks on the device result, maps slots to internal ids,
+    and releases the index's in-flight mark — exactly once, even if called
+    repeatedly or if the device program failed. An abandoned handle
+    releases the mark from ``__del__`` so writes don't stay pinned to the
+    copy-scatter path forever."""
+
+    __slots__ = ("_fn", "_on_done", "_result", "_has_result")
+
+    def __init__(self, fn, on_done=None):
+        self._fn = fn
+        self._on_done = on_done
+        self._has_result = False
+        self._result = None
+
+    @classmethod
+    def ready(cls, result) -> "SearchBatchHandle":
+        handle = cls(None)
+        handle._result = result
+        handle._has_result = True
+        return handle
+
+    def collect(self):
+        if not self._has_result:
+            try:
+                self._result = self._fn()
+                self._has_result = True
+            finally:
+                self._release()
+        return self._result
+
+    def _release(self):
+        done, self._on_done = self._on_done, None
+        if done is not None:
+            done()
+
+    def __del__(self):
+        try:
+            self._release()
+        except Exception:
+            pass
+
+
+def _slots_to_ids(dists, idx, id_of_slot, k_req: int, nq: int
+                  ) -> List[List[Tuple[int, float]]]:
+    """Map (Q, k) device slot results to per-query [(internal_id, dist)]
+    rows, trimming the +inf masked/invalid tail."""
+    out: List[List[Tuple[int, float]]] = []
+    for qi in range(nq):
+        row: List[Tuple[int, float]] = []
+        for j in range(dists.shape[1]):
+            dist = float(dists[qi, j])
+            if math.isinf(dist):
+                break  # masked/invalid tail
+            if len(row) == k_req:
+                break
+            row.append((int(id_of_slot[int(idx[qi, j])]), dist))
+        out.append(row)
+    return out
 
 
 class FlatIndex(Index):
@@ -634,6 +697,25 @@ class FlatIndex(Index):
         they compiled for, and the search raises StaleSlotMaskError (under
         the index lock, before snapshotting device state) if a concurrent
         repack has since reordered the slots."""
+        # non-polymorphic: subclasses (IVF) route their submit back through
+        # their own search_batch, so dispatching here would recurse
+        return FlatIndex.search_batch_submit(
+            self, queries, k, slot_mask=slot_mask,
+            mask_layout_version=mask_layout_version).collect()
+
+    def search_batch_submit(self, queries: np.ndarray, k: int,
+                            slot_mask: Optional[np.ndarray] = None,
+                            mask_layout_version: Optional[int] = None
+                            ) -> "SearchBatchHandle":
+        """Asynchronous ``search_batch``: snapshots device state under the
+        index lock, launches the fused device program, and returns a handle
+        whose ``collect()`` blocks on the device and maps slots to internal
+        ids. Keeping one handle in flight while the caller parses/formats
+        the neighbouring batch pipelines host work under device compute
+        (the serving front-end's depth-2 drain loop,
+        server/native_http.py). Mutations racing an in-flight handle take
+        the copy-scatter path (``_searches_in_flight``), so collected
+        results always reflect the snapshot point."""
         queries = np.asarray(queries, dtype=np.float32)
         if queries.ndim != 2:
             raise InvalidVectorError("queries must be a (Q, d) array")
@@ -644,7 +726,8 @@ class FlatIndex(Index):
                 raise StaleSlotMaskError(mask_layout_version,
                                          self.slot_layout_version)
             if self._len == 0 or k <= 0:
-                return [[] for _ in range(queries.shape[0])]
+                return SearchBatchHandle.ready(
+                    [[] for _ in range(queries.shape[0])])
             if queries.shape[1] != self._dim:
                 raise DimensionMismatchError(self._dim, queries.shape[1])
             if self._metric is DistanceMetric.COSINE:
@@ -656,39 +739,40 @@ class FlatIndex(Index):
             live = self._len
             self._searches_in_flight += 1
         try:
-            return self._finish_search(queries, dev, id_of_slot, live, k,
-                                       slot_mask)
-        finally:
-            with self._lock:
-                self._searches_in_flight -= 1
+            if slot_mask is not None:
+                mask = np.asarray(slot_mask, dtype=bool)
+                if mask.shape[0] != dev["valid"].shape[0]:
+                    padded = np.zeros(int(dev["valid"].shape[0]), dtype=bool)
+                    padded[: min(mask.shape[0], padded.shape[0])] = \
+                        mask[: padded.shape[0]]
+                    mask = padded
+                dev["valid"] = jnp.logical_and(dev["valid"],
+                                               jnp.asarray(mask))
+            k_req = min(int(k), live)
+            if self._mesh is not None:
+                # the sharded path materializes synchronously; release the
+                # in-flight mark and hand back a ready handle
+                dists, idx = self._sharded_search(queries, dev, k_req)
+                out = _slots_to_ids(dists, idx, id_of_slot, k_req,
+                                    queries.shape[0])
+                self._search_done()
+                return SearchBatchHandle.ready(out)
+            handle = flat_search_batched_submit(queries, dev, self._metric,
+                                                k_req, mode=self.search_mode)
+        except BaseException:
+            self._search_done()
+            raise
+        nq = queries.shape[0]
 
-    def _finish_search(self, queries, dev, id_of_slot, live, k, slot_mask):
-        if slot_mask is not None:
-            mask = np.asarray(slot_mask, dtype=bool)
-            if mask.shape[0] != dev["valid"].shape[0]:
-                padded = np.zeros(int(dev["valid"].shape[0]), dtype=bool)
-                padded[: min(mask.shape[0], padded.shape[0])] = \
-                    mask[: padded.shape[0]]
-                mask = padded
-            dev["valid"] = jnp.logical_and(dev["valid"], jnp.asarray(mask))
-        k_req = min(int(k), live)
-        if self._mesh is not None:
-            dists, idx = self._sharded_search(queries, dev, k_req)
-        else:
-            dists, idx = flat_search_batched(queries, dev, self._metric,
-                                             k_req, mode=self.search_mode)
-        out: List[List[Tuple[int, float]]] = []
-        for qi in range(queries.shape[0]):
-            row: List[Tuple[int, float]] = []
-            for j in range(dists.shape[1]):
-                dist = float(dists[qi, j])
-                if math.isinf(dist):
-                    break  # masked/invalid tail
-                if len(row) == k_req:
-                    break
-                row.append((int(id_of_slot[int(idx[qi, j])]), dist))
-            out.append(row)
-        return out
+        def _collect():
+            dists, idx = handle.collect()
+            return _slots_to_ids(dists, idx, id_of_slot, k_req, nq)
+
+        return SearchBatchHandle(_collect, on_done=self._search_done)
+
+    def _search_done(self) -> None:
+        with self._lock:
+            self._searches_in_flight -= 1
 
     def _sharded_search(self, queries: np.ndarray, dev: dict, k_req: int):
         """Distributed per-shard search + top-k merge over the mesh.

@@ -337,6 +337,19 @@ class IvfFlatIndex(FlatIndex):
 
     # -- search --------------------------------------------------------------
 
+    def search_batch_submit(self, queries: np.ndarray, k: int,
+                            slot_mask: Optional[np.ndarray] = None,
+                            mask_layout_version: Optional[int] = None):
+        """IVF's cluster-probed pipeline is synchronous (host-side probe
+        selection between two device stages), so the async contract is
+        served eagerly: run the probed search now, return a ready handle.
+        Inheriting FlatIndex's launcher would silently swap the probed
+        lane for a full exact scan."""
+        from .flat import SearchBatchHandle
+        return SearchBatchHandle.ready(self.search_batch(
+            queries, k, slot_mask=slot_mask,
+            mask_layout_version=mask_layout_version))
+
     def search_batch(self, queries: np.ndarray, k: int,
                      slot_mask: Optional[np.ndarray] = None,
                      nprobe: Optional[int] = None,

@@ -114,6 +114,15 @@ class NativeHttpServer:
     # -- request handling ----------------------------------------------------
 
     def _handle_batch(self, jobs) -> None:
+        for complete in self._submit_batch(jobs):
+            complete()
+
+    def _submit_batch(self, jobs) -> list:
+        """Answer non-search jobs inline, LAUNCH grouped /search device
+        work, and return completion closures (collect + respond). The
+        drain loop keeps one cycle's completions pending while it parses
+        and submits the next — response formatting of cycle i then runs
+        under device compute of cycle i+1 (depth-2 pipeline)."""
         searches = []
         for conn_id, method, path, body in jobs:
             if method == "SEARCH_FAST":
@@ -137,7 +146,8 @@ class NativeHttpServer:
                 status, payload = 500, {"error": str(e)}
             self._respond(conn_id, status, payload)
         if searches:
-            self._handle_searches(searches)
+            return self._submit_searches(searches)
+        return []
 
     def _batch_search_fast(self, conn_id: int, body: bytes) -> None:
         """POST /search/batch pre-parsed in C++ (method 6): packed
@@ -174,8 +184,10 @@ class NativeHttpServer:
         state.metrics.record_query(time.perf_counter() - start)
         self._respond_search_batch(conn_id, all_results)
 
-    def _handle_searches(self, searches) -> None:
-        """Group compatible /search requests into fused device calls."""
+    def _submit_searches(self, searches) -> list:
+        """Group compatible /search requests, launch one fused device call
+        per group, and return completion closures. Filtered searches (rare
+        on the hot path) are answered synchronously during submit."""
         state = self.api.state
         # parse first; invalid ones answered immediately
         groups: dict = {}  # k -> list[(conn_id, Vector)]
@@ -206,26 +218,19 @@ class NativeHttpServer:
             else:
                 singles.append((conn_id, query, k, flt))
 
+        completions = []
         for k, members in groups.items():
             start = time.perf_counter()
             try:
-                if len(members) == 1:
-                    with state.lock.read():
-                        all_results = [state.store.search(members[0][1], k)]
-                else:
-                    with state.lock.read():
-                        all_results = state.store.search_batch(
-                            [(query, k) for _, query in members])
+                with state.lock.read():
+                    handle = state.store.search_batch_submit(
+                        [(query, k) for _, query in members])
             except Exception as e:
-                status = 400 if isinstance(e, (VectorDbError, ValueError,
-                                               KeyError, TypeError)) else 500
-                for conn_id, _ in members:
-                    self._respond(conn_id, status, {"error": str(e)})
+                self._respond_group_error(members, e)
                 continue
-            elapsed = time.perf_counter() - start
-            for (conn_id, _), results in zip(members, all_results):
-                state.metrics.record_query(elapsed)
-                self._respond_search(conn_id, results)
+            completions.append(
+                lambda h=handle, m=members, s=start: self._complete_group(
+                    h, m, s))
 
         for conn_id, query, k, flt in singles:
             start = time.perf_counter()
@@ -239,38 +244,79 @@ class NativeHttpServer:
                 continue
             state.metrics.record_query(time.perf_counter() - start)
             self._respond_search(conn_id, results)
+        return completions
+
+    def _complete_group(self, handle, members, start) -> None:
+        """Collect one in-flight search group and send its responses.
+        One latency sample per request, covering submit->response
+        (reference src/server/routes.rs:242-271 semantics)."""
+        state = self.api.state
+        try:
+            all_results = handle.collect()
+        except Exception as e:
+            self._respond_group_error(members, e)
+            return
+        elapsed = time.perf_counter() - start
+        for (conn_id, _), results in zip(members, all_results):
+            state.metrics.record_query(elapsed)
+            self._respond_search(conn_id, results)
+
+    def _respond_group_error(self, members, e: Exception) -> None:
+        status = 400 if isinstance(e, (VectorDbError, ValueError,
+                                       KeyError, TypeError)) else 500
+        for conn_id, _ in members:
+            self._respond(conn_id, status, {"error": str(e)})
 
     # -- lifecycle -----------------------------------------------------------
 
     def serve_forever(self) -> None:
-        # adaptive straggler-catch: when device cycles are slow (tens of ms
-        # on relayed chips), clients answered by the previous cycle re-send
-        # ~1-2 ms later and would otherwise miss this drain and wait a full
-        # extra cycle. A short post-drain merge window (scaled to the last
-        # cycle time, capped at 3 ms) folds them in; when cycles are fast
-        # (CPU-local stores) the window collapses to zero.
+        # Depth-2 pipelined drain: each iteration drains whatever arrived,
+        # SUBMITS its device work, and only then completes (collects +
+        # responds) the PREVIOUS cycle's searches — so host parse/format of
+        # cycle i overlaps device compute of cycle i+1. With completions
+        # pending the drain is non-blocking; idle with nothing in flight it
+        # parks on the 500 ms wait.
+        #
+        # adaptive straggler-catch (unpipelined cycles only): when device
+        # cycles are slow (tens of ms on relayed chips), clients answered
+        # by the previous cycle re-send ~1-2 ms later and would otherwise
+        # miss this drain and wait a full extra cycle. A short post-drain
+        # merge window (scaled to the last cycle time, capped at 3 ms)
+        # folds them in; when cycles are fast (CPU-local stores) the
+        # window collapses to zero.
         last_cycle = 0.0
+        pending: list = []
         while self._running:
+            wait_ms = 0 if pending else 500
             n = self._lib.vdb_http_next_jobs(self._handle, self._buf,
-                                             _BUF_CAP, 500)
+                                             _BUF_CAP, wait_ms)
             if n < 0:
                 break
-            if n == 0:
+            if n == 0 and not pending:
                 continue
-            raw = ctypes.string_at(self._buf, n)
-            catch = min(last_cycle / 10.0, 0.003)
-            if catch > 0.0005:
-                time.sleep(catch)
-                n2 = self._lib.vdb_http_next_jobs(self._handle, self._buf,
-                                                  _BUF_CAP, 0)
-                if n2 > 0:
-                    raw += ctypes.string_at(self._buf, n2)
+            raw = ctypes.string_at(self._buf, n) if n > 0 else b""
+            if raw and not pending:
+                catch = min(last_cycle / 10.0, 0.003)
+                if catch > 0.0005:
+                    time.sleep(catch)
+                    n2 = self._lib.vdb_http_next_jobs(
+                        self._handle, self._buf, _BUF_CAP, 0)
+                    if n2 > 0:
+                        raw += ctypes.string_at(self._buf, n2)
             start = time.perf_counter()
+            new_pending: list = []
             try:
-                self._handle_batch(self._parse_jobs(raw))
+                if raw:
+                    new_pending = self._submit_batch(self._parse_jobs(raw))
             except Exception:
                 # a malformed frame must not kill the worker loop
-                continue
+                new_pending = []
+            for complete in pending:
+                try:
+                    complete()
+                except Exception:
+                    pass  # per-group errors already answered inside
+            pending = new_pending
             last_cycle = time.perf_counter() - start
 
     def start_background(self) -> threading.Thread:

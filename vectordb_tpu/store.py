@@ -55,6 +55,32 @@ class BatchInsertItem:
     metadata: Metadata = field(default_factory=Metadata)
 
 
+class StoreSearchHandle:
+    """An in-flight store-level batched search (search_batch_submit);
+    ``collect()`` blocks on the device and returns the mapped
+    SearchResults (idempotent — the result is cached)."""
+
+    __slots__ = ("_fn", "_has_result", "_result")
+
+    def __init__(self, fn):
+        self._fn = fn
+        self._has_result = False
+        self._result = None
+
+    @classmethod
+    def ready(cls, result) -> "StoreSearchHandle":
+        handle = cls(None)
+        handle._result = result
+        handle._has_result = True
+        return handle
+
+    def collect(self) -> List[List[SearchResult]]:
+        if not self._has_result:
+            self._result = self._fn()
+            self._has_result = True
+        return self._result
+
+
 class VectorStore:
     """In-memory vector store with a pluggable search index."""
 
@@ -308,18 +334,39 @@ class VectorStore:
                      ) -> List[List[SearchResult]]:
         """Batched search: one fused device program for the whole batch
         (the reference loops queries sequentially, src/storage.rs:302-310)."""
+        return self.search_batch_submit(queries).collect()
+
+    def search_batch_submit(self, queries: Sequence[Tuple[Vector, int]]
+                            ) -> "StoreSearchHandle":
+        """Asynchronous ``search_batch``: launches the fused device program
+        and returns a handle whose ``collect()`` blocks and maps internal
+        ids to string ids. The serving front-end keeps one handle in
+        flight so response formatting of batch i overlaps device compute
+        of batch i+1 (server/native_http.py). Index types without a
+        submit path (e.g. HNSW's host traversal) are served eagerly."""
         if not queries:
-            return []
+            return StoreSearchHandle.ready([])
         if self.is_empty():
-            return [[] for _ in queries]
+            return StoreSearchHandle.ready([[] for _ in queries])
         for q, _ in queries:
             self._check_query_dim(q)
         ks = [int(k) for _, k in queries]
         kmax = max(ks)
         qmat = np.stack([as_f32_array(q) for q, _ in queries])
-        raw_batches = self._index.search_batch(qmat, kmax)
-        return [self._map_results(raw[:k])
-                for raw, k in zip(raw_batches, ks)]
+        submit = getattr(self._index, "search_batch_submit", None)
+        if submit is None:
+            raw_batches = self._index.search_batch(qmat, kmax)
+            return StoreSearchHandle.ready(
+                [self._map_results(raw[:k])
+                 for raw, k in zip(raw_batches, ks)])
+        handle = submit(qmat, kmax)
+
+        def _collect():
+            raw_batches = handle.collect()
+            return [self._map_results(raw[:k])
+                    for raw, k in zip(raw_batches, ks)]
+
+        return StoreSearchHandle(_collect)
 
     def search_batch_with_filter(self, queries: Sequence[Tuple[Vector, int]],
                                  filter: MetadataFilter
