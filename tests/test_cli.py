@@ -112,3 +112,20 @@ def test_env_spec_matches_live_environment():
     r = subprocess.run([sys.executable, str(root / "tools/check_env.py")],
                        capture_output=True, text=True)
     assert r.returncode == 0, r.stdout + r.stderr
+
+
+def test_search_knobs(capsys, tmp_path):
+    d = str(tmp_path / "db")
+    for i in range(8):
+        code, _, _ = run(capsys, "--data-dir", d, "--index", "hnsw",
+                         "insert", f"v{i}", "--vector", f"{i}.0,1.0")
+        assert code == 0
+    code, out, _ = run(capsys, "--data-dir", d, "--index", "hnsw",
+                       "search", "3.1,1.0", "-k", "1", "--ef", "64")
+    assert code == 0
+    assert "1. v3 (distance:" in out
+    # wrong knob for the index type -> error exit
+    code, _, err = run(capsys, "--data-dir", d, "--index", "hnsw",
+                       "search", "3.1,1.0", "--nprobe", "2")
+    assert code == 1
+    assert "nprobe" in err

@@ -304,3 +304,31 @@ def test_pipelined_search_insert_interleave(server):
                             {"vector": [float(x) for x in vec], "k": 1})
         assert status == 200
         assert body[0]["id"] != f"new{step}"
+
+
+def test_search_knobs_through_native_server():
+    """ef/nprobe bodies bypass the C++ fast-path parse, group by
+    (k, ef, nprobe), and reach the tuned index paths."""
+    from vectordb_tpu.index.hnsw import HnswIndex, HnswParams
+    state = AppState(VectorStore(HnswIndex(DistanceMetric.EUCLIDEAN,
+                                           HnswParams(seed=3))))
+    srv = NativeHttpServer(Api(state), "127.0.0.1", 0)
+    srv.start_background()
+    try:
+        items = [{"id": f"v{i}", "vector": [float(i), float(i % 5)]}
+                 for i in range(40)]
+        status, _ = _req(srv, "POST", "/vectors/batch", {"vectors": items})
+        assert status == 201
+        status, body = _req(srv, "POST", "/search",
+                            {"vector": [7.0, 2.0], "k": 2, "ef": 128})
+        assert status == 200 and body[0]["id"] == "v7", body
+        status, body = _req(srv, "POST", "/search",
+                            {"vector": [7.0, 2.0], "nprobe": 2})
+        assert status == 400 and "nprobe" in body["error"]
+        status, body = _req(srv, "POST", "/search",
+                            {"vector": [7.0, 2.0], "ef": 8,
+                             "filter": {"op": "eq", "field": "x",
+                                        "value": "1"}})
+        assert status == 400 and "filter" in body["error"]
+    finally:
+        srv.shutdown()

@@ -243,3 +243,100 @@ def test_real_socket_end_to_end():
     finally:
         server.shutdown()
         server.server_close()
+
+
+class TestSearchKnobs:
+    """Per-request recall knobs: 'ef' (HNSW) / 'nprobe' (IVF)."""
+
+    def _hnsw_api(self):
+        from vectordb_tpu.distance import DistanceMetric
+        from vectordb_tpu.index.hnsw import HnswIndex, HnswParams
+        from vectordb_tpu.server import AppState
+        from vectordb_tpu.server.routes import Api
+        from vectordb_tpu.store import VectorStore
+        store = VectorStore(HnswIndex(DistanceMetric.EUCLIDEAN,
+                                      HnswParams(seed=7)))
+        return Api(AppState(store))
+
+    def _ivf_api(self):
+        import numpy as np
+        from vectordb_tpu.distance import DistanceMetric
+        from vectordb_tpu.index.ivf import IvfFlatIndex
+        from vectordb_tpu.server import AppState
+        from vectordb_tpu.server.routes import Api
+        from vectordb_tpu.store import VectorStore
+        idx = IvfFlatIndex(DistanceMetric.EUCLIDEAN, nlist=4,
+                           auto_train_min=10 ** 9)
+        store = VectorStore(idx)
+        api = Api(AppState(store))
+        rng = np.random.default_rng(0)
+        items = [{"id": f"v{i}", "vector": [float(x) for x in row]}
+                 for i, row in enumerate(
+                     rng.standard_normal((64, 8)).astype("float32"))]
+        status, _ = api.handle("POST", "/vectors/batch", {"vectors": items})
+        assert status == 201
+        idx.train()
+        return api, items
+
+    def test_ef_on_hnsw_search(self):
+        api = self._hnsw_api()
+        for i in range(30):
+            status, _ = insert(api, f"v{i}", [float(i), float(i % 3)])
+            assert status == 201
+        status, payload = api.handle(
+            "POST", "/search", {"vector": [4.0, 1.0], "k": 3, "ef": 200})
+        assert status == 200
+        assert payload[0]["id"] == "v4"
+
+    def test_ef_on_flat_index_400(self, api):
+        insert(api, "a", [1.0, 2.0])
+        status, payload = api.handle(
+            "POST", "/search", {"vector": [1.0, 2.0], "ef": 50})
+        assert status == 400
+        assert "ef" in payload["error"]
+
+    def test_nprobe_on_ivf_search_and_batch(self):
+        api, items = self._ivf_api()
+        q = items[5]["vector"]
+        status, payload = api.handle(
+            "POST", "/search", {"vector": q, "k": 1, "nprobe": 4})
+        assert status == 200
+        assert payload[0]["id"] == "v5"
+        status, payload = api.handle(
+            "POST", "/search/batch",
+            {"queries": [{"vector": q, "k": 1}], "nprobe": 2})
+        assert status == 200
+        assert payload[0][0]["id"] == "v5"
+
+    def test_nprobe_on_flat_index_400(self, api):
+        insert(api, "a", [1.0, 2.0])
+        status, payload = api.handle(
+            "POST", "/search", {"vector": [1.0, 2.0], "nprobe": 2})
+        assert status == 400
+        assert "nprobe" in payload["error"]
+
+    def test_knobs_mutually_exclusive_400(self):
+        api = self._hnsw_api()
+        insert(api, "a", [1.0, 2.0])
+        status, payload = api.handle(
+            "POST", "/search", {"vector": [1.0, 2.0], "ef": 8, "nprobe": 2})
+        assert status == 400
+
+    def test_knob_with_filter_400(self):
+        api = self._hnsw_api()
+        insert(api, "a", [1.0, 2.0])
+        status, payload = api.handle(
+            "POST", "/search",
+            {"vector": [1.0, 2.0], "ef": 8,
+             "filter": {"op": "eq", "field": "x", "value": "1"}})
+        assert status == 400
+        assert "filter" in payload["error"]
+
+    def test_bad_knob_values_400(self):
+        api = self._hnsw_api()
+        insert(api, "a", [1.0, 2.0])
+        for body in ({"vector": [1.0, 2.0], "ef": "abc"},
+                     {"vector": [1.0, 2.0], "ef": 0},
+                     {"vector": [1.0, 2.0], "nprobe": -1}):
+            status, _ = api.handle("POST", "/search", body)
+            assert status == 400, body

@@ -209,3 +209,50 @@ def test_search_batch_submit_empty():
     store.insert("a", Vector([1.0, 0.0]))
     assert store.search_batch_submit(
         [(Vector([1.0, 0.0]), 1)]).collect()[0][0].id == "a"
+
+
+class TestSearchKnobs:
+    def test_nprobe_reaches_ivf(self):
+        import numpy as np
+        from vectordb_tpu.index.ivf import IvfFlatIndex
+        idx = IvfFlatIndex(DistanceMetric.EUCLIDEAN, nlist=4,
+                           auto_train_min=10 ** 9)
+        store = VectorStore(idx)
+        rng = np.random.default_rng(1)
+        rows = rng.standard_normal((64, 8)).astype(np.float32)
+        store.insert_batch([BatchInsertItem(id=f"v{i}",
+                                            vector=Vector(rows[i]))
+                            for i in range(len(rows))])
+        idx.train()
+        got = store.search(Vector(rows[9]), 1, nprobe=4)
+        assert got[0].id == "v9"
+        batch = store.search_batch([(Vector(rows[9]), 1),
+                                    (Vector(rows[3]), 2)], nprobe=4)
+        assert batch[0][0].id == "v9" and batch[1][0].id == "v3"
+        assert len(batch[1]) == 2
+
+    def test_ef_reaches_hnsw_batch(self):
+        import numpy as np
+        store = VectorStore(HnswIndex(DistanceMetric.EUCLIDEAN))
+        rng = np.random.default_rng(2)
+        rows = rng.standard_normal((60, 8)).astype(np.float32)
+        store.insert_batch([BatchInsertItem(id=f"v{i}",
+                                            vector=Vector(rows[i]))
+                            for i in range(len(rows))])
+        batch = store.search_batch([(Vector(rows[11]), 3)], ef=250)
+        assert batch[0][0].id == "v11"
+
+    def test_knob_errors(self):
+        from vectordb_tpu.errors import IndexOpError
+        store = VectorStore.with_flat_index(DistanceMetric.EUCLIDEAN)
+        store.insert("a", Vector([1.0, 2.0]))
+        with pytest.raises(IndexOpError):
+            store.search(Vector([1.0, 2.0]), 1, ef=10)
+        with pytest.raises(IndexOpError):
+            store.search(Vector([1.0, 2.0]), 1, nprobe=2)
+        hs = VectorStore(HnswIndex(DistanceMetric.EUCLIDEAN))
+        hs.insert("a", Vector([1.0, 2.0]))
+        with pytest.raises(IndexOpError):
+            hs.search(Vector([1.0, 2.0]), 1, ef=4, nprobe=2)
+        with pytest.raises(IndexOpError):
+            hs.search(Vector([1.0, 2.0]), 1, ef=0)

@@ -61,6 +61,12 @@ def build_parser() -> argparse.ArgumentParser:
                                         'values (e.g., "1.0,2.0,3.0")')
     p_search.add_argument("-k", type=int, default=5,
                           help="Number of results to return")
+    p_search.add_argument("--ef", type=int, default=None,
+                          help="HNSW beam width for this query "
+                               "(requires --index hnsw)")
+    p_search.add_argument("--nprobe", type=int, default=None,
+                          help="IVF clusters to probe for this query "
+                               "(requires --index ivf)")
 
     p_delete = sub.add_parser("delete", help="Delete a vector")
     p_delete.add_argument("id", help="Vector ID to delete")
@@ -92,7 +98,7 @@ def _run_commands(db, args) -> int:
         print(f"Inserted vector with ID: {args.id}")
     elif args.command == "search":
         q = Vector.from_str(args.query)
-        results = db.search(q, args.k)
+        results = db.search(q, args.k, ef=args.ef, nprobe=args.nprobe)
         if not results:
             print("No results found (store is empty)")
         else:

@@ -275,8 +275,9 @@ class StorageEngine:
 
     # -- reads (proxied to the store) ----------------------------------------
 
-    def search(self, query: Vector, k: int) -> List[SearchResult]:
-        return self.store.search(query, k)
+    def search(self, query: Vector, k: int, *, ef: Optional[int] = None,
+               nprobe: Optional[int] = None) -> List[SearchResult]:
+        return self.store.search(query, k, ef=ef, nprobe=nprobe)
 
     def get(self, id: str) -> Optional[Vector]:
         return self.store.get(id)

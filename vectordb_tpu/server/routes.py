@@ -62,6 +62,15 @@ def _parse_filter(raw) -> Optional[MetadataFilter]:
     return MetadataFilter.from_dict(raw)
 
 
+def _parse_knobs(body: dict):
+    """Optional per-request recall knobs: 'ef' (HNSW) / 'nprobe' (IVF).
+    Type errors raise ValueError -> 400 via Api.handle's except clause;
+    knob-vs-index mismatches raise IndexOpError in the store -> 400."""
+    ef, nprobe = body.get("ef"), body.get("nprobe")
+    return (None if ef is None else int(ef),
+            None if nprobe is None else int(nprobe))
+
+
 class Api:
     """The router: dispatches (method, path, body) to handlers.
 
@@ -148,8 +157,16 @@ class Api:
         raw_k = body.get("k")
         k = 10 if raw_k is None else int(raw_k)  # explicit k=0 means 0
         flt = _parse_filter(body.get("filter"))
+        ef, nprobe = _parse_knobs(body)
         start = time.perf_counter()
-        if self.batcher is not None:
+        if ef is not None or nprobe is not None:
+            if flt is not None:
+                return _bad_request(
+                    "'ef'/'nprobe' cannot be combined with 'filter'")
+            with self.state.lock.read():
+                results = self.state.store.search(query, k, ef=ef,
+                                                  nprobe=nprobe)
+        elif self.batcher is not None:
             results = self.batcher.search(query, k, flt)
         else:
             with self.state.lock.read():
@@ -195,13 +212,18 @@ class Api:
             queries.append((_parse_vector(raw["vector"]),
                             10 if raw_k is None else int(raw_k)))
         flt = _parse_filter(body.get("filter"))
+        ef, nprobe = _parse_knobs(body)
+        if flt is not None and (ef is not None or nprobe is not None):
+            return _bad_request(
+                "'ef'/'nprobe' cannot be combined with 'filter'")
         start = time.perf_counter()
         with self.state.lock.read():
             if flt is not None:
                 all_results = self.state.store.search_batch_with_filter(
                     queries, flt)
             else:
-                all_results = self.state.store.search_batch(queries)
+                all_results = self.state.store.search_batch(
+                    queries, ef=ef, nprobe=nprobe)
         # one latency sample for the whole batch (routes.rs:365-369)
         self.state.metrics.record_query(time.perf_counter() - start)
         return 200, [[{"id": r.id, "distance": r.distance} for r in batch]

@@ -28,8 +28,8 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from .distance import DistanceMetric
-from .errors import (DimensionMismatchError, StaleSlotMaskError,
-                     VectorNotFoundError)
+from .errors import (DimensionMismatchError, IndexOpError,
+                     StaleSlotMaskError, VectorNotFoundError)
 from .index.base import Index
 from .index.flat import FlatIndex
 from .metadata import ColumnarMetadata, Metadata, MetadataFilter
@@ -282,11 +282,46 @@ class VectorStore:
                 out.append(SearchResult(id=sid, distance=dist))
         return out
 
-    def search(self, query: Vector, k: int) -> List[SearchResult]:
+    def search(self, query: Vector, k: int, *, ef: Optional[int] = None,
+               nprobe: Optional[int] = None) -> List[SearchResult]:
+        """``ef``/``nprobe`` are per-request recall knobs for HNSW/IVF
+        indexes (reference exposes ef only at the library level,
+        src/hnsw/mod.rs:45-53; here they reach the HTTP/CLI surfaces).
+        Requesting a knob the index doesn't support raises IndexOpError."""
         if self.is_empty():
             return []
         self._check_query_dim(query)
+        if ef is not None or nprobe is not None:
+            return self._map_results(
+                self._tuned_search(query, k, ef, nprobe))
         return self._map_results(self._index.search(query, k))
+
+    def _tuned_knob(self, ef: Optional[int], nprobe: Optional[int]):
+        """Validate the (ef, nprobe) pair and resolve the index method."""
+        if ef is not None and nprobe is not None:
+            raise IndexOpError("'ef' and 'nprobe' are mutually exclusive")
+        if ef is not None:
+            if int(ef) < 1:
+                raise IndexOpError("'ef' must be >= 1")
+            fn = getattr(self._index, "search_with_ef", None)
+            if fn is None:
+                raise IndexOpError(
+                    "'ef' requires an HNSW index (this store's index "
+                    "has no search_with_ef)")
+            return "ef", int(ef), fn
+        if int(nprobe) < 1:
+            raise IndexOpError("'nprobe' must be >= 1")
+        fn = getattr(self._index, "search_with_nprobe", None)
+        if fn is None:
+            raise IndexOpError(
+                "'nprobe' requires an IVF index (this store's index "
+                "has no search_with_nprobe)")
+        return "nprobe", int(nprobe), fn
+
+    def _tuned_search(self, query: Vector, k: int, ef: Optional[int],
+                      nprobe: Optional[int]) -> List[Tuple[int, float]]:
+        _, value, fn = self._tuned_knob(ef, nprobe)
+        return fn(query, k, value)
 
     def search_with_filter(self, query: Vector, k: int,
                            filter: MetadataFilter) -> List[SearchResult]:
@@ -330,13 +365,18 @@ class VectorStore:
                 out.append(SearchResult(id=sid, distance=dist))
         return out
 
-    def search_batch(self, queries: Sequence[Tuple[Vector, int]]
+    def search_batch(self, queries: Sequence[Tuple[Vector, int]], *,
+                     ef: Optional[int] = None,
+                     nprobe: Optional[int] = None
                      ) -> List[List[SearchResult]]:
         """Batched search: one fused device program for the whole batch
         (the reference loops queries sequentially, src/storage.rs:302-310)."""
-        return self.search_batch_submit(queries).collect()
+        return self.search_batch_submit(queries, ef=ef,
+                                        nprobe=nprobe).collect()
 
-    def search_batch_submit(self, queries: Sequence[Tuple[Vector, int]]
+    def search_batch_submit(self, queries: Sequence[Tuple[Vector, int]], *,
+                            ef: Optional[int] = None,
+                            nprobe: Optional[int] = None
                             ) -> "StoreSearchHandle":
         """Asynchronous ``search_batch``: launches the fused device program
         and returns a handle whose ``collect()`` blocks and maps internal
@@ -353,6 +393,18 @@ class VectorStore:
         ks = [int(k) for _, k in queries]
         kmax = max(ks)
         qmat = np.stack([as_f32_array(q) for q, _ in queries])
+        if ef is not None or nprobe is not None:
+            knob, value, fn = self._tuned_knob(ef, nprobe)
+            if knob == "nprobe":
+                # IVF's batched probed pipeline takes nprobe directly
+                raw_batches = self._index.search_batch(qmat, kmax,
+                                                       nprobe=value)
+            else:
+                # HNSW's tuned traversal is per-query host work
+                raw_batches = [fn(q, k, value) for (q, k) in queries]
+            return StoreSearchHandle.ready(
+                [self._map_results(raw[:k])
+                 for raw, k in zip(raw_batches, ks)])
         submit = getattr(self._index, "search_batch_submit", None)
         if submit is None:
             raw_batches = self._index.search_batch(qmat, kmax)
