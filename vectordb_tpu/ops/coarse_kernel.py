@@ -452,7 +452,12 @@ def _minima_1p_sup(qThi, qrow, dbarr, col, inv_col, mode: str,
     return tile_tq, sup_tq
 
 
-_REFINE_QBR = 8      # queries per refine-kernel grid step
+# Queries per refine-kernel grid step. Wider blocks raise the refine
+# dot's MXU width utilization (the matmul is (qbr*m*SUB, d) x (d, qbr):
+# output width = qbr of the MXU's 128 lanes) at the cost of a larger
+# double-buffered VMEM scratch (2*qbr*m*SUB*d*4 B = 25 MB/qbr=8 at
+# d=768, m=32). Env-tunable for roofline experiments.
+_REFINE_QBR = int(os.environ.get("VDB_TPU_REFINE_QBR", "8"))
 
 
 def _refine_chunk_rows(qp: int, m: int, d: int) -> int:
@@ -555,8 +560,11 @@ def _refine_dots(tile_idx, queries, db, m: int, interpret: bool):
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             # the double-buffered (2, qbr*m*SUB, d) scratch alone is
-            # ~25 MB at d=768 — past the 16 MB default scoped-vmem limit
-            vmem_limit_bytes=64 * 1024 * 1024),
+            # ~25 MB at d=768, qbr=8 — past the 16 MB default scoped-vmem
+            # limit; scale the cap with qbr for wider experiment blocks
+            vmem_limit_bytes=max(
+                64 * 1024 * 1024,
+                2 * qbr * m * SUB * d * db.dtype.itemsize + (16 << 20))),
         cost_estimate=pl.CostEstimate(
             flops=2 * qp * m * SUB * d * qbr,
             bytes_accessed=qp * m * SUB * d * db.dtype.itemsize
