@@ -31,6 +31,8 @@ NLIST = 16384
 for a in sys.argv:
     if a.startswith("--nlist="):
         NLIST = int(a.split("=")[1])
+    elif a.startswith("--n="):       # smoke-test scale override
+        N = int(a.split("=")[1])
 D, K, Q = 768, 10, 1024
 CENTERS = N // 512        # clustered protocol (benchmarks/ivf_bench.py):
 NOISE = 0.25              # the IVF lane's honest workload; the intr-32
@@ -46,17 +48,45 @@ def main():
     idx = IvfFlatIndex(DistanceMetric.EUCLIDEAN, nlist=NLIST,
                        train_iters=8, auto_train_min=10 ** 9,
                        storage="int8", balance_slack=1.2)
-    print(f"generating {N} x {D} ({CENTERS} centers)...", flush=True)
+    # the generation + quantize phase costs ~2h on the contended single
+    # host core: cache the stored value set (int8 codes + pow2 scales) so
+    # a crash later in the run resumes in minutes (quantization is
+    # idempotent, so reloading the dequantized values rebuilds the
+    # IDENTICAL index)
+    cache_codes = Path(f"/tmp/ivf16m_codes_{N}x{D}.i8")
+    cache_scales = Path(f"/tmp/ivf16m_scales_{N}x{D}.f32")
     t0 = time.perf_counter()
-    mat = np.empty((N, D), np.float32)
     step = 1 << 19
-    for lo in range(0, N, step):
-        which = rng.integers(0, CENTERS, step)
-        blk = centers[which]
-        blk += NOISE * rng.standard_normal((step, D)).astype(np.float32)
-        mat[lo:lo + step] = blk
+    mat = np.empty((N, D), np.float32)
+    if cache_codes.exists() and cache_scales.exists():
+        print("restoring stored values from cache...", flush=True)
+        codes = np.memmap(cache_codes, np.int8, "r", shape=(N, D))
+        scales = np.memmap(cache_scales, np.float32, "r", shape=(N,))
+        for lo in range(0, N, step):
+            mat[lo:lo + step] = codes[lo:lo + step].astype(np.float32)
+            mat[lo:lo + step] *= scales[lo:lo + step, None]
+    else:
+        print(f"generating {N} x {D} ({CENTERS} centers)...", flush=True)
+        for lo in range(0, N, step):
+            sz = min(step, N - lo)
+            which = rng.integers(0, CENTERS, sz)
+            blk = centers[which]
+            blk += NOISE * rng.standard_normal(
+                (sz, D)).astype(np.float32)
+            mat[lo:lo + sz] = blk
     idx.bulk_load_matrix(np.arange(N, dtype=np.int64), mat)
     del mat
+    if not cache_codes.exists():
+        from vectordb_tpu.index.flat import _int8_codes_scales
+        codes_mm = np.memmap(cache_codes, np.int8, "w+", shape=(N, D))
+        scales_mm = np.memmap(cache_scales, np.float32, "w+", shape=(N,))
+        for lo in range(0, N, step):
+            c, s = _int8_codes_scales(idx._vectors[lo:lo + step])
+            codes_mm[lo:lo + step] = c
+            scales_mm[lo:lo + step] = s
+        codes_mm.flush(), scales_mm.flush()
+        del codes_mm, scales_mm
+        print("stored-value cache written", flush=True)
     t_ingest = time.perf_counter() - t0
     print(f"ingest: {t_ingest:.0f}s", flush=True)
 

@@ -217,14 +217,25 @@ def assign_preferences_hier(db, centroids, cand: int, chunk: int,
     hood_ids = [np.concatenate([members[t] for t in hood[s]])
                 for s in range(n_super)]
 
-    # 4. route rows to their nearest super (chunked device passes)
+    # 4. route rows to their nearest super (chunked device passes).
+    # In-flight depth is bounded: each dispatched chunk holds a device
+    # slice copy (chunk x d) alive until collected, and with the whole
+    # database already resident (12 GB of int8 codes at 16M x 768)
+    # dispatching every chunk ahead exhausts HBM.
     row_super = np.empty(cap, np.int32)
-    handles = [(lo, _top1_super(
-        db[lo:lo + chunk], supers,
-        None if scales is None else scales[lo:lo + chunk]))
-        for lo in range(0, cap, chunk)]
-    for lo, h in handles:
-        row_super[lo:lo + chunk] = jax.device_get(h)[: cap - lo]
+    handles = []
+
+    def _drain_route(limit: int) -> None:
+        while len(handles) > limit:
+            lo0, h0 = handles.pop(0)
+            row_super[lo0:lo0 + chunk] = jax.device_get(h0)[: cap - lo0]
+
+    for lo in range(0, cap, chunk):
+        handles.append((lo, _top1_super(
+            db[lo:lo + chunk], supers,
+            None if scales is None else scales[lo:lo + chunk])))
+        _drain_route(4)
+    _drain_route(0)
 
     # 5. per-super scoring against the neighborhood's fine centroids.
     # Rows and neighborhood sizes are padded to pow2 buckets so the jit
@@ -233,7 +244,18 @@ def assign_preferences_hier(db, centroids, cand: int, chunk: int,
     out = np.empty((cap, cand), np.int32)
     order = np.argsort(row_super, kind="stable")
     bounds = np.searchsorted(row_super[order], np.arange(n_super + 1))
+    # Bound both the per-call gather (a skewed super can hold millions of
+    # rows -> a multi-GB db[idx] copy beside the resident database) and
+    # the number of dispatched-but-uncollected calls.
+    row_blk = max(chunk // 2, 1 << 16)
     pend = []
+
+    def _drain_pend(limit: int) -> None:
+        while len(pend) > limit:
+            rows_b, ids_pad0, local0 = pend.pop(0)
+            loc = np.asarray(jax.device_get(local0))[: rows_b.size]
+            out[rows_b] = ids_pad0[loc].astype(np.int32)
+
     for s in range(n_super):
         rows_s = order[bounds[s]: bounds[s + 1]]
         if rows_s.size == 0:
@@ -251,18 +273,20 @@ def assign_preferences_hier(db, centroids, cand: int, chunk: int,
         if ids.size < cand:
             col_valid[:] = True
         cents_sub = centroids[jnp.asarray(ids_pad)]
-        r_pad = next_pow2(max(int(rows_s.size), 8))
-        idx_pad = np.full(r_pad, int(rows_s[0]), np.int64)
-        idx_pad[: rows_s.size] = rows_s
-        idx_dev = jnp.asarray(idx_pad)
-        local = _score_vs_subset(db[idx_dev], cents_sub,
-                                 jnp.asarray(col_valid), cand,
-                                 None if scales is None else
-                                 scales[idx_dev])
-        pend.append((rows_s, ids_pad, local))
-    for rows_s, ids_pad, local in pend:
-        loc = np.asarray(jax.device_get(local))[: rows_s.size]
-        out[rows_s] = ids_pad[loc].astype(np.int32)
+        col_valid_dev = jnp.asarray(col_valid)
+        for b0 in range(0, rows_s.size, row_blk):
+            rows_b = rows_s[b0: b0 + row_blk]
+            r_pad = next_pow2(max(int(rows_b.size), 8))
+            idx_pad = np.full(r_pad, int(rows_b[0]), np.int64)
+            idx_pad[: rows_b.size] = rows_b
+            idx_dev = jnp.asarray(idx_pad)
+            local = _score_vs_subset(db[idx_dev], cents_sub,
+                                     col_valid_dev, cand,
+                                     None if scales is None else
+                                     scales[idx_dev])
+            pend.append((rows_b, ids_pad, local))
+            _drain_pend(3)
+    _drain_pend(0)
     return out
 
 
