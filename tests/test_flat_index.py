@@ -319,3 +319,14 @@ def test_search_batch_submit_empty_index():
     idx = FlatIndex(DistanceMetric.EUCLIDEAN)
     handle = idx.search_batch_submit(np.zeros((3, 4), np.float32), 5)
     assert handle.collect() == [[], [], []]
+
+
+def test_bulk_load_matrix_rejects_duplicate_ids(rng):
+    idx = FlatIndex(DistanceMetric.EUCLIDEAN)
+    mat = rng.standard_normal((4, 8)).astype(np.float32)
+    with pytest.raises(ValueError, match="duplicate ids"):
+        idx.bulk_load_matrix(np.array([0, 1, 1, 2], np.int64), mat)
+    # the failed load must not leave partial state behind
+    assert len(idx) == 0
+    idx.bulk_load_matrix(np.array([0, 1, 2, 3], np.int64), mat)
+    assert len(idx) == 4

@@ -209,6 +209,30 @@ def test_small_batch_falls_back_to_host():
     assert len(idx) == 100
 
 
+def test_forced_device_build_honored_below_min(monkeypatch):
+    """bulk_build='device' must use the device builder even below the
+    auto path's MIN_DEVICE_BUILD heuristic — a silent host fallback
+    would let device-build tests pass against the wrong code path."""
+    from vectordb_tpu.index import hnsw_build_device as hbd
+    calls = []
+    real = hbd.build_device_tables
+
+    def spy(*args, **kwargs):
+        calls.append(1)
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(hbd, "build_device_tables", spy)
+    rng = np.random.default_rng(24)
+    data = rng.standard_normal((60, 16)).astype(np.float32)
+    idx = HnswIndex(DistanceMetric.EUCLIDEAN, HnswParams(seed=2),
+                    bulk_build="device")
+    idx.build_batch(list(enumerate(data)))
+    assert calls, "forced device mode fell back to the host build"
+    assert len(idx) == 60
+    got = [i for i, _ in idx.search_with_ef(data[17], 5, 64)]
+    assert got[0] == 17
+
+
 def test_tables_import_into_python_graph():
     """Device-built tables hydrate the pure-Python graph too."""
     rng = np.random.default_rng(31)

@@ -86,3 +86,31 @@ def test_train_recall_by_mode(mode):
 def test_invalid_assign_mode():
     with pytest.raises(ValueError):
         IvfFlatIndex(DistanceMetric.EUCLIDEAN, assign_mode="bogus")
+
+
+def test_hier_empty_neighborhood_falls_back_flat(monkeypatch):
+    """Rows can route to a super whose whole s_top neighborhood captured
+    zero fine centroids (k-means dead clusters). Those rows must get
+    flat-scored preferences instead of crashing on the empty id list."""
+    import vectordb_tpu.ops.ivf as ivf_mod
+    d, nlist = 8, 64
+    rng = np.random.default_rng(5)
+    # all fine centroids live far from the origin …
+    cents = jnp.asarray(
+        10.0 + 0.1 * rng.standard_normal((nlist, d)).astype(np.float32))
+    # … while db rows sit at the origin, nearest to the empty super
+    db = jnp.asarray(0.1 * rng.standard_normal((256, d)).astype(np.float32))
+
+    def fake_kmeans_fit(points, key, k, iters):
+        # super 0 at the origin captures no centroids; supers 1..k-1
+        # split the real centroid cloud
+        sup = np.asarray(points[: k]).copy()
+        sup[0] = 0.0
+        return jnp.asarray(sup)
+
+    monkeypatch.setattr(ivf_mod, "kmeans_fit", fake_kmeans_fit)
+    out = ivf_mod.assign_preferences_hier(
+        db, cents, 4, 4096, jax.random.PRNGKey(1), n_super=16, s_top=1)
+    ref = np.asarray(ivf_mod.assign_preferences(db, cents, 4, 4096))
+    # flat fallback scoring is exact for the rerouted rows
+    np.testing.assert_array_equal(out, ref)

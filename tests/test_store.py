@@ -211,6 +211,56 @@ def test_search_batch_submit_empty():
         [(Vector([1.0, 0.0]), 1)]).collect()[0][0].id == "a"
 
 
+def test_search_batch_submit_delete_between_submit_and_collect(store):
+    """A delete landing between submit and collect must not drop the
+    snapshot's results: the id map is frozen copy-on-write at the first
+    mutation so collect() reflects the same snapshot point as the
+    index's copy-scatter device state."""
+    rng = np.random.default_rng(11)
+    rows = rng.standard_normal((20, 8)).astype(np.float32)
+    store.insert_batch([BatchInsertItem(id=f"v{i}", vector=Vector(rows[i]))
+                        for i in range(len(rows))])
+    handle = store.search_batch_submit([(Vector(rows[3]), 1)])
+    store.delete("v3")          # top hit of the in-flight snapshot
+    got = handle.collect()
+    assert got[0][0].id == "v3"          # snapshot semantics
+    # the live store no longer serves it
+    assert store.search(Vector(rows[3]), 1)[0].id != "v3"
+    assert store._inflight_id_maps == []  # holder released
+
+
+def test_search_batch_submit_upsert_between_submit_and_collect(store):
+    """An upsert reassigns a fresh internal id; the in-flight handle must
+    map the OLD internal id through the frozen submit-time map."""
+    rng = np.random.default_rng(12)
+    rows = rng.standard_normal((20, 8)).astype(np.float32)
+    store.insert_batch([BatchInsertItem(id=f"v{i}", vector=Vector(rows[i]))
+                        for i in range(len(rows))])
+    handle = store.search_batch_submit([(Vector(rows[7]), 1)])
+    store.insert("v7", Vector(-rows[7]))   # upsert: new internal id
+    got = handle.collect()
+    assert got[0][0].id == "v7"
+    # the live store's top hit for the same query is now the NEW row,
+    # far from the query — the handle returned the snapshot's row
+    assert got[0][0].distance == pytest.approx(0.0, abs=1e-2)
+    live = store.search(Vector(rows[7]), 1)[0]
+    assert live.distance > 1.0
+
+
+def test_search_batch_submit_abandoned_handle_releases_holder(store):
+    import gc
+    rng = np.random.default_rng(13)
+    rows = rng.standard_normal((20, 8)).astype(np.float32)
+    store.insert_batch([BatchInsertItem(id=f"v{i}", vector=Vector(rows[i]))
+                        for i in range(len(rows))])
+    handle = store.search_batch_submit([(Vector(rows[2]), 1)])
+    store.delete("v2")                      # freezes a map copy
+    assert len(store._inflight_id_maps) == 1
+    del handle
+    gc.collect()
+    assert store._inflight_id_maps == []
+
+
 class TestSearchKnobs:
     def test_nprobe_reaches_ivf(self):
         import numpy as np

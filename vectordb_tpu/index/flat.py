@@ -448,6 +448,10 @@ class FlatIndex(Index):
             n, dim = mat.shape
             if ids.shape[0] != n:
                 raise ValueError("ids/matrix length mismatch")
+            if np.unique(ids).size != n:
+                # duplicates would desync _len from _slot_of_id, leaving
+                # an unremovable ghost slot (every sibling bulk path checks)
+                raise ValueError("duplicate ids in bulk_load_matrix")
             if self._dim is not None and dim != self._dim:
                 raise DimensionMismatchError(self._dim, dim)
             self._ensure_storage(dim, n)

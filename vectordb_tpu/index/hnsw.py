@@ -121,17 +121,17 @@ class HnswIndex(Index):
                 raise RuntimeError(
                     "bulk_build='device' requires an empty graph")
             return False
-        from .hnsw_build_device import MIN_DEVICE_BUILD
-        if len(items) < MIN_DEVICE_BUILD:
-            return False
         ids = {int(i) for i, _ in items}
         if len(ids) != len(items):
             if self._bulk_build == "device":
                 raise ValueError("duplicate ids in device bulk build")
             return False
         if self._bulk_build == "device":
+            # honor the explicit request at any size (MIN_DEVICE_BUILD is
+            # a perf heuristic for the auto path, not a correctness bound)
             return True
-        if len(items) < self._AUTO_DEVICE_BUILD_MIN:
+        from .hnsw_build_device import MIN_DEVICE_BUILD
+        if len(items) < max(MIN_DEVICE_BUILD, self._AUTO_DEVICE_BUILD_MIN):
             return False
         import jax
         from ..ops import coarse_kernel

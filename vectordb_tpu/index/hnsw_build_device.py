@@ -41,7 +41,6 @@ works unchanged.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Sequence
 
 import numpy as np

@@ -132,13 +132,24 @@ def assign_preferences(db, centroids, cand: int, chunk: int, scales=None):
     if cap <= _ASSIGN_ONE_DISPATCH_MAX:
         return jax.device_get(kmeans_assign_topk_all(
             db, centroids, cand, chunk, scales))
+    # Bound in-flight depth like the hierarchical path: each dispatched
+    # chunk holds a device slice copy alive until collected, and with the
+    # database already resident, dispatching every chunk ahead exhausts
+    # HBM at 16M-row scale.
     out = np.empty((cap, cand), np.int32)
-    handles = [(lo, _assign_topk_chunk(
-        db[lo:lo + chunk], centroids, cand,
-        None if scales is None else scales[lo:lo + chunk]))
-        for lo in range(0, cap, chunk)]             # async dispatches
-    for lo, h in handles:
-        out[lo:lo + chunk] = jax.device_get(h)[: cap - lo]
+    handles = []
+
+    def _drain(limit: int) -> None:
+        while len(handles) > limit:
+            lo0, h0 = handles.pop(0)
+            out[lo0:lo0 + chunk] = jax.device_get(h0)[: cap - lo0]
+
+    for lo in range(0, cap, chunk):
+        handles.append((lo, _assign_topk_chunk(
+            db[lo:lo + chunk], centroids, cand,
+            None if scales is None else scales[lo:lo + chunk])))
+        _drain(4)
+    _drain(0)
     return out
 
 
@@ -246,8 +257,16 @@ def assign_preferences_hier(db, centroids, cand: int, chunk: int,
     bounds = np.searchsorted(row_super[order], np.arange(n_super + 1))
     # Bound both the per-call gather (a skewed super can hold millions of
     # rows -> a multi-GB db[idx] copy beside the resident database) and
-    # the number of dispatched-but-uncollected calls.
-    row_blk = max(chunk // 2, 1 << 16)
+    # the per-call f32 score block (rows x neighborhood): at 8M x 768
+    # with nlist=65536 the codes already fill 12 of 16 GB, so a
+    # 65536-row x 4096-centroid block (1 GB workspace) OOMs. Row blocks
+    # scale inversely with the neighborhood width; all pow2 so the jit
+    # signature count stays bounded.
+    score_block_elems = 1 << 26                    # ~256 MB f32 per call
+
+    def _row_blk(nb: int) -> int:
+        return int(max(2048, min(1 << 16, score_block_elems // nb)))
+
     pend = []
 
     def _drain_pend(limit: int) -> None:
@@ -261,19 +280,38 @@ def assign_preferences_hier(db, centroids, cand: int, chunk: int,
         if rows_s.size == 0:
             continue
         ids = hood_ids[s]
+        if ids.size == 0:
+            # degenerate: every super in this super's neighborhood
+            # captured zero fine centroids (k-means dead clusters) —
+            # score these rows against ALL centroids via the flat chunk
+            row_blk = _row_blk(next_pow2(int(nlist)))
+            for b0 in range(0, rows_s.size, row_blk):
+                rows_b = rows_s[b0: b0 + row_blk]
+                r_pad = next_pow2(max(int(rows_b.size), 8))
+                idx_pad = np.full(r_pad, int(rows_b[0]), np.int64)
+                idx_pad[: rows_b.size] = rows_b
+                idx_dev = jnp.asarray(idx_pad)
+                flat_pref = _assign_topk_chunk(
+                    db[idx_dev], centroids, cand,
+                    None if scales is None else scales[idx_dev])
+                out[rows_b] = np.asarray(
+                    jax.device_get(flat_pref))[: rows_b.size]
+            continue
         nb_pad = next_pow2(max(int(ids.size), cand, 8))
-        ids_pad = np.full(nb_pad, ids[0], np.int64)
+        ids_pad = np.full(nb_pad, ids[-1], np.int64)
         ids_pad[: ids.size] = ids
         col_valid = np.zeros(nb_pad, bool)
         col_valid[: ids.size] = True
         # a neighborhood smaller than cand cannot fill the preference
-        # list without duplicates — let padding repeat the LAST real
+        # list without duplicates — let padding repeat the last real
         # column instead of masking, matching flat-path "cand > nlist
-        # is clamped by callers" semantics
+        # is clamped by callers" semantics (the greedy balancer assigns
+        # each row once, so duplicate preference ids are harmless)
         if ids.size < cand:
             col_valid[:] = True
         cents_sub = centroids[jnp.asarray(ids_pad)]
         col_valid_dev = jnp.asarray(col_valid)
+        row_blk = _row_blk(nb_pad)
         for b0 in range(0, rows_s.size, row_blk):
             rows_b = rows_s[b0: b0 + row_blk]
             r_pad = next_pow2(max(int(rows_b.size), 8))

@@ -86,6 +86,8 @@ class NativeHttpServer:
         """Search response formatted in C++ (JSON body assembly +
         escaping + shortest-round-trip doubles; round-2 serving lever —
         the Python path built n dicts + json.dumps per response)."""
+        if not self._handle:   # shutdown raced: nothing to deliver to
+            return
         ids, lens, dd, n = self._pack_results(results)
         self._lib.vdb_http_respond_search(
             self._handle, ctypes.c_uint64(conn_id), 200,
@@ -94,6 +96,8 @@ class NativeHttpServer:
             lens, dd, n)
 
     def _respond_search_batch(self, conn_id: int, batches) -> None:
+        if not self._handle:
+            return
         flat = [r for batch in batches for r in batch]
         ids, lens, dd, n = self._pack_results(flat)
         sizes = (ctypes.c_int32 * len(batches))(*(len(b) for b in batches))
@@ -104,6 +108,8 @@ class NativeHttpServer:
             lens, dd, sizes, len(batches))
 
     def _respond(self, conn_id: int, status: int, payload) -> None:
+        if not self._handle:
+            return
         body = json.dumps(payload).encode()
         self._lib.vdb_http_respond(
             self._handle, ctypes.c_uint64(conn_id), int(status),
@@ -295,6 +301,17 @@ class NativeHttpServer:
         # window collapses to zero.
         last_cycle = 0.0
         pending: list = []
+
+        def _flush_pending() -> None:
+            # never abandon an in-flight search group: its clients are
+            # blocked on a response and the device work is already paid
+            for complete in pending:
+                try:
+                    complete()
+                except Exception:
+                    pass  # per-group errors already answered inside
+            pending.clear()
+
         while self._running:
             wait_ms = 0 if pending else 500
             n = self._lib.vdb_http_next_jobs(self._handle, self._buf,
@@ -320,13 +337,10 @@ class NativeHttpServer:
             except Exception:
                 # a malformed frame must not kill the worker loop
                 new_pending = []
-            for complete in pending:
-                try:
-                    complete()
-                except Exception:
-                    pass  # per-group errors already answered inside
-            pending = new_pending
+            _flush_pending()
+            pending.extend(new_pending)
             last_cycle = time.perf_counter() - start
+        _flush_pending()
 
     def start_background(self) -> threading.Thread:
         thread = threading.Thread(target=self.serve_forever, daemon=True)

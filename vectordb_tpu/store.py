@@ -55,17 +55,32 @@ class BatchInsertItem:
     metadata: Metadata = field(default_factory=Metadata)
 
 
+class _InflightIdMap:
+    """Copy-on-write internal→string id map snapshot for one in-flight
+    search_batch_submit. ``map`` stays None (collect reads the live
+    store map) until a mutation lands while the handle is in flight;
+    the mutation freezes the pre-mutation map here so collect() maps
+    the device snapshot's internal ids against the ids that existed at
+    submit time (matching the index side's copy-scatter snapshot)."""
+
+    __slots__ = ("map",)
+
+    def __init__(self):
+        self.map: Optional[Dict[int, str]] = None
+
+
 class StoreSearchHandle:
     """An in-flight store-level batched search (search_batch_submit);
     ``collect()`` blocks on the device and returns the mapped
     SearchResults (idempotent — the result is cached)."""
 
-    __slots__ = ("_fn", "_has_result", "_result")
+    __slots__ = ("_fn", "_has_result", "_result", "_release")
 
-    def __init__(self, fn):
+    def __init__(self, fn, release=None):
         self._fn = fn
         self._has_result = False
         self._result = None
+        self._release = release
 
     @classmethod
     def ready(cls, result) -> "StoreSearchHandle":
@@ -76,9 +91,25 @@ class StoreSearchHandle:
 
     def collect(self) -> List[List[SearchResult]]:
         if not self._has_result:
-            self._result = self._fn()
+            try:
+                self._result = self._fn()
+            finally:
+                self._do_release()
             self._has_result = True
         return self._result
+
+    def _do_release(self) -> None:
+        release, self._release = self._release, None
+        if release is not None:
+            release()
+
+    def __del__(self):
+        # an abandoned handle must not leave its id-map snapshot holder
+        # registered forever (every later mutation would copy the map)
+        try:
+            self._do_release()
+        except Exception:
+            pass
 
 
 class VectorStore:
@@ -93,6 +124,7 @@ class VectorStore:
         self._dimension: Optional[int] = None
         self._columnar = ColumnarMetadata(0)
         self._columnar_layout = 0   # index slot-layout version mirrored
+        self._inflight_id_maps: List[_InflightIdMap] = []
 
     # -- constructors (reference: src/storage.rs:97-127) --------------------
 
@@ -149,10 +181,20 @@ class VectorStore:
         else:
             self._dimension = dim
 
+    def _cow_inflight_id_maps(self) -> None:
+        """Freeze the internal→string map for in-flight search handles
+        before a removal mutates it (see _InflightIdMap). New-id inserts
+        need no freeze: internal ids are monotonic, so a newer id cannot
+        appear in an older device snapshot's results."""
+        for holder in self._inflight_id_maps:
+            if holder.map is None:
+                holder.map = dict(self._internal_to_id)
+
     def _remove_existing(self, id: str) -> None:
         old_internal = self._id_to_internal.get(id)
         if old_internal is None:
             return
+        self._cow_inflight_id_maps()
         self._clear_columnar(old_internal)
         self._index.remove(old_internal)
         self._metadata.pop(old_internal, None)
@@ -244,6 +286,7 @@ class VectorStore:
         vector = self._index.get_vector(internal_id)
         if vector is None:
             vector = Vector([])
+        self._cow_inflight_id_maps()
         self._clear_columnar(internal_id)
         self._internal_to_id.pop(internal_id, None)
         self._metadata.pop(internal_id, None)
@@ -274,10 +317,14 @@ class VectorStore:
         if self._dimension is not None and query.dimension != self._dimension:
             raise DimensionMismatchError(self._dimension, query.dimension)
 
-    def _map_results(self, raw: List[Tuple[int, float]]) -> List[SearchResult]:
+    def _map_results(self, raw: List[Tuple[int, float]],
+                     id_map: Optional[Dict[int, str]] = None
+                     ) -> List[SearchResult]:
+        if id_map is None:
+            id_map = self._internal_to_id
         out = []
         for internal_id, dist in raw:
-            sid = self._internal_to_id.get(internal_id)
+            sid = id_map.get(internal_id)
             if sid is not None:
                 out.append(SearchResult(id=sid, distance=dist))
         return out
@@ -412,13 +459,24 @@ class VectorStore:
                 [self._map_results(raw[:k])
                  for raw, k in zip(raw_batches, ks)])
         handle = submit(qmat, kmax)
+        holder = _InflightIdMap()
+        self._inflight_id_maps.append(holder)
+
+        def _release():
+            try:
+                self._inflight_id_maps.remove(holder)
+            except ValueError:
+                pass
 
         def _collect():
             raw_batches = handle.collect()
-            return [self._map_results(raw[:k])
+            # a delete/upsert that landed between submit and collect froze
+            # the submit-time map in the holder; results reflect the same
+            # snapshot point as the index's copy-scatter device state
+            return [self._map_results(raw[:k], holder.map)
                     for raw, k in zip(raw_batches, ks)]
 
-        return StoreSearchHandle(_collect)
+        return StoreSearchHandle(_collect, release=_release)
 
     def search_batch_with_filter(self, queries: Sequence[Tuple[Vector, int]],
                                  filter: MetadataFilter
@@ -475,6 +533,7 @@ class VectorStore:
         """Rebind store bookkeeping around an index that was restored out
         of band (e.g. an imported HNSW graph): internal<->string maps,
         metadata, dimension, and the columnar filter mirror."""
+        self._cow_inflight_id_maps()
         self._id_to_internal = {sid: iid for iid, sid in id_map.items()}
         self._internal_to_id = dict(id_map)
         self._metadata = {iid: Metadata(fields)
