@@ -231,3 +231,57 @@ def test_bf16_exact_data_margin_is_rigorous(rng):
                                               mode="exact")
     want_d, want_i = _oracle(queries, db, valid, DistanceMetric.EUCLIDEAN, k)
     assert np.array_equal(idx[:, :k], want_i)
+
+
+def test_exact1p_three_level_selection(rng):
+    """Capacity large enough that the 3rd selection level (super-supers of
+    SUPER2 supers) actually EXCLUDES super-supers: t3 = t2/SUPER2 must
+    exceed m3. Results must stay bit-exact vs the oracle and certify on
+    gaussian data (the ss_boundary term never tightens the certificate in
+    the generic case)."""
+    n, d, q, k = 1 << 18, 32, 4, 5
+    t2 = n // coarse_kernel.SUB // coarse_kernel.SUPER
+    m2, m = coarse_kernel._exact1p_pool(k, n // coarse_kernel.SUB)
+    t3 = t2 // coarse_kernel.SUPER2
+    assert t2 % coarse_kernel.SUPER2 == 0 and t3 > min(m2, t3), \
+        "shape no longer exercises super-super exclusion — update the test"
+    db, valid, state = _state(rng, n, d, dead_frac=0.05)
+    state = _with_elo(state)
+    queries = rng.standard_normal((q, d)).astype(np.float32)
+    dists, idx, cert = jax.device_get(coarse_kernel.coarse_search_1p(
+        jnp.asarray(queries), state["db"], state["sq_norms"],
+        state["norms"], state["valid"], state["hi"], state["elo_max"],
+        DistanceMetric.EUCLIDEAN, k))
+    assert np.asarray(cert).all(), "gaussian data should fully certify"
+    want_d, want_i = _oracle(queries, db, valid, DistanceMetric.EUCLIDEAN, k)
+    assert np.array_equal(idx[:, :k], want_i)
+    np.testing.assert_allclose(dists[:, :k], want_d, rtol=2e-5, atol=2e-5)
+
+
+def test_exact1p_three_level_tie_soundness(rng):
+    """Massive ties across super-super boundaries (every row duplicated
+    many times): tie-breaking in the level-3 top_k may exclude a tied
+    container, so certification must either fail (fallback keeps results
+    exact) or hold with exact distances. Distances are compared (ids are
+    ambiguous under ties)."""
+    n, d, q, k = 1 << 18, 32, 4, 5
+    uniq = rng.standard_normal((256, d)).astype(np.float32)
+    db = np.tile(uniq, (n // 256, 1))
+    valid = np.ones(n, dtype=bool)
+    sq = np.einsum("ij,ij->i", db, db).astype(np.float32)
+    dbj = jnp.asarray(db)
+    hi, lo = coarse_kernel.split_hi_lo(dbj)
+    state = _with_elo({"db": dbj, "sq_norms": jnp.asarray(sq),
+                       "norms": jnp.asarray(np.sqrt(sq)),
+                       "valid": jnp.asarray(valid), "hi": hi, "lo": lo})
+    queries = rng.standard_normal((q, d)).astype(np.float32)
+    dists, idx = topk_mod.flat_search_batched(queries, state,
+                                              DistanceMetric.EUCLIDEAN, k,
+                                              mode="exact")
+    want_d, _ = _oracle(queries, db, valid, DistanceMetric.EUCLIDEAN, k)
+    np.testing.assert_allclose(dists[:, :k], want_d, rtol=2e-5, atol=2e-5)
+    # every returned id must actually be at the claimed distance
+    got_rows = db[np.asarray(idx[:, :k])]
+    true_d = np.sqrt(((queries[:, None, :].astype(np.float64)
+                       - got_rows.astype(np.float64)) ** 2).sum(-1))
+    np.testing.assert_allclose(dists[:, :k], true_d, rtol=2e-5, atol=2e-5)

@@ -497,14 +497,17 @@ def _refine_dots_kernel(idx_cur, idx_nxt, q_ref, db_ref, out_ref,
                     scratch.at[dst_slot, pl.ds((qi * m + j) * SUB, SUB), :],
                     sems.at[dst_slot]).start()
 
-    def wait_all(dst_slot, idx_ref):
-        for qi in range(qbr):
-            for j in range(m):
-                t = idx_ref[qi, j]
-                pltpu.make_async_copy(
-                    db_ref.at[pl.ds(t * SUB, SUB), :],
-                    scratch.at[dst_slot, pl.ds((qi * m + j) * SUB, SUB), :],
-                    sems.at[dst_slot]).wait()
+    def wait_all(dst_slot):
+        # One grouped wait for the whole slot's qbr*m copies: DMA
+        # semaphores count BYTES, so a single wait on a descriptor sized
+        # like the full slot (qbr*m*SUB rows — never started, purely a
+        # byte-count carrier) is equivalent to qbr*m per-descriptor waits
+        # and removes ~qbr*m scalar-core wait ops per grid step (131k
+        # descriptor waits at the headline shape measured as a large
+        # fraction of the refine kernel's cost). A same-ref scratch
+        # descriptor keeps the shape in-bounds for any database size.
+        pltpu.make_async_copy(scratch.at[dst_slot], scratch.at[dst_slot],
+                              sems.at[dst_slot]).wait()
 
     @pl.when(i == 0)
     def _():
@@ -514,7 +517,7 @@ def _refine_dots_kernel(idx_cur, idx_nxt, q_ref, db_ref, out_ref,
     def _():
         fill(nxt, idx_nxt)
 
-    wait_all(slot, idx_cur)
+    wait_all(slot)
     # bf16-storage rows are cast up exactly, so the HIGHEST dot matches
     # XLA's promote-then-highest einsum on every source dtype
     rows = scratch[slot].astype(jnp.float32)             # (qbr*m*SUB, d)
@@ -903,6 +906,7 @@ def _coarse_search_jit(queries, db, db_sq, db_norms, valid, db_hi, db_lo,
 # ---------------------------------------------------------------------------
 
 SUPER = 16              # tiles per super-tile in the hierarchical selection
+SUPER2 = 16             # super-tiles per super-super (3rd selection level)
 _REFINE_BYTES = int(2.5e9)   # peak refine-gather budget -> query chunking
 # margin scale on err_dot: rigorous floor is 2 for euclidean (score error =
 # 2x dot error) and 1 for dot/cosine; 3.0/1.5 carry a 1.5x slack that also
@@ -986,23 +990,54 @@ def _coarse_search_1p_jit(queries, db, db_sq, db_norms, valid, db_hi,
     src_arr = db_hi if src == "mirrors" else db
     tile_tq, sup_tq = _minima_1p_sup(qThi, qrow, src_arr, col, inv_col,
                                      mode, interpret, src, scales)
-    minima2 = jax.lax.optimization_barrier(sup_tq.T)     # (Qp, T2) small
-    neg_sup, sup_idx = jax.lax.top_k(-minima2, m2)
-    m3_tq = tile_tq.reshape(t_all // SUPER, SUPER, qp)
+    t2 = t_all // SUPER
+    inf_col = jnp.full((qp,), jnp.inf, jnp.float32)
+    if (t2 % SUPER2 == 0 and t2 // SUPER2 >= 2
+            and not os.environ.get("VDB_TPU_NO_SEL3")):
+        # third selection level: super-supers of SUPER2 supers. Exact by
+        # the same containment argument as supers->tiles (the j-th best
+        # super's container ranks <= j among containers, so the top-m3
+        # containers hold every top-m2 super when m3 >= m2); the extra
+        # ss_boundary term keeps the certificate sound even when boundary
+        # TIES break containment (top_k tie-break may exclude a tied
+        # container; its content is still bounded by the m3-th container
+        # min). ss_boundary >= sup_boundary whenever containment holds,
+        # so the added term never tightens the certificate in the generic
+        # case. Motivation: replaces the (Qp, T2) transpose + top_k
+        # (measured ~7 ms of the pipeline at Qp=4096, T2=4096) with a
+        # cheap (T2, Qp)-layout reduce and two small top_ks.
+        t3 = t2 // SUPER2
+        m3 = min(m2, t3)
+        sup3_tq = sup_tq.reshape(t3, SUPER2, qp)
+        minima3 = jax.lax.optimization_barrier(
+            sup3_tq.min(axis=1).T)                       # (Qp, t3) small
+        neg_ss, ss_idx = jax.lax.top_k(-minima3, m3)
+        sel_sup = sup3_tq[ss_idx, :, jnp.arange(qp)[:, None]]
+        sel_sup = sel_sup.reshape(qp, m3 * SUPER2)
+        neg_sup, loc2 = jax.lax.top_k(-sel_sup, m2)
+        ss_of = jnp.take_along_axis(ss_idx, loc2 // SUPER2, axis=1)
+        sup_idx = ss_of * SUPER2 + (loc2 % SUPER2)       # (Qp, m2) global
+        ss_boundary = -neg_ss[:, -1] if m3 < t3 else inf_col
+    else:
+        minima2 = jax.lax.optimization_barrier(sup_tq.T)  # (Qp, T2) small
+        neg_sup, sup_idx = jax.lax.top_k(-minima2, m2)
+        ss_boundary = inf_col
+    m3_tq = tile_tq.reshape(t2, SUPER, qp)
     sel = m3_tq[sup_idx, :, jnp.arange(qp)[:, None]]     # (Qp, m2, SUPER)
     sel = sel.reshape(qp, m2 * SUPER)
     neg_t, loc = jax.lax.top_k(-sel, m)
     sup_of = jnp.take_along_axis(sup_idx, loc // SUPER, axis=1)
     tile_idx = sup_of * SUPER + (loc % SUPER)            # (Qp, m) global
 
-    # smallest coarse minimum over everything NOT refined: non-selected
-    # supers are bounded by the m2-th super min, non-selected tiles inside
-    # selected supers by the m-th tile min (either bound is +inf when its
-    # stratum is fully selected)
-    inf_col = jnp.full((qp,), jnp.inf, jnp.float32)
-    sup_boundary = -neg_sup[:, -1] if m2 < t_all // SUPER else inf_col
+    # smallest coarse minimum over everything NOT refined, stratum by
+    # stratum: non-selected super-supers are bounded by the m3-th
+    # super-super min, non-selected supers inside selected super-supers by
+    # the m2-th super min, non-selected tiles inside selected supers by
+    # the m-th tile min (every bound is +inf when its stratum is fully
+    # selected)
+    sup_boundary = -neg_sup[:, -1] if m2 < t2 else inf_col
     tile_boundary = -neg_t[:, -1] if m < m2 * SUPER else inf_col
-    b = jnp.minimum(sup_boundary, tile_boundary)
+    b = jnp.minimum(ss_boundary, jnp.minimum(sup_boundary, tile_boundary))
 
     offs = jnp.arange(SUB, dtype=jnp.int32)
     cand = (tile_idx[:, :, None] * SUB + offs[None, None, :]).reshape(
