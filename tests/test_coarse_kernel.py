@@ -269,3 +269,29 @@ def test_flat_index_uses_f32_source_above_memory_gate(rng, monkeypatch):
     assert res[0][0] == 42
     dev = idx._sync_device()
     assert "hi" not in dev and dev.get("coarse_f32") is True
+
+
+def test_fast_mode_routes_through_1p_fast(rng, monkeypatch):
+    """Dispatch regression: at a supports_1p capacity, fast mode must use
+    the fused-minima hierarchical pipeline (coarse_search_1p_fast), not
+    the legacy full-transpose + approx_min_k path."""
+    n, d, q, k = 1024, 32, 4, 10
+    db, valid, state = _state(rng, n, d)
+    queries = rng.standard_normal((q, d)).astype(np.float32)
+    calls = []
+    real = coarse_kernel.coarse_search_1p_fast
+
+    def spy(*args, **kwargs):
+        calls.append(True)
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(coarse_kernel, "coarse_search_1p_fast", spy)
+    dists, idx = flat_search_batched(queries, state,
+                                     DistanceMetric.EUCLIDEAN, k,
+                                     mode="fast")
+    assert calls, "fast mode did not engage the 1p fast pipeline"
+    want_d, want_i = _oracle(queries, db, valid,
+                             DistanceMetric.EUCLIDEAN, k)
+    overlap = np.mean([len(set(a[:k]) & set(b)) / k
+                       for a, b in zip(idx, want_i)])
+    assert overlap >= 0.9, overlap

@@ -924,10 +924,16 @@ def _exact1p_pool(k: int, t_all: int) -> tuple[int, int]:
     a variance cushion ~ sqrt(SUB*k). Measured knees: k=10 -> m=32
     certifies 32768/32768 while m=24 leaves 0.4% uncertified
     (benchmarks/exp_exact1p2.py); k=100 -> m=144/160/192 certify
-    76%/99.5%/100% at N=2^20 x 768 iid (r2 probe). The formula below
-    gives 32 at k=10 and 201 at k=100."""
+    76%/99.5%/100% at N=2^20 x 768 iid (r2 probe). Small k uses the
+    measured knee directly (the refine is DMA-descriptor-bound, ~70 ns
+    per candidate tile per query, so every pool tile above the knee costs
+    ~0.6 ms per 4096-query batch at 768-d: m=42 -> 74.1 ms vs m=32 ->
+    68.4 ms, both 4096/4096 certified, benchmarks/exp_sel3_ab.py); large
+    k keeps the conservative 2.5x-sqrt cushion (k=100 -> m=201, the
+    measured 100% knee — 160 left 0.5% uncertified)."""
     t2 = t_all // SUPER
-    slack = max(22, int(2.5 * (SUB * int(k)) ** 0.5) + 1)
+    coeff = 1.7 if SUB * int(k) <= 256 else 2.5
+    slack = max(22, int(coeff * (SUB * int(k)) ** 0.5) + 1)
     m = min(max(32, int(k) + slack), t_all)
     m2 = min(max(32, int(k) + slack), t2)
     return m2, min(m, m2 * SUPER)
@@ -949,10 +955,11 @@ def supports_1p_int8(capacity: int, d: int, k_eff: int) -> bool:
 
 @functools.partial(jax.jit,
                    static_argnames=("metric_name", "k", "m2", "m",
-                                    "interpret", "src"))
+                                    "interpret", "src", "with_cert"))
 def _coarse_search_1p_jit(queries, db, db_sq, db_norms, valid, db_hi,
                           elo_max, metric_name: str, k: int, m2: int,
-                          m: int, interpret: bool, src: str, scales=None):
+                          m: int, interpret: bool, src: str, scales=None,
+                          with_cert: bool = True):
     mode = _metric_mode(metric_name)
     qp, d = queries.shape
     n = db.shape[0]
@@ -1050,6 +1057,19 @@ def _coarse_search_1p_jit(queries, db, db_sq, db_norms, valid, db_hi,
                               scales=scales)
     idx_out = jnp.take_along_axis(cand, pos, axis=1)
 
+    if not with_cert:
+        # fast mode: approximate ids with exact distances over the refined
+        # pool — no certificate (the caller treats all queries as final)
+        if mode == "euclidean":
+            dists = jnp.where(jnp.isfinite(sk),
+                              jnp.sqrt(jnp.maximum(sk, 0.0)), jnp.inf)
+        elif mode == "dot":
+            dists = sk
+        else:
+            dists = jnp.where(jnp.isfinite(sk),
+                              1.0 + jnp.clip(sk, -1.0, 1.0), jnp.inf)
+        return dists, idx_out, jnp.zeros((qp,), bool)
+
     # rigorous per-query margin from computed residual norms (module
     # docstring + benchmarks/exp_exact1p.py for the derivation). The
     # accumulation term carries a 4x coefficient so the margin stays
@@ -1133,6 +1153,50 @@ def coarse_search_1p(queries, db, db_sq, db_norms, valid, db_hi, elo_max,
                                  m2, m, interpret_mode(), src, scales)
 
 
+def _fast1p_pool(k: int, t_all: int) -> tuple[int, int]:
+    """(m2 supers, m tiles) for the 1-pass FAST pool, with m2 = m so the
+    containment argument makes tile selection exact over the coarse
+    scores. Exact selection needs only m >= k up to bf16 coarse-score
+    boundary noise (the j-th best row's tile ranks <= j among tiles by
+    true min), so the cushion is small: m=12 at k=10 measured 1.0000
+    top-10 agreement with the certified-exact path over 4096 iid queries
+    at N=2^20 x 768 while running 1.36x faster than m=22
+    (benchmarks/exp_fastpool.py — the refine is DMA-descriptor-bound, so
+    time is ~linear in m)."""
+    slack = max(2, int(0.2 * (SUB * int(k)) ** 0.5))
+    m = min(max(12, int(k) + slack), t_all)
+    m2 = min(m, t_all // SUPER) if t_all // SUPER >= 1 else 1
+    return m2, min(m, m2 * SUPER)
+
+
+def coarse_search_1p_fast(queries, db, db_sq, db_norms, valid, db_hi,
+                          metric: DistanceMetric, k: int):
+    """1-pass FAST search: (dists, idx) — approximate ids (exact top-m
+    tile selection over single-bf16-pass coarse scores), exact distances
+    over the refined pool. Replaces the legacy fast pipeline's full
+    (Qp, T) transpose + approx_min_k with the fused tile+super minima
+    kernel and hierarchical exact selection: faster AND strictly better
+    tile recall (approx_min_k at recall_target=0.99 vs exact top-m).
+    Same src dispatch as coarse_search_1p minus int8 (int8 storage always
+    serves the certified tier — it is already a single pass).
+    """
+    n = db.shape[0]
+    m2, m = _fast1p_pool(k, n // SUB)
+    if db_hi is db and db.dtype == jnp.bfloat16:
+        src = "bf16"
+        db_hi = jnp.zeros((1, 1), jnp.bfloat16)
+    elif db_hi is not None:
+        src = "mirrors"
+    else:
+        src = "f32"
+        db_hi = db
+    dists, idx, _ = _coarse_search_1p_jit(
+        queries, db, db_sq, db_norms, valid, db_hi, jnp.float32(0.0),
+        metric.value, int(k), m2, m, interpret_mode(), src,
+        with_cert=False)
+    return dists, idx
+
+
 @jax.jit
 def residual_max_norm(db, hi):
     """Upper bound max_r |db_r - hi_r| for the 1-pass certificate."""
@@ -1212,7 +1276,8 @@ def scatter_hi_lo_copy(hi, lo, idx, rows_f32):
     return hi.at[idx].set(rhi), lo.at[idx].set(rlo)
 
 
-__all__ = ["coarse_search", "coarse_search_1p", "split_hi_lo",
+__all__ = ["coarse_search", "coarse_search_1p", "coarse_search_1p_fast",
+           "split_hi_lo",
            "scatter_hi_lo", "scatter_hi_lo_copy", "supports",
            "supports_1p", "supports_1p_int8", "residual_max_norm",
            "residual_max_norm_f32", "interpret_mode", "SUB", "SUPER",

@@ -450,11 +450,26 @@ def flat_search_batched_submit(queries_np: np.ndarray, device_state: dict,
             if device_state.get("bf16_storage"):
                 mode = "exact"
             if mode == "fast":
-                dists, idx, _ = coarse_kernel.coarse_search(
-                    queries_dev, device_state["db"],
-                    device_state["sq_norms"], device_state["norms"],
-                    device_state["valid"], device_state.get("hi"),
-                    device_state.get("lo"), metric, k_pallas, exact=False)
+                if (coarse_kernel.supports_1p(capacity,
+                                              queries_np.shape[1],
+                                              k_pallas)
+                        and os.environ.get("VDB_TPU_FAST1P", "1") != "0"):
+                    # fused tile+super minima kernel + hierarchical exact
+                    # tile selection: faster than the legacy fast path's
+                    # full-minima transpose + approx_min_k, and strictly
+                    # better tile recall
+                    dists, idx = coarse_kernel.coarse_search_1p_fast(
+                        queries_dev, device_state["db"],
+                        device_state["sq_norms"], device_state["norms"],
+                        device_state["valid"], device_state.get("hi"),
+                        metric, k_pallas)
+                else:
+                    dists, idx, _ = coarse_kernel.coarse_search(
+                        queries_dev, device_state["db"],
+                        device_state["sq_norms"], device_state["norms"],
+                        device_state["valid"], device_state.get("hi"),
+                        device_state.get("lo"), metric, k_pallas,
+                        exact=False)
 
                 def collect_fast():
                     d_, i_ = jax.device_get((dists, idx))
