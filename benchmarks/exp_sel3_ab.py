@@ -1,9 +1,11 @@
 """A/B the round-2 kernel changes at the headline shape, in ONE process:
 
-  V1 current: 3-level selection + grouped refine wait, pool from
-     _exact1p_pool (m=42 at k=10)
+  V1 pool forced to m2=m=42 (the pre-knee default this harness originally
+     measured; _exact1p_pool now RETURNS the knee, so the wide pool must
+     be forced to keep the A/B meaningful)
   V2 VDB_TPU_NO_SEL3=1: legacy 2-level selection (same refine)
-  V3 pool forced to m2=m=32 (the measured certification knee at k=10,
+  V3 current default: 3-level selection + grouped refine wait, pool from
+     _exact1p_pool = the measured certification knee (m2=m=32 at k=10,
      N=2^20 x 768 iid: 32768/32768 certified — BASELINE.md)
   F1 fast mode via coarse_search_1p_fast (fused minima + exact sel)
   F2 legacy fast (full-minima transpose + approx_min_k)
@@ -100,23 +102,28 @@ def main():
     m2, m = ck._exact1p_pool(K, N // ck.SUB)
     print(f"shape: N=2^20 d={D} Q={Q} k={K}  default pool m2={m2} m={m}")
 
-    t1, ref = time_exact(staged, st, "V1 exact: sel3 + grouped wait, default pool")
+    real_pool = ck._exact1p_pool
+    ck._exact1p_pool = lambda k, t: (42, 42)
+    t1, wide = time_exact(staged, st, "V1 exact: sel3, wide pool m2=m=42")
 
     os.environ["VDB_TPU_NO_SEL3"] = "1"
     jax.clear_caches()
-    t2, out2 = time_exact(staged, st, "V2 exact: legacy 2-level selection")
+    t2, out2 = time_exact(staged, st, "V2 exact: legacy 2-level sel, m=42")
     del os.environ["VDB_TPU_NO_SEL3"]
+    ck._exact1p_pool = real_pool
 
     # identical results across selection variants
     same = all(np.array_equal(np.asarray(a), np.asarray(b))
-               for a, b in zip(jax.device_get(ref), jax.device_get(out2)))
+               for a, b in zip(jax.device_get(wide), jax.device_get(out2)))
     print(f"   V1 == V2 results: {same}")
 
-    real_pool = ck._exact1p_pool
-    ck._exact1p_pool = lambda k, t: (32, 32)
     jax.clear_caches()
-    t3, out3 = time_exact(staged, st, "V3 exact: sel3, pool m2=m=32")
-    ck._exact1p_pool = real_pool
+    t3, ref = time_exact(staged, st, "V3 exact: sel3, default knee pool")
+    # knee-pool ids/dists must match the wide pool's wherever both certify
+    same3 = all(np.array_equal(np.asarray(a), np.asarray(b))
+                for a, b in zip(jax.device_get(wide[:2]),
+                                jax.device_get(ref[:2])))
+    print(f"   V1 == V3 results: {same3}")
 
     jax.clear_caches()
     f1, fo1 = time_fast(staged, st, "F1 fast: 1p fused sel (new)")

@@ -778,6 +778,39 @@ def _coarse_minima_f32(qThi, qTlo, qrow, db, col, inv_col,
     return jax.lax.optimization_barrier(minima_tq.T)
 
 
+def _scores_to_dists(sk, mode: str):
+    """Refined top-k scores -> metric distances. ONE copy shared by every
+    pipeline tail (3-pass, 1-pass certified, 1-pass fast) so a metric
+    tweak can never make fast-mode distances diverge from certified ones.
+    Non-finite scores (fewer than k live rows in the pool) map to +inf."""
+    if mode == "euclidean":
+        return jnp.where(jnp.isfinite(sk),
+                         jnp.sqrt(jnp.maximum(sk, 0.0)), jnp.inf)
+    if mode == "dot":
+        return sk
+    return jnp.where(jnp.isfinite(sk),
+                     1.0 + jnp.clip(sk, -1.0, 1.0), jnp.inf)
+
+
+def _dispatch_src(db, db_hi, scales):
+    """(src, db_hi) database-source ladder shared by the 1-pass entry
+    points: int8 codes (scales given) / bf16 single-buffer (db is its own
+    hi) / explicit hi mirror / f32 stream (hi/lo split in VMEM). The tiny
+    bf16 placeholder replaces db_hi where the trace never touches it, so
+    jit prunes it from the compiled program."""
+    if scales is not None:
+        if db.dtype != jnp.int8:
+            raise ValueError("scales= requires an int8 code matrix")
+        return "int8", jnp.zeros((1, 1), jnp.bfloat16)
+    if db.dtype == jnp.int8:
+        raise ValueError("int8 code matrix requires scales=")
+    if db_hi is db and db.dtype == jnp.bfloat16:
+        return "bf16", jnp.zeros((1, 1), jnp.bfloat16)
+    if db_hi is not None:
+        return "mirrors", db_hi
+    return "f32", db
+
+
 @functools.partial(jax.jit,
                    static_argnames=("metric_name", "k", "m_tiles", "passes",
                                     "interpret", "with_cert", "src"))
@@ -843,14 +876,7 @@ def _coarse_search_jit(queries, db, db_sq, db_norms, valid, db_hi, db_lo,
                               db_norms, valid, mode, m_tiles, k, interpret)
     idx_out = jnp.take_along_axis(cand, pos, axis=1)
 
-    if mode == "euclidean":
-        dists = jnp.where(jnp.isfinite(sk),
-                          jnp.sqrt(jnp.maximum(sk, 0.0)), jnp.inf)
-    elif mode == "dot":
-        dists = sk
-    else:
-        dists = jnp.where(jnp.isfinite(sk),
-                          1.0 + jnp.clip(sk, -1.0, 1.0), jnp.inf)
+    dists = _scores_to_dists(sk, mode)
     if not with_cert:
         return dists, idx_out, jnp.zeros((qp,), bool)
 
@@ -1060,15 +1086,8 @@ def _coarse_search_1p_jit(queries, db, db_sq, db_norms, valid, db_hi,
     if not with_cert:
         # fast mode: approximate ids with exact distances over the refined
         # pool — no certificate (the caller treats all queries as final)
-        if mode == "euclidean":
-            dists = jnp.where(jnp.isfinite(sk),
-                              jnp.sqrt(jnp.maximum(sk, 0.0)), jnp.inf)
-        elif mode == "dot":
-            dists = sk
-        else:
-            dists = jnp.where(jnp.isfinite(sk),
-                              1.0 + jnp.clip(sk, -1.0, 1.0), jnp.inf)
-        return dists, idx_out, jnp.zeros((qp,), bool)
+        return (_scores_to_dists(sk, mode), idx_out,
+                jnp.zeros((qp,), bool))
 
     # rigorous per-query margin from computed residual norms (module
     # docstring + benchmarks/exp_exact1p.py for the derivation). The
@@ -1107,15 +1126,7 @@ def _coarse_search_1p_jit(queries, db, db_sq, db_norms, valid, db_hi,
     certified = sane & jnp.where(jnp.isfinite(last), last <= b - margin,
                                  b >= 0.5 * PENALTY)
 
-    if mode == "euclidean":
-        dists = jnp.where(jnp.isfinite(sk),
-                          jnp.sqrt(jnp.maximum(sk, 0.0)), jnp.inf)
-    elif mode == "dot":
-        dists = sk
-    else:
-        dists = jnp.where(jnp.isfinite(sk),
-                          1.0 + jnp.clip(sk, -1.0, 1.0), jnp.inf)
-    return dists, idx_out, certified
+    return _scores_to_dists(sk, mode), idx_out, certified
 
 
 def coarse_search_1p(queries, db, db_sq, db_norms, valid, db_hi, elo_max,
@@ -1132,22 +1143,7 @@ def coarse_search_1p(queries, db, db_sq, db_norms, valid, db_hi, elo_max,
     """
     n = db.shape[0]
     m2, m = _exact1p_pool(k, n // SUB)
-    if scales is not None:
-        if db.dtype != jnp.int8:
-            raise ValueError("scales= requires an int8 code matrix")
-        src = "int8"
-        db_hi = jnp.zeros((1, 1), jnp.bfloat16)   # pruned by jit
-    elif db_hi is db and db.dtype == jnp.bfloat16:
-        # bf16 storage: one buffer, one jit argument (a tiny placeholder
-        # replaces db_hi; the src="bf16" trace never touches it, so jit
-        # prunes it from the compiled program)
-        src = "bf16"
-        db_hi = jnp.zeros((1, 1), jnp.bfloat16)
-    elif db_hi is not None:
-        src = "mirrors"
-    else:
-        src = "f32"
-        db_hi = db
+    src, db_hi = _dispatch_src(db, db_hi, scales)
     return _coarse_search_1p_jit(queries, db, db_sq, db_norms, valid,
                                  db_hi, elo_max, metric.value, int(k),
                                  m2, m, interpret_mode(), src, scales)
@@ -1158,13 +1154,17 @@ def _fast1p_pool(k: int, t_all: int) -> tuple[int, int]:
     containment argument makes tile selection exact over the coarse
     scores. Exact selection needs only m >= k up to bf16 coarse-score
     boundary noise (the j-th best row's tile ranks <= j among tiles by
-    true min), so the cushion is small: m=12 at k=10 measured 1.0000
-    top-10 agreement with the certified-exact path over 4096 iid queries
-    at N=2^20 x 768 while running 1.36x faster than m=22
-    (benchmarks/exp_fastpool.py — the refine is DMA-descriptor-bound, so
-    time is ~linear in m)."""
-    slack = max(2, int(0.2 * (SUB * int(k)) ** 0.5))
-    m = min(max(12, int(k) + slack), t_all)
+    true min), so the cushion is small — but it must absorb bf16
+    coarse-score noise on data with near-duplicate distances at the k-th
+    boundary, not just iid gaussian: m=12 at k=10 measured 1.0000 top-10
+    agreement on iid/manifold/64-way-duplicate layouts but 0.9948 on the
+    clustered hard mode (in-cluster queries, ~512 near-equidistant rows),
+    while m=16 measures 1.0000 on ALL four layouts at N=2^20 x 768
+    (benchmarks/exp_fast_clustered.py; exp_fastpool.py for the iid knee).
+    The refine is DMA-descriptor-bound so time is ~linear in m: the
+    12 -> 16 floor costs ~2.4 ms on a ~48 ms 4096-query batch."""
+    slack = max(6, int(0.45 * (SUB * int(k)) ** 0.5))
+    m = min(max(16, int(k) + slack), t_all)
     m2 = min(m, t_all // SUPER) if t_all // SUPER >= 1 else 1
     return m2, min(m, m2 * SUPER)
 
@@ -1182,14 +1182,11 @@ def coarse_search_1p_fast(queries, db, db_sq, db_norms, valid, db_hi,
     """
     n = db.shape[0]
     m2, m = _fast1p_pool(k, n // SUB)
-    if db_hi is db and db.dtype == jnp.bfloat16:
-        src = "bf16"
-        db_hi = jnp.zeros((1, 1), jnp.bfloat16)
-    elif db_hi is not None:
-        src = "mirrors"
-    else:
-        src = "f32"
-        db_hi = db
+    if db.dtype == jnp.int8:
+        raise ValueError(
+            "int8 codes serve the certified tier (coarse_search_1p with "
+            "scales=) — it is already a single pass")
+    src, db_hi = _dispatch_src(db, db_hi, None)
     dists, idx, _ = _coarse_search_1p_jit(
         queries, db, db_sq, db_norms, valid, db_hi, jnp.float32(0.0),
         metric.value, int(k), m2, m, interpret_mode(), src,
