@@ -14,9 +14,14 @@ identical, only the per-device speed differs):
   D. distributed certified top-k over the shards, verified against a
      NumPy oracle on a query subset.
 
-Run:  python benchmarks/sharded_10m.py [--n=10000000] [--d=768]
+Run:  python benchmarks/sharded_10m.py [--n=10000000] [--d=768] [--resume]
 (crash + reopen happen in one process: the engine object is dropped
 without close(), exactly what the reopen-after-drop tests do.)
+
+--resume: keep an existing DATA_DIR and skip the ingest — open() then
+replays whatever the WAL holds (e.g. the full 30 GB head after a crash
+mid-checkpoint), which is itself the crash-recovery path at scale; the
+row count is taken from the recovered engine.
 """
 
 from __future__ import annotations
@@ -56,7 +61,8 @@ def main():
     from vectordb_tpu.parallel import make_mesh
     from vectordb_tpu.persistence import EngineConfig, StorageEngine
 
-    if DATA_DIR.exists():
+    resume = "--resume" in sys.argv and DATA_DIR.exists()
+    if DATA_DIR.exists() and not resume:
         import shutil
         shutil.rmtree(DATA_DIR)
 
@@ -70,19 +76,27 @@ def main():
                       checkpoint_interval=10 ** 12)  # explicit checkpoints
     t0 = time.perf_counter()
     eng = StorageEngine.open(DATA_DIR, cfg)
-    head = N - TAIL
-    done = 0
-    while done < head:
-        n_c = min(CHUNK, head - done)
-        blk = rng.standard_normal((n_c, D)).astype(np.float32)
-        eng.insert_batch([BatchInsertItem(f"v{done + i}", Vector(blk[i]))
-                          for i in range(n_c)])
-        done += n_c
-        if done % (CHUNK * 8) == 0 or done == head:
-            el = time.perf_counter() - t0
-            print(f"  ingest {done}/{head} rows  {done / el:,.0f} vec/s",
-                  flush=True)
-    t_ingest = time.perf_counter() - t0
+    if resume:
+        head = len(eng)
+        t_ingest = time.perf_counter() - t0
+        print(f"  resume: recovered {head} rows in {t_ingest:.0f}s "
+              f"(snapshot + WAL replay — {head / t_ingest:,.0f} vec/s)",
+              flush=True)
+    else:
+        head = N - TAIL
+        done = 0
+        while done < head:
+            n_c = min(CHUNK, head - done)
+            blk = rng.standard_normal((n_c, D)).astype(np.float32)
+            eng.insert_batch([BatchInsertItem(f"v{done + i}",
+                                              Vector(blk[i]))
+                              for i in range(n_c)])
+            done += n_c
+            if done % (CHUNK * 8) == 0 or done == head:
+                el = time.perf_counter() - t0
+                print(f"  ingest {done}/{head} rows  "
+                      f"{done / el:,.0f} vec/s", flush=True)
+        t_ingest = time.perf_counter() - t0
 
     # -- B: checkpoint + WAL tail + crash ---------------------------------
     t0 = time.perf_counter()
@@ -96,7 +110,8 @@ def main():
     t_tail = time.perf_counter() - t0
     print(f"WAL tail ({TAIL} rows): {t_tail:.0f}s", flush=True)
     # keep a small oracle sample BEFORE the crash
-    probe_ids = rng.integers(0, N, 8)
+    total = head + TAIL          # == N unless resuming a partial ingest
+    probe_ids = rng.integers(0, total, 8)
     probes = np.stack([
         np.asarray(eng.get(f"v{i}").as_list(), np.float32)
         for i in probe_ids])
@@ -110,7 +125,7 @@ def main():
         metric=DistanceMetric.EUCLIDEAN, storage="bf16", mesh=mesh,
         checkpoint_interval=10 ** 12))
     t_open = time.perf_counter() - t0
-    assert len(eng) == N, len(eng)
+    assert len(eng) == total, (len(eng), total)
     print(f"recovery (snapshot + {TAIL}-row WAL replay -> sharded "
           f"hydration): {t_open:.0f}s", flush=True)
 

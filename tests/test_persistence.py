@@ -194,6 +194,60 @@ class TestSnapshot:
         mgr.save(DatabaseSnapshot([], {}, 0, None))
         assert not list(tmp_path.glob("*.tmp"))
 
+    def test_stream_writer_byte_parity(self, backend, tmp_path):
+        # write_snapshot_stream must produce the EXACT bytes of
+        # encode_snapshot (the on-disk format has one definition)
+        import io
+
+        from vectordb_tpu.persistence.serialization import (
+            encode_snapshot, write_snapshot_stream)
+        rng = np.random.default_rng(3)
+        vecs = [SerializedVector(i, f"id{i}",
+                                 rng.standard_normal(5).astype(np.float32))
+                for i in range(37)]
+        meta = {4: {"k": "v", "x": "y"}, 11: {"é": "✓"}}
+        snap = DatabaseSnapshot(vecs, meta, next_id=99, dimension=5)
+        ref = bytes(encode_snapshot(snap))
+        buf = io.BytesIO()
+        write_snapshot_stream(
+            buf, ((v.internal_id, v.string_id, v.data) for v in vecs),
+            meta, 99, 5, len(vecs))
+        assert buf.getvalue() == ref
+
+    def test_stream_reader_roundtrip(self, backend, tmp_path):
+        mgr = SnapshotManager(tmp_path)
+        rng = np.random.default_rng(4)
+        rows = rng.standard_normal((23, 7)).astype(np.float32)
+        meta = {5: {"a": "b"}}
+        mgr.save_stream(
+            ((i, f"v{i}", rows[i]) for i in range(23)), meta, 23, 7, 23)
+        # streamed file decodes via BOTH the materialized and the
+        # streaming readers
+        got = mgr.load()
+        assert len(got.vectors) == 23 and got.metadata == meta
+        with mgr.open_stream() as r:
+            assert (r.count, r.next_id, r.dimension) == (23, 23, 7)
+            assert r.read_metadata() == meta
+            out = list(r.vectors())
+        assert [(i, s) for i, s, _ in out] == [(i, f"v{i}")
+                                               for i in range(23)]
+        np.testing.assert_array_equal(np.stack([d for _, _, d in out]),
+                                      rows)
+        # rows are copies: usable after close
+        assert out[0][2].sum() == rows[0].sum()
+
+    def test_stream_count_mismatch_keeps_old_snapshot(self, backend,
+                                                      tmp_path):
+        from vectordb_tpu.errors import SerializationError
+        mgr = SnapshotManager(tmp_path)
+        mgr.save_stream(((0, "keep", np.ones(2, np.float32)),), {}, 1, 2, 1)
+        with pytest.raises(SerializationError):
+            mgr.save_stream(((0, "new", np.ones(2, np.float32)),),
+                            {}, 1, 2, count=5)   # iterator under-delivers
+        assert not list(tmp_path.glob("*.tmp"))
+        with mgr.open_stream() as r:
+            assert next(r.vectors())[1] == "keep"
+
 
 class TestEngine:
     def test_insert_search_reopen(self, backend, tmp_path):

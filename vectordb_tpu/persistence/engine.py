@@ -30,7 +30,7 @@ from ..metadata import Metadata
 from ..store import BatchInsertItem, SearchResult, VectorStore
 from ..vector import Vector
 from .serialization import (WAL_CHECKPOINT, WAL_DELETE, WAL_INSERT,
-                            DatabaseSnapshot, SerializedVector, WalEntry)
+                            DatabaseSnapshot, WalEntry)
 from .snapshot import SnapshotManager
 from .wal import WriteAheadLog
 
@@ -98,11 +98,22 @@ class StorageEngine:
     # -- recovery (reference: engine.rs:44-104) ------------------------------
 
     def _recover(self) -> None:
-        snap = self.snapshots.load()
-        if snap is not None:
-            if not (self._try_import_graph(snap)
-                    or self._try_import_ivf(snap)):
-                self._apply_snapshot(snap)
+        if self.config.index_type == "flat":
+            # streaming apply: the 10M x 768 lane — never materializes
+            # the 30 GB payload or a 10M-element object list
+            reader = self.snapshots.open_stream()
+            if reader is not None:
+                with reader:
+                    self._apply_snapshot_stream(reader)
+        else:
+            # hnsw/ivf import needs the whole snapshot (graph/layout
+            # tables bind to the full id set); these families checkpoint
+            # at far smaller row counts
+            snap = self.snapshots.load()
+            if snap is not None:
+                if not (self._try_import_graph(snap)
+                        or self._try_import_ivf(snap)):
+                    self._apply_snapshot(snap)
         for entry in self.wal.replay():
             self._apply_wal_entry(entry)
 
@@ -185,6 +196,27 @@ class StorageEngine:
             return True
         except Exception:
             return False  # any inconsistency -> rebuild from the snapshot
+
+    _APPLY_CHUNK = 65536
+
+    def _apply_snapshot_stream(self, reader) -> None:
+        """Chunked re-insert from a SnapshotStreamReader (flat index).
+        Bounded memory: one 64k-item chunk at a time; rows are copies out
+        of the snapshot mmap. insert_batch's fresh-id bulk path keeps this
+        vectorized."""
+        metadata = reader.read_metadata()
+        chunk: List[BatchInsertItem] = []
+        for internal_id, string_id, data in reader.vectors():
+            chunk.append(BatchInsertItem(
+                id=string_id,
+                vector=Vector(data),
+                metadata=Metadata(metadata.get(internal_id) or {})))
+            if len(chunk) >= self._APPLY_CHUNK:
+                self.store.insert_batch(chunk)
+                chunk = []
+        if chunk:
+            self.store.insert_batch(chunk)
+        self.store.restore_next_internal_id(reader.next_id)
 
     def _apply_snapshot(self, snap: DatabaseSnapshot) -> None:
         items = [
@@ -301,19 +333,48 @@ class StorageEngine:
             self.checkpoint()
 
     def checkpoint(self) -> None:
-        snap = self._build_snapshot()
-        self.snapshots.save(snap)
+        self._save_snapshot_stream()
         self._save_graph()
         self._save_ivf()
         self.wal.append(WalEntry.checkpoint())
         self.wal.truncate()
         self._wal_count = 0
 
+    def _save_snapshot_stream(self) -> None:
+        """Stream the snapshot straight from the index to disk (same bytes
+        as the materialized path, ~64 MB peak instead of 2x payload —
+        checkpointing a 10M x 768 store was an OOM before this)."""
+        id_map = self.store.internal_to_string_ids()
+        metadata: dict = {}
+
+        def rows():
+            for internal_id, vector in self.store.index.iter_items():
+                string_id = id_map.get(internal_id)
+                if string_id is None:
+                    # out-of-sync id map: yields fewer rows than the
+                    # header count, so the writer aborts (and the tmp
+                    # file is discarded) instead of persisting a
+                    # corrupt snapshot
+                    continue
+                meta = self.store.get_metadata(string_id)
+                if meta is not None and not meta.is_empty():
+                    metadata[internal_id] = meta.fields()
+                yield internal_id, string_id, vector.as_array()
+
+        self.snapshots.save_stream(rows(), metadata,
+                                   self.store.next_internal_id,
+                                   self.store.dimension, len(self.store))
+
     def _snapshot_digest(self) -> str:
         import hashlib
+        h = hashlib.sha256()
         try:
-            return hashlib.sha256(
-                self.snapshots.snapshot_path.read_bytes()).hexdigest()
+            with open(self.snapshots.snapshot_path, "rb") as f:
+                while True:
+                    blk = f.read(64 << 20)
+                    if not blk:
+                        return h.hexdigest()
+                    h.update(blk)
         except OSError:
             return ""
 
@@ -358,24 +419,6 @@ class StorageEngine:
         np.savez(buf, metric=self.config.metric.value,
                  snapshot_digest=self._snapshot_digest(), **state)
         _durable_write(self._ivf_path(), buf.getvalue())
-
-    def _build_snapshot(self) -> DatabaseSnapshot:
-        id_map = self.store.internal_to_string_ids()
-        vectors = []
-        metadata = {}
-        for internal_id, vector in self.store.index.iter_items():
-            string_id = id_map.get(internal_id)
-            if string_id is None:
-                continue
-            vectors.append(SerializedVector(
-                internal_id, string_id, vector.as_array().copy()))
-            meta = self.store.get_metadata(string_id)
-            if meta is not None and not meta.is_empty():
-                metadata[internal_id] = meta.fields()
-        return DatabaseSnapshot(
-            vectors=vectors, metadata=metadata,
-            next_id=self.store.next_internal_id,
-            dimension=self.store.dimension)
 
     def close(self) -> None:
         self.wal.close()

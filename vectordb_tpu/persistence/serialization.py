@@ -201,6 +201,143 @@ def encode_snapshot(snap: DatabaseSnapshot) -> bytes:
     return bytes(out)
 
 
+_STREAM_BUF = 64 << 20     # flush threshold for the streaming writer
+
+
+def write_snapshot_stream(f, vectors, metadata, next_id: int,
+                          dimension, count: int) -> None:
+    """Stream-encode a snapshot to file object ``f`` — byte-identical to
+    ``encode_snapshot`` on the same content, but with bounded memory
+    (~64 MB), so checkpointing a 10M x 768 store does not materialize a
+    30 GB payload (plus its ``bytes()`` copy) in RAM.
+
+    ``vectors`` is an iterable of ``(internal_id, string_id, f32 row)``;
+    ``count`` must match the number of items it yields (it is written
+    into the header up front). ``metadata`` maps internal_id -> fields
+    and is read only AFTER ``vectors`` is exhausted, so a caller may pass
+    a dict that the vector iterator itself populates as it walks."""
+    out = bytearray()
+    out += SNAPSHOT_MAGIC
+    out += struct.pack("<q", -1 if dimension is None else dimension)
+    out += struct.pack("<Q", next_id)
+    out += struct.pack("<Q", count)
+    yielded = 0
+    for internal_id, string_id, data in vectors:
+        out += struct.pack("<Q", internal_id)
+        _pack_str(out, string_id)
+        _pack_f32s(out, data)
+        yielded += 1
+        if len(out) >= _STREAM_BUF:
+            f.write(out)
+            out = bytearray()
+    if yielded != count:
+        raise SerializationError(
+            f"snapshot count mismatch: header says {count}, "
+            f"iterator yielded {yielded}")
+    out += struct.pack("<Q", len(metadata))
+    for internal_id, fields in metadata.items():
+        out += struct.pack("<Q", internal_id)
+        _pack_fields(out, fields)
+        if len(out) >= _STREAM_BUF:
+            f.write(out)
+            out = bytearray()
+    f.write(out)
+
+
+class SnapshotStreamReader:
+    """Streaming decode over an mmap of ``snapshot.bin``: header fields up
+    front, vectors as a generator of ``(internal_id, string_id, row)``
+    (rows are COPIES — safe to keep after close), metadata via a fast
+    skip-walk. Peak memory is one row plus the metadata dict, vs
+    ``decode_snapshot``'s full payload + 10M-element object list."""
+
+    def __init__(self, path):
+        import mmap
+        self._f = open(path, "rb")
+        try:
+            self._mm = mmap.mmap(self._f.fileno(), 0,
+                                 access=mmap.ACCESS_READ)
+        except ValueError:            # empty file
+            self._f.close()
+            raise SerializationError("empty snapshot") from None
+        buf = memoryview(self._mm)
+        if bytes(buf[:8]) != SNAPSHOT_MAGIC:
+            self.close()
+            raise SerializationError("bad snapshot magic")
+        (dim,) = struct.unpack_from("<q", buf, 8)
+        (self.next_id,) = struct.unpack_from("<Q", buf, 16)
+        (self.count,) = struct.unpack_from("<Q", buf, 24)
+        self.dimension = None if dim < 0 else dim
+        self._vec_off = 32
+
+    def vectors(self):
+        buf = memoryview(self._mm)
+        off = self._vec_off
+        try:
+            for _ in range(self.count):
+                (internal_id,) = struct.unpack_from("<Q", buf, off)
+                off += 8
+                string_id, off = _unpack_str(buf, off)
+                data, off = _unpack_f32s(buf, off)
+                yield internal_id, string_id, data
+        except struct.error as e:
+            raise SerializationError(
+                f"undecodable snapshot: {e}") from None
+        finally:
+            del buf
+
+    def _metadata_offset(self) -> int:
+        """Skip-walk the vector section (offset arithmetic only — no row
+        materialization)."""
+        buf = memoryview(self._mm)
+        off = self._vec_off
+        try:
+            for _ in range(self.count):
+                off += 8
+                (n,) = struct.unpack_from("<I", buf, off)
+                off += 4 + n
+                (n,) = struct.unpack_from("<I", buf, off)
+                off += 4 + n * 4
+            return off
+        except struct.error as e:
+            raise SerializationError(
+                f"undecodable snapshot: {e}") from None
+        finally:
+            del buf
+
+    def read_metadata(self) -> Dict[int, Dict[str, str]]:
+        buf = memoryview(self._mm)
+        off = self._metadata_offset()
+        try:
+            (mcount,) = struct.unpack_from("<Q", buf, off)
+            off += 8
+            metadata: Dict[int, Dict[str, str]] = {}
+            for _ in range(mcount):
+                (internal_id,) = struct.unpack_from("<Q", buf, off)
+                off += 8
+                fields, off = _unpack_fields(buf, off)
+                metadata[internal_id] = fields
+            return metadata
+        except struct.error as e:
+            raise SerializationError(
+                f"undecodable snapshot: {e}") from None
+        finally:
+            del buf
+
+    def close(self) -> None:
+        if getattr(self, "_mm", None) is not None:
+            self._mm.close()
+            self._mm = None
+        if not self._f.closed:
+            self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
 def decode_snapshot(payload: bytes) -> DatabaseSnapshot:
     try:
         buf = memoryview(payload)
@@ -257,5 +394,6 @@ __all__ = [
     "WAL_INSERT", "WAL_DELETE", "WAL_CHECKPOINT",
     "encode_wal_entry", "decode_wal_entry",
     "encode_snapshot", "decode_snapshot",
+    "write_snapshot_stream", "SnapshotStreamReader",
     "to_json", "from_json", "SNAPSHOT_MAGIC",
 ]

@@ -18,8 +18,9 @@ from typing import Optional
 
 from ..errors import SerializationError, VdbIoError
 from . import native_lib
-from .serialization import (DatabaseSnapshot, decode_snapshot,
-                            encode_snapshot)
+from .serialization import (DatabaseSnapshot, SnapshotStreamReader,
+                            decode_snapshot, encode_snapshot,
+                            write_snapshot_stream)
 
 SNAPSHOT_FILE = "snapshot.bin"
 MANIFEST_FILE = "manifest.json"
@@ -63,6 +64,55 @@ class SnapshotManager:
         }
         _durable_write(self.manifest_path,
                        json.dumps(manifest, indent=2).encode())
+
+    def save_stream(self, vectors, metadata, next_id: int, dimension,
+                    count: int) -> None:
+        """Streaming ``save``: same bytes on disk, bounded (~64 MB) memory
+        — the checkpoint path for multi-GB stores (a 10M x 768 store's
+        snapshot is ~30 GB; ``save`` would hold it in RAM twice). Write is
+        atomic + durable: tmp file, fsync, rename, directory fsync.
+        ``vectors``/``metadata`` follow write_snapshot_stream's contract
+        (metadata may be populated by the vector iterator itself)."""
+        tmp = self.snapshot_path.with_suffix(
+            self.snapshot_path.suffix + ".tmp")
+        try:
+            with open(tmp, "wb") as f:
+                write_snapshot_stream(f, vectors, metadata, next_id,
+                                      dimension, count)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, self.snapshot_path)
+            dir_fd = os.open(str(self.snapshot_path.parent), os.O_RDONLY)
+            try:
+                os.fsync(dir_fd)
+            finally:
+                os.close(dir_fd)
+        except OSError as e:
+            raise VdbIoError(e) from None
+        finally:
+            if tmp.exists():
+                try:
+                    tmp.unlink()
+                except OSError:
+                    pass
+        manifest = {
+            "vector_count": count,
+            "next_id": next_id,
+            "dimension": dimension,
+        }
+        _durable_write(self.manifest_path,
+                       json.dumps(manifest, indent=2).encode())
+
+    def open_stream(self) -> Optional[SnapshotStreamReader]:
+        """Streaming ``load``: header + row iterator over an mmap, or None
+        when no snapshot exists. The caller must ``close()`` the reader
+        (or use it as a context manager)."""
+        if not self.snapshot_path.exists():
+            return None
+        try:
+            return SnapshotStreamReader(self.snapshot_path)
+        except OSError as e:
+            raise VdbIoError(e) from None
 
     def load(self) -> Optional[DatabaseSnapshot]:
         """Decode snapshot.bin, or None when absent (snapshot.rs:49-58)."""
