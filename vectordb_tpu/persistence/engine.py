@@ -114,7 +114,7 @@ class StorageEngine:
                 if not (self._try_import_graph(snap)
                         or self._try_import_ivf(snap)):
                     self._apply_snapshot(snap)
-        for entry in self.wal.replay():
+        for entry in self.wal.iter_replay():
             self._apply_wal_entry(entry)
 
     GRAPH_FILE = "hnsw_graph.npz"
