@@ -260,6 +260,27 @@ class TestEngine:
             hits = eng.search(Vector([1.0, 0.1]), 1)
             assert hits[0].id == "a"
 
+    def test_chunked_wal_replay_order(self, backend, tmp_path,
+                                      monkeypatch):
+        # replay batches consecutive inserts through the bulk path; a
+        # tiny chunk size forces flush boundaries, and interleaved
+        # deletes + upserts must still apply in exact WAL order
+        monkeypatch.setattr(StorageEngine, "_APPLY_CHUNK", 3)
+        with StorageEngine.open(tmp_path) as eng:
+            for i in range(10):
+                eng.insert(f"v{i}", Vector([float(i), 0.0]))
+            eng.delete("v4")
+            eng.insert("v5", Vector([50.0, 1.0]))      # upsert post-delete
+            eng.insert("v4", Vector([40.0, 2.0]))      # re-insert deleted
+            eng.delete("v9")
+        with StorageEngine.open(tmp_path) as eng:
+            assert sorted(eng.list_ids()) == sorted(
+                [f"v{i}" for i in range(9)])
+            assert eng.get("v5").as_list() == [50.0, 1.0]
+            assert eng.get("v4").as_list() == [40.0, 2.0]
+            hits = eng.search(Vector([50.0, 1.0]), 1)
+            assert hits[0].id == "v5"
+
     def test_snapshot_plus_wal_recovery(self, backend, tmp_path):
         # checkpoint then more writes (reference engine.rs:294-328)
         with StorageEngine.open(tmp_path) as eng:

@@ -114,8 +114,31 @@ class StorageEngine:
                 if not (self._try_import_graph(snap)
                         or self._try_import_ivf(snap)):
                     self._apply_snapshot(snap)
+        # batch consecutive WAL inserts through the store's vectorized
+        # bulk path (per-entry apply costs ~0.3 ms/row in slot writes —
+        # almost an hour for a 10M-row log). Deletes flush the pending
+        # chunk first so apply order is preserved exactly; within-chunk
+        # duplicate ids keep upsert semantics because insert_batch
+        # applies items sequentially.
+        chunk: List[BatchInsertItem] = []
+
+        def flush():
+            if chunk:
+                self.store.insert_batch(chunk)
+                chunk.clear()
+
         for entry in self.wal.iter_replay():
-            self._apply_wal_entry(entry)
+            if entry.kind == WAL_INSERT:
+                chunk.append(BatchInsertItem(
+                    id=entry.string_id, vector=Vector(entry.data),
+                    metadata=Metadata(entry.metadata)))
+                self._wal_count += 1
+                if len(chunk) >= self._APPLY_CHUNK:
+                    flush()
+            else:
+                flush()
+                self._apply_wal_entry(entry)
+        flush()
 
     GRAPH_FILE = "hnsw_graph.npz"
     IVF_FILE = "ivf_state.npz"
