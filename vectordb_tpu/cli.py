@@ -18,7 +18,7 @@ import sys
 from typing import List, Optional
 
 from .distance import DistanceMetric
-from .errors import VectorDbError
+from .errors import IndexOpError, VectorDbError
 from .index.hnsw import HnswIndex, HnswParams
 from .store import VectorStore
 from .vector import Vector
@@ -64,6 +64,12 @@ def build_parser() -> argparse.ArgumentParser:
     p_search.add_argument("--ef", type=int, default=None,
                           help="HNSW beam width for this query "
                                "(requires --index hnsw)")
+    p_search.add_argument("--radius", type=float, default=None,
+                          help="Range query: return every vector within "
+                               "this distance instead of the top k "
+                               "(capped at --limit results)")
+    p_search.add_argument("--limit", type=int, default=100,
+                          help="Result cap for --radius queries")
     p_search.add_argument("--nprobe", type=int, default=None,
                           help="IVF clusters to probe for this query "
                                "(requires --index ivf)")
@@ -98,9 +104,16 @@ def _run_commands(db, args) -> int:
         print(f"Inserted vector with ID: {args.id}")
     elif args.command == "search":
         q = Vector.from_str(args.query)
-        results = db.search(q, args.k, ef=args.ef, nprobe=args.nprobe)
+        if args.radius is not None:
+            if args.ef is not None or args.nprobe is not None:
+                raise IndexOpError(
+                    "--ef/--nprobe cannot be combined with --radius")
+            results = db.search_radius(q, args.radius, limit=args.limit)
+        else:
+            results = db.search(q, args.k, ef=args.ef, nprobe=args.nprobe)
         if not results:
-            print("No results found (store is empty)")
+            print("No results found (store is empty)"
+                  if args.radius is None else "No results within radius")
         else:
             print(f"Top {len(results)} results:")
             for i, r in enumerate(results):

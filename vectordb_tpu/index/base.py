@@ -66,6 +66,19 @@ class Index(abc.ABC):
         return [self.search(Vector(queries[i]), k)
                 for i in range(queries.shape[0])]
 
+    def search_radius(self, query: Vector, radius: float,
+                      limit: int) -> List[Tuple[int, float]]:
+        """All rows with distance <= radius, ascending, capped at
+        ``limit`` (beyond the reference; the cap keeps device shapes
+        static). Distances follow this framework's smaller-is-better
+        convention, so for DOT_PRODUCT the threshold applies to the
+        NEGATED dot product. Exact on exact backends (their k=limit
+        search already ranks every row); approximate backends inherit
+        this over-search implementation — candidates are bounded by
+        their own k=limit search quality."""
+        raw = self.search(query, int(limit))
+        return [(i, d) for i, d in raw if d <= radius]
+
     def search_masked(self, query: Vector, k: int, slot_mask: np.ndarray,
                       mask_layout_version: Optional[int] = None
                       ) -> Optional[List[Tuple[int, float]]]:

@@ -155,6 +155,14 @@ class HnswIndex(Index):
         return [self._graph.search_knn(queries[i], k)
                 for i in range(queries.shape[0])]
 
+    def search_radius(self, query: Vector, radius: float,
+                      limit: int) -> List[Tuple[int, float]]:
+        """Radius via over-search with the beam widened to the limit:
+        the default ef (50) would cap recall when limit exceeds it."""
+        ef = max(self.params.ef_search, int(limit))
+        raw = self.search_with_ef(query, int(limit), ef)
+        return [(i, d) for i, d in raw if d <= radius]
+
     def search_masked(self, query: Vector, k: int, slot_mask: np.ndarray,
                       mask_layout_version=None):
         """Exact filtered traversal (retires the reference's 3x over-fetch

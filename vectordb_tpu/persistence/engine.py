@@ -334,6 +334,10 @@ class StorageEngine:
                nprobe: Optional[int] = None) -> List[SearchResult]:
         return self.store.search(query, k, ef=ef, nprobe=nprobe)
 
+    def search_radius(self, query: Vector, radius: float, *,
+                      limit: int = 100) -> List[SearchResult]:
+        return self.store.search_radius(query, radius, limit=limit)
+
     def get(self, id: str) -> Optional[Vector]:
         return self.store.get(id)
 

@@ -212,6 +212,12 @@ class NativeHttpServer:
                         self._respond(conn_id, 400,
                                       {"error": "'vector' is required"})
                         continue
+                    if parsed.get("radius") is not None:
+                        # range query: rare path, full Api semantics
+                        status, payload = self.api.handle(
+                            "POST", "/search", parsed)
+                        self._respond(conn_id, status, payload)
+                        continue
                     query = _parse_vector(parsed["vector"])
                     raw_k = parsed.get("k")
                     k = 10 if raw_k is None else int(raw_k)

@@ -158,6 +158,24 @@ class Api:
         k = 10 if raw_k is None else int(raw_k)  # explicit k=0 means 0
         flt = _parse_filter(body.get("filter"))
         ef, nprobe = _parse_knobs(body)
+        raw_radius = body.get("radius")
+        if raw_radius is not None:
+            # range query (beyond the reference): all results within
+            # 'radius', capped at 'limit' (default 100)
+            if raw_k is not None:
+                return _bad_request("'k' and 'radius' are mutually "
+                                    "exclusive")
+            if ef is not None or nprobe is not None:
+                return _bad_request(
+                    "'ef'/'nprobe' cannot be combined with 'radius'")
+            limit = int(body.get("limit", 100))
+            start = time.perf_counter()
+            with self.state.lock.read():
+                results = self.state.store.search_radius(
+                    query, float(raw_radius), limit=limit, filter=flt)
+            self.state.metrics.record_query(time.perf_counter() - start)
+            return 200, [{"id": r.id, "distance": r.distance}
+                         for r in results]
         start = time.perf_counter()
         if ef is not None or nprobe is not None:
             if flt is not None:

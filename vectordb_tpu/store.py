@@ -412,6 +412,29 @@ class VectorStore:
                 out.append(SearchResult(id=sid, distance=dist))
         return out
 
+    def search_radius(self, query: Vector, radius: float, *,
+                      limit: int = 100,
+                      filter: Optional[MetadataFilter] = None
+                      ) -> List[SearchResult]:
+        """All vectors within ``radius`` of the query, ascending by
+        distance, capped at ``limit`` results (beyond the reference).
+        Distances use this framework's smaller-is-better convention
+        (DOT_PRODUCT thresholds the negated dot). With a filter, the
+        radius applies after the exact filtered search. A full ``limit``
+        of results means more rows may lie inside the radius — raise
+        ``limit`` to see them."""
+        if int(limit) < 1:
+            raise IndexOpError("'limit' must be >= 1")
+        if self.is_empty():
+            return []
+        self._check_query_dim(query)
+        radius = float(radius)
+        if filter is not None:
+            results = self.search_with_filter(query, int(limit), filter)
+            return [r for r in results if r.distance <= radius]
+        return self._map_results(
+            self._index.search_radius(query, radius, int(limit)))
+
     def search_batch(self, queries: Sequence[Tuple[Vector, int]], *,
                      ef: Optional[int] = None,
                      nprobe: Optional[int] = None
