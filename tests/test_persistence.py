@@ -529,6 +529,42 @@ class TestCorruptInputs:
         with pytest.raises(SerializationError):
             mgr.load()
 
+    def test_snapshot_torn_header_raises_serialization_error(
+            self, backend, tmp_path):
+        # valid magic but a header cut mid-field (torn write): the stream
+        # reader must surface SerializationError (not a raw struct.error)
+        # and must not leak the mmap/file handle
+        from vectordb_tpu.errors import SerializationError
+        from vectordb_tpu.persistence.serialization import SNAPSHOT_MAGIC
+        (tmp_path / "snapshot.bin").write_bytes(SNAPSHOT_MAGIC + b"\x00" * 4)
+        mgr = SnapshotManager(tmp_path)
+        with pytest.raises(SerializationError):
+            mgr.open_stream()
+        # the engine's recovery path gets the same typed failure
+        with pytest.raises(SerializationError):
+            StorageEngine.open(tmp_path)
+
+    def test_failed_auto_checkpoint_does_not_fail_the_write(
+            self, backend, tmp_path, monkeypatch):
+        # the WAL append + store apply succeed before the auto-checkpoint
+        # runs, so a checkpoint fault must warn, not raise — and the rows
+        # must recover from the (uncompacted) WAL on reopen
+        from vectordb_tpu.errors import SerializationError
+        with StorageEngine.open(
+                tmp_path, EngineConfig(checkpoint_interval=3)) as eng:
+            monkeypatch.setattr(
+                StorageEngine, "_save_snapshot_stream",
+                lambda self: (_ for _ in ()).throw(
+                    SerializationError("snapshot count mismatch")))
+            with pytest.warns(UserWarning, match="auto-checkpoint failed"):
+                for i in range(4):
+                    eng.insert(f"v{i}", Vector([float(i), 0.0]))
+            # explicit checkpoint still fails loud
+            with pytest.raises(SerializationError):
+                eng.checkpoint()
+        with StorageEngine.open(tmp_path) as eng:
+            assert sorted(eng.list_ids()) == ["v0", "v1", "v2", "v3"]
+
     def test_wal_huge_length_field_no_allocation(self, backend, tmp_path):
         # a corrupt length field must not trigger a giant allocation or a
         # crash — the frame is simply out of bounds and replay stops

@@ -59,8 +59,9 @@ def build_parser() -> argparse.ArgumentParser:
     p_search = sub.add_parser("search", help="Search for similar vectors")
     p_search.add_argument("query", help='Query vector as comma-separated '
                                         'values (e.g., "1.0,2.0,3.0")')
-    p_search.add_argument("-k", type=int, default=5,
-                          help="Number of results to return")
+    p_search.add_argument("-k", type=int, default=None,
+                          help="Number of results to return (default 5; "
+                               "mutually exclusive with --radius)")
     p_search.add_argument("--ef", type=int, default=None,
                           help="HNSW beam width for this query "
                                "(requires --index hnsw)")
@@ -105,12 +106,18 @@ def _run_commands(db, args) -> int:
     elif args.command == "search":
         q = Vector.from_str(args.query)
         if args.radius is not None:
+            # same contract as the HTTP surface (routes.py): k and the
+            # recall knobs are mutually exclusive with a range query
+            if args.k is not None:
+                raise IndexOpError(
+                    "-k and --radius are mutually exclusive")
             if args.ef is not None or args.nprobe is not None:
                 raise IndexOpError(
                     "--ef/--nprobe cannot be combined with --radius")
             results = db.search_radius(q, args.radius, limit=args.limit)
         else:
-            results = db.search(q, args.k, ef=args.ef, nprobe=args.nprobe)
+            k = 5 if args.k is None else args.k
+            results = db.search(q, k, ef=args.ef, nprobe=args.nprobe)
         if not results:
             print("No results found (store is empty)"
                   if args.radius is None else "No results within radius")

@@ -37,6 +37,28 @@ from .wal import WriteAheadLog
 WAL_FILE = "wal.log"
 
 
+class _ChunkedInserter:
+    """Accumulate BatchInsertItems and flush them through the store's
+    vectorized bulk path in fixed-size chunks — recovery applies rows
+    ~100x faster than per-entry inserts while keeping peak memory at one
+    chunk. Serves both recovery loops (WAL replay, snapshot stream)."""
+
+    def __init__(self, store: VectorStore, chunk_size: int):
+        self._store = store
+        self._size = int(chunk_size)
+        self._items: List[BatchInsertItem] = []
+
+    def add(self, item: BatchInsertItem) -> None:
+        self._items.append(item)
+        if len(self._items) >= self._size:
+            self.flush()
+
+    def flush(self) -> None:
+        if self._items:
+            self._store.insert_batch(self._items)
+            self._items = []
+
+
 @dataclass
 class EngineConfig:
     """Engine tuning (reference: engine.rs:15-29).
@@ -120,25 +142,17 @@ class StorageEngine:
         # chunk first so apply order is preserved exactly; within-chunk
         # duplicate ids keep upsert semantics because insert_batch
         # applies items sequentially.
-        chunk: List[BatchInsertItem] = []
-
-        def flush():
-            if chunk:
-                self.store.insert_batch(chunk)
-                chunk.clear()
-
+        pending = _ChunkedInserter(self.store, self._APPLY_CHUNK)
         for entry in self.wal.iter_replay():
             if entry.kind == WAL_INSERT:
-                chunk.append(BatchInsertItem(
+                pending.add(BatchInsertItem(
                     id=entry.string_id, vector=Vector(entry.data),
                     metadata=Metadata(entry.metadata)))
                 self._wal_count += 1
-                if len(chunk) >= self._APPLY_CHUNK:
-                    flush()
             else:
-                flush()
+                pending.flush()
                 self._apply_wal_entry(entry)
-        flush()
+        pending.flush()
 
     GRAPH_FILE = "hnsw_graph.npz"
     IVF_FILE = "ivf_state.npz"
@@ -228,17 +242,13 @@ class StorageEngine:
         of the snapshot mmap. insert_batch's fresh-id bulk path keeps this
         vectorized."""
         metadata = reader.read_metadata()
-        chunk: List[BatchInsertItem] = []
+        pending = _ChunkedInserter(self.store, self._APPLY_CHUNK)
         for internal_id, string_id, data in reader.vectors():
-            chunk.append(BatchInsertItem(
+            pending.add(BatchInsertItem(
                 id=string_id,
                 vector=Vector(data),
                 metadata=Metadata(metadata.get(internal_id) or {})))
-            if len(chunk) >= self._APPLY_CHUNK:
-                self.store.insert_batch(chunk)
-                chunk = []
-        if chunk:
-            self.store.insert_batch(chunk)
+        pending.flush()
         self.store.restore_next_internal_id(reader.next_id)
 
     def _apply_snapshot(self, snap: DatabaseSnapshot) -> None:
@@ -356,8 +366,26 @@ class StorageEngine:
     # -- checkpointing (reference: engine.rs:187-228) ------------------------
 
     def _maybe_checkpoint(self) -> None:
-        if self._wal_count >= self.config.checkpoint_interval:
+        if self._wal_count < self.config.checkpoint_interval:
+            return
+        try:
             self.checkpoint()
+        except Exception as e:
+            # A failed auto-checkpoint must not surface as a failed
+            # write: by the time we get here the WAL append and the
+            # store apply already succeeded, so the row IS durable —
+            # recovery replays the (uncompacted) WAL. Warn, skip the
+            # compaction, and retry after another full interval so a
+            # persistent fault (e.g. a desynced id map aborting the
+            # stream writer) cannot turn every subsequent insert into
+            # an O(N) failed snapshot attempt. An EXPLICIT checkpoint()
+            # call still raises.
+            import warnings
+            warnings.warn(
+                f"auto-checkpoint failed ({e!r}); the write is durable "
+                f"in the WAL; retrying after the next "
+                f"{self.config.checkpoint_interval} entries")
+            self._wal_count = 0
 
     def checkpoint(self) -> None:
         self._save_snapshot_stream()

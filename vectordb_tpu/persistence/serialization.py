@@ -261,12 +261,22 @@ class SnapshotStreamReader:
             self._f.close()
             raise SerializationError("empty snapshot") from None
         buf = memoryview(self._mm)
-        if bytes(buf[:8]) != SNAPSHOT_MAGIC:
+        try:
+            if bytes(buf[:8]) != SNAPSHOT_MAGIC:
+                raise SerializationError("bad snapshot magic")
+            (dim,) = struct.unpack_from("<q", buf, 8)
+            (self.next_id,) = struct.unpack_from("<Q", buf, 16)
+            (self.count,) = struct.unpack_from("<Q", buf, 24)
+        except (SerializationError, struct.error) as e:
+            # torn header (e.g. an 8-31 byte file with valid magic) must
+            # surface as SerializationError like every other decode
+            # failure, and must not leak the mmap/file handle
+            del buf
             self.close()
-            raise SerializationError("bad snapshot magic")
-        (dim,) = struct.unpack_from("<q", buf, 8)
-        (self.next_id,) = struct.unpack_from("<Q", buf, 16)
-        (self.count,) = struct.unpack_from("<Q", buf, 24)
+            if isinstance(e, SerializationError):
+                raise
+            raise SerializationError(
+                f"truncated snapshot header: {e}") from None
         self.dimension = None if dim < 0 else dim
         self._vec_off = 32
 

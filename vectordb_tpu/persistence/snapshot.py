@@ -26,6 +26,33 @@ SNAPSHOT_FILE = "snapshot.bin"
 MANIFEST_FILE = "manifest.json"
 
 
+def _durable_write_with(path: Path, write_fn) -> None:
+    """THE atomic+durable write sequence (tmp file, fsync, rename,
+    directory fsync, tmp cleanup on failure) — one copy serving both the
+    materialized and the streaming writers. ``write_fn(f)`` produces the
+    payload into the open tmp file."""
+    tmp = path.with_suffix(path.suffix + ".tmp")
+    try:
+        with open(tmp, "wb") as f:
+            write_fn(f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+        dir_fd = os.open(str(path.parent), os.O_RDONLY)
+        try:
+            os.fsync(dir_fd)
+        finally:
+            os.close(dir_fd)
+    except OSError as e:
+        raise VdbIoError(e) from None
+    finally:
+        if tmp.exists():
+            try:
+                tmp.unlink()
+            except OSError:
+                pass
+
+
 def _durable_write(path: Path, payload: bytes) -> None:
     native = native_lib.get_native()
     if native is not None:
@@ -34,17 +61,7 @@ def _durable_write(path: Path, payload: bytes) -> None:
         if rc != 0:
             raise VdbIoError(f"durable write failed for {path}")
         return
-    tmp = path.with_suffix(path.suffix + ".tmp")
-    with open(tmp, "wb") as f:
-        f.write(payload)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, path)
-    dir_fd = os.open(str(path.parent), os.O_RDONLY)
-    try:
-        os.fsync(dir_fd)
-    finally:
-        os.close(dir_fd)
+    _durable_write_with(path, lambda f: f.write(payload))
 
 
 class SnapshotManager:
@@ -57,44 +74,24 @@ class SnapshotManager:
         """Write snapshot.bin + manifest.json (reference snapshot.rs:30-46)."""
         payload = encode_snapshot(snapshot)
         _durable_write(self.snapshot_path, payload)
-        manifest = {
-            "vector_count": len(snapshot.vectors),
-            "next_id": snapshot.next_id,
-            "dimension": snapshot.dimension,
-        }
-        _durable_write(self.manifest_path,
-                       json.dumps(manifest, indent=2).encode())
+        self._write_manifest(len(snapshot.vectors), snapshot.next_id,
+                             snapshot.dimension)
 
     def save_stream(self, vectors, metadata, next_id: int, dimension,
                     count: int) -> None:
         """Streaming ``save``: same bytes on disk, bounded (~64 MB) memory
         — the checkpoint path for multi-GB stores (a 10M x 768 store's
         snapshot is ~30 GB; ``save`` would hold it in RAM twice). Write is
-        atomic + durable: tmp file, fsync, rename, directory fsync.
+        atomic + durable via the shared ``_durable_write_with`` sequence.
         ``vectors``/``metadata`` follow write_snapshot_stream's contract
         (metadata may be populated by the vector iterator itself)."""
-        tmp = self.snapshot_path.with_suffix(
-            self.snapshot_path.suffix + ".tmp")
-        try:
-            with open(tmp, "wb") as f:
-                write_snapshot_stream(f, vectors, metadata, next_id,
-                                      dimension, count)
-                f.flush()
-                os.fsync(f.fileno())
-            os.replace(tmp, self.snapshot_path)
-            dir_fd = os.open(str(self.snapshot_path.parent), os.O_RDONLY)
-            try:
-                os.fsync(dir_fd)
-            finally:
-                os.close(dir_fd)
-        except OSError as e:
-            raise VdbIoError(e) from None
-        finally:
-            if tmp.exists():
-                try:
-                    tmp.unlink()
-                except OSError:
-                    pass
+        _durable_write_with(
+            self.snapshot_path,
+            lambda f: write_snapshot_stream(f, vectors, metadata, next_id,
+                                            dimension, count))
+        self._write_manifest(count, next_id, dimension)
+
+    def _write_manifest(self, count: int, next_id: int, dimension) -> None:
         manifest = {
             "vector_count": count,
             "next_id": next_id,
