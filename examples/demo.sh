@@ -53,6 +53,10 @@ curl -s -X POST "$BASE/search" -H 'Content-Type: application/json' \
          {"op": "eq", "field": "category", "value": "intro"},
          {"op": "exists", "field": "lang"}]}}' | pretty
 
+echo; echo "=== 6b. POST /search — radius (range) query, beyond the reference ==="
+curl -s -X POST "$BASE/search" -H 'Content-Type: application/json' \
+  -d '{"vector": [1.0, 0.05, 0.0], "radius": 0.5, "limit": 10}' | pretty
+
 echo; echo "=== 7. POST /search/batch — batched queries ==="
 curl -s -X POST "$BASE/search/batch" -H 'Content-Type: application/json' \
   -d '{"queries": [{"vector": [1.0, 0.0, 0.0], "k": 2},
