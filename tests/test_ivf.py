@@ -525,3 +525,56 @@ def test_ivf_int8_masked_search_exact(rng):
         ids = [i for i, _ in got[qi]]
         assert all(i % 2 == 0 for i in ids)
         assert ids == list(want[qi]), (qi, ids, want[qi])
+
+
+class TestCalibrateNprobe:
+    def test_meets_target_and_sets_default(self, rng):
+        n, d = 4000, 32
+        db = _clustered(rng, n, d)
+        idx = IvfFlatIndex(DistanceMetric.EUCLIDEAN, nlist=32, nprobe=1,
+                           seed=4)
+        idx.add_batch([(i, db[i]) for i in range(n)])
+        idx.train()
+        out = idx.calibrate_nprobe(0.95, k=10, sample=64)
+        assert out["recall"] >= 0.95
+        assert idx.nprobe == out["nprobe"]          # default installed
+        assert out["nprobe"] in out["curve"]
+        # the curve is (weakly) monotone in nprobe on this easy layout
+        tried = sorted(out["curve"])
+        vals = [out["curve"][t] for t in tried]
+        assert all(b >= a - 0.05 for a, b in zip(vals, vals[1:]))
+
+    def test_external_queries_and_no_default(self, rng):
+        n, d = 4000, 16
+        db = _clustered(rng, n, d)
+        idx = IvfFlatIndex(DistanceMetric.EUCLIDEAN, nlist=16, seed=4)
+        idx.add_batch([(i, db[i]) for i in range(n)])
+        idx.train()
+        before = idx.nprobe
+        qs = db[rng.choice(n, 32, replace=False)] + 0.02
+        out = idx.calibrate_nprobe(0.9, queries=qs, set_default=False)
+        assert idx.nprobe == before
+        assert 0.0 <= out["recall"] <= 1.0
+
+    def test_untrained_too_small_raises(self):
+        from vectordb_tpu.errors import IndexOpError
+        idx = IvfFlatIndex(DistanceMetric.EUCLIDEAN, nlist=8)
+        idx.add_batch([(i, np.ones(4, np.float32) * i) for i in range(8)])
+        with pytest.raises(IndexOpError):
+            idx.calibrate_nprobe(0.9)
+
+    def test_untrained_enough_rows_trains(self, rng):
+        n, d = 600, 8
+        db = _clustered(rng, n, d, n_centers=8)
+        idx = IvfFlatIndex(DistanceMetric.EUCLIDEAN, nlist=8, seed=1)
+        idx.add_batch([(i, db[i]) for i in range(n)])
+        assert not idx.is_trained
+        out = idx.calibrate_nprobe(0.5, k=5, sample=32)
+        assert idx.is_trained
+        assert out["nprobe"] >= 1
+
+    def test_bad_target_raises(self, rng):
+        from vectordb_tpu.errors import IndexOpError
+        idx = IvfFlatIndex(DistanceMetric.EUCLIDEAN, nlist=8)
+        with pytest.raises(IndexOpError):
+            idx.calibrate_nprobe(1.5)

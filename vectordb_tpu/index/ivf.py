@@ -24,7 +24,7 @@ exact flat path, so filters stay exact even on this approximate index.
 from __future__ import annotations
 
 import math
-from typing import List, Optional, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -480,6 +480,72 @@ class IvfFlatIndex(FlatIndex):
             for qi, rows in zip(short, sub):
                 out[qi] = rows
         return out
+
+    # -- calibration ----------------------------------------------------------
+
+    def calibrate_nprobe(self, target_recall: float, *, k: int = 10,
+                         sample: int = 256,
+                         candidates: Sequence[int] = (1, 2, 4, 8, 16, 32,
+                                                      64),
+                         queries: Optional[np.ndarray] = None,
+                         set_default: bool = True, seed: int = 0) -> dict:
+        """Pick the smallest nprobe whose measured recall@k meets
+        ``target_recall`` (beyond the reference: a production knob —
+        "give me >=0.95 recall" instead of hand-tuning nprobe).
+
+        Ground truth is this index's own exact scan over the trained
+        layout; probe queries default to a random sample of stored rows
+        (slightly optimistic — a row's own cluster always probes first;
+        pass real ``queries`` for an unbiased estimate). Returns
+        ``{"nprobe", "recall", "curve"}`` where curve maps each tried
+        nprobe to its measured recall; when no candidate reaches the
+        target the largest is returned with its recall. ``set_default``
+        installs the winner as this index's default nprobe."""
+        if not 0.0 < float(target_recall) <= 1.0:
+            raise IndexOpError("target_recall must be in (0, 1]")
+        with self._lock:
+            if not self._trained:
+                if self._len < 32:
+                    raise IndexOpError(
+                        "calibrate_nprobe needs a trained index "
+                        "(or >= 32 rows to train one)")
+                self.train()
+        if queries is None:
+            rng = np.random.default_rng(seed)
+            live = self._live_rows_snapshot()
+            take = min(int(sample), len(live))
+            queries = live[rng.choice(len(live), size=take, replace=False)]
+        queries = np.ascontiguousarray(queries, dtype=np.float32)
+        k_eff = min(int(k), self._len)
+        truth = super().search_batch(queries, k_eff)   # exact scan
+        truth_sets = [set(i for i, _ in row) for row in truth]
+        curve: dict = {}
+        chosen = None
+        for cand in sorted(set(int(c) for c in candidates)):
+            cand = min(cand, self._nlist) if self._nlist else cand
+            if cand in curve:
+                continue
+            got = self._probed_search(queries, k_eff, cand, None, None)
+            hits = sum(len(ts & set(i for i, _ in row)) / max(len(ts), 1)
+                       for ts, row in zip(truth_sets, got))
+            curve[cand] = recall = hits / max(len(truth_sets), 1)
+            if recall >= float(target_recall):
+                chosen = cand
+                break
+        if chosen is None:
+            chosen = max(curve)
+        if set_default:
+            self.nprobe = int(chosen)
+        return {"nprobe": int(chosen), "recall": curve[chosen],
+                "curve": curve}
+
+    def _live_rows_snapshot(self) -> np.ndarray:
+        """f32 matrix of the live stored rows (dequantized for bf16/int8
+        storage) — calibration's query pool."""
+        with self._lock:
+            slots = np.flatnonzero(self._valid[:self._capacity])
+            return np.ascontiguousarray(self._vectors[slots],
+                                        dtype=np.float32)
 
     # -- trained-state persistence (engine checkpoint/recovery) --------------
 
