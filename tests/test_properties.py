@@ -272,3 +272,43 @@ def test_store_matches_model_under_upsert_delete(ops):
     for key, arr in model.items():
         got = np.asarray(store.get(key).as_array())
         np.testing.assert_array_equal(got, arr)
+
+
+# -- radius search ------------------------------------------------------------
+
+radius_rows = st.lists(
+    st.lists(st.floats(min_value=-8.0, max_value=8.0, width=32,
+                       allow_nan=False),
+             min_size=3, max_size=3),
+    min_size=1, max_size=24)
+
+
+@LIGHT
+@given(radius_rows,
+       st.lists(st.floats(min_value=-8.0, max_value=8.0, width=32,
+                          allow_nan=False), min_size=3, max_size=3),
+       st.floats(min_value=0.0, max_value=20.0, width=32,
+                 allow_nan=False),
+       st.integers(min_value=1, max_value=30))
+def test_radius_matches_brute_force(rows, q, radius, limit):
+    """Differential: store.search_radius == numpy brute force (threshold
+    + ascending sort + limit cap), for any rows/query/radius/limit."""
+    store = VectorStore.new(DistanceMetric.EUCLIDEAN)
+    mat = np.asarray(rows, np.float32)
+    for i, r in enumerate(rows):
+        store.insert(f"v{i}", Vector(r))
+    qv = np.asarray(q, np.float32)
+    truth = np.sqrt(np.maximum(np.sum((mat - qv) ** 2, axis=1), 0.0))
+    want = sorted((float(d), f"v{i}") for i, d in enumerate(truth)
+                  if d <= radius)[:limit]
+    got = store.search_radius(Vector(q), radius, limit=limit)
+    assert len(got) == len(want)
+    got_d = [h.distance for h in got]
+    assert got_d == sorted(got_d)
+    for h, (wd, _) in zip(got, want):
+        assert h.distance == pytest.approx(wd, abs=1e-3)
+    # id sets match up to distance ties at the cut boundary
+    want_ids = {wid for _, wid in want}
+    for h in got:
+        assert h.id in want_ids or any(
+            abs(h.distance - wd) <= 1e-3 for wd, _ in want)
