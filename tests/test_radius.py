@@ -246,3 +246,20 @@ class TestCliRadius:
         from vectordb_tpu.cli import main
         rc = main(["search", "0,0", "--radius", "1.0", "--ef", "8"])
         assert rc not in (0, None)
+
+
+class TestShardedRadius:
+    def test_radius_on_sharded_store(self):
+        """Radius composes with a row-sharded mesh for free: the base
+        implementation rides FlatIndex.search, which routes to the
+        sharded pipeline when a mesh is attached."""
+        from vectordb_tpu.parallel import make_mesh
+        store = VectorStore(FlatIndex(DistanceMetric.EUCLIDEAN,
+                                      mesh=make_mesh(8)))
+        store.insert_batch([
+            BatchInsertItem(id=f"v{i}", vector=Vector([float(i), 0.0]))
+            for i in range(64)])
+        hits = store.search_radius(Vector([0.0, 0.0]), 2.5)
+        assert [h.id for h in hits] == ["v0", "v1", "v2"]
+        dd = [h.distance for h in hits]
+        assert dd == sorted(dd)
