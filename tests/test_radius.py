@@ -263,3 +263,18 @@ class TestShardedRadius:
         assert [h.id for h in hits] == ["v0", "v1", "v2"]
         dd = [h.distance for h in hits]
         assert dd == sorted(dd)
+
+
+class TestQuantizedStorageRadius:
+    @pytest.mark.parametrize("storage", ["bf16", "int8"])
+    def test_radius_over_stored_values(self, storage):
+        """Radius rides the quantized search paths: distances are exact
+        over the STORED values, so integer-coordinate rows (exactly
+        representable in bf16 and as int8 codes) threshold identically
+        to f32."""
+        store = line_store(index=FlatIndex(DistanceMetric.EUCLIDEAN,
+                                           storage=storage))
+        hits = store.search_radius(Vector([0.0, 0.0]), 2.5)
+        assert [h.id for h in hits] == ["v0", "v1", "v2"]
+        assert [h.distance for h in hits] == pytest.approx(
+            [0.0, 1.0, 2.0], abs=1e-5)
