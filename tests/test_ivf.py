@@ -578,3 +578,53 @@ class TestCalibrateNprobe:
         idx = IvfFlatIndex(DistanceMetric.EUCLIDEAN, nlist=8)
         with pytest.raises(IndexOpError):
             idx.calibrate_nprobe(1.5)
+
+
+class TestBalancedKmeans:
+    """Size-penalized Lloyd (ops/ivf.kmeans_fit balance_weight)."""
+
+    def test_penalty_changes_centroids(self, rng):
+        # the statistical claim (less greedy spill, more rows in their true
+        # nearest cluster, multi-seed) lives in benchmarks/
+        # exp_balanced_kmeans.py — here we assert the penalty is actually
+        # wired through the jit (weight>0 must produce a different fit)
+        import jax
+        from vectordb_tpu.ops.ivf import kmeans_fit
+
+        data = _clustered(rng, 4096, 32, n_centers=16, scale=0.2)
+        key = jax.random.PRNGKey(0)
+        a = np.asarray(jax.device_get(
+            kmeans_fit(data, key, 64, 10, balance_weight=0.0)))
+        b = np.asarray(jax.device_get(
+            kmeans_fit(data, key, 64, 10, balance_weight=0.1)))
+        assert not np.array_equal(a, b)
+
+    def test_weight_zero_matches_legacy(self, rng):
+        import jax
+        from vectordb_tpu.ops.ivf import kmeans_fit
+
+        data = _clustered(rng, 1024, 16, n_centers=8)
+        key = jax.random.PRNGKey(3)
+        a = np.asarray(jax.device_get(kmeans_fit(data, key, 16, 5)))
+        b = np.asarray(jax.device_get(
+            kmeans_fit(data, key, 16, 5, balance_weight=0.0)))
+        np.testing.assert_array_equal(a, b)
+
+    def test_index_recall_holds_with_balance(self, rng):
+        n, d, k = 6000, 24, 10
+        db = _clustered(rng, n, d, n_centers=12)
+        queries = db[rng.choice(n, 64, replace=False)] \
+            + 0.01 * rng.standard_normal((64, d)).astype(np.float32)
+        want = _flat_topk(queries, db, DistanceMetric.EUCLIDEAN, k)
+        idx = IvfFlatIndex(DistanceMetric.EUCLIDEAN, nlist=32, nprobe=8,
+                           seed=0, kmeans_balance=0.1)
+        idx.add_batch([(i, db[i]) for i in range(n)])
+        idx.train()
+        got = idx.search_batch(queries, k)
+        recall = np.mean([len(set(i for i, _ in g) & set(w.tolist())) / k
+                          for g, w in zip(got, want)])
+        assert recall >= 0.9
+
+    def test_negative_weight_rejected(self):
+        with pytest.raises(ValueError):
+            IvfFlatIndex(DistanceMetric.EUCLIDEAN, kmeans_balance=-0.1)

@@ -58,7 +58,8 @@ class IvfFlatIndex(FlatIndex):
                  spill_frac: float = 0.02, auto_train_min: int = 4096,
                  seed: int = 0, storage: str = "f32",
                  assign_mode: str = "auto",
-                 balance_slack: float = _BALANCE_SLACK):
+                 balance_slack: float = _BALANCE_SLACK,
+                 kmeans_balance: float = 0.1):
         # storage="bf16" composes: vectors quantize at insert (the host
         # mirror keeps the quantized values in f32, so training/repack
         # are unchanged) and the probed refine computes exact distances
@@ -87,6 +88,12 @@ class IvfFlatIndex(FlatIndex):
         if balance_slack < 1.0:
             raise ValueError("balance_slack must be >= 1.0")
         self.balance_slack = float(balance_slack)
+        # size-penalized Lloyd (ops/ivf.kmeans_fit): shapes centroids so
+        # natural cluster sizes concentrate near the mean — less spill AND
+        # more rows in their true nearest cluster. 0 disables.
+        if kmeans_balance < 0.0:
+            raise ValueError("kmeans_balance must be >= 0")
+        self.kmeans_balance = float(kmeans_balance)
         self._seed = int(seed)
         self._layout_version = 0
         # trained-state
@@ -163,7 +170,8 @@ class IvfFlatIndex(FlatIndex):
                 # scale is exact, and k-means wants real magnitudes
                 sample = sample.astype(jnp.float32) * s_smp[:, None]
             centroids_dev = kmeans_fit(sample, key, nlist,
-                                       self.train_iters)
+                                       self.train_iters,
+                                       balance_weight=self.kmeans_balance)
             centroids = np.asarray(jax.device_get(centroids_dev))
 
             # -- balanced assignment (host logic, device scoring) --------
