@@ -5,7 +5,9 @@ Capability parity with reference src/main.rs:10-198:
     (persistent mode)
   * subcommands: insert ID --vector CSV | search QUERY --k 5 | delete ID |
     list | serve --addr 0.0.0.0:3000
-  * serve + --data-dir is rejected (main.rs:100-102)
+  * serve + --data-dir is rejected (main.rs:100-102); durable serving is
+    the explicit ``serve --durable-dir DIR`` extension (WAL-first writes,
+    crash recovery on reopen, POST /checkpoint)
   * metric is Euclidean everywhere, matching the reference defaults
     (main.rs:158, 178); override with --metric
   * same user-facing output strings as the reference handlers
@@ -83,6 +85,13 @@ def build_parser() -> argparse.ArgumentParser:
     p_serve = sub.add_parser("serve", help="Start the HTTP API server")
     p_serve.add_argument("--addr", default="0.0.0.0:3000",
                          help="Address to bind to")
+    p_serve.add_argument("--durable-dir", default=None,
+                         help="Serve a WAL-backed persistent store from "
+                              "this directory (beyond the reference, which "
+                              "rejects serve + --data-dir): inserts/deletes "
+                              "are durable before the response, reopening "
+                              "recovers state, and POST /checkpoint forces "
+                              "a snapshot")
     p_serve.add_argument("--batch-window-ms", type=float, default=0.0,
                          help="Coalesce concurrent searches into one device "
                               "call within this window (0 = disabled; the "
@@ -150,11 +159,25 @@ def main(argv: Optional[List[str]] = None) -> int:
     try:
         if args.command == "serve":
             if args.data_dir:
-                # reference main.rs:100-102
+                # reference main.rs:100-102 (durable serving is the
+                # explicit opt-in `serve --durable-dir` extension instead)
                 print("Error: Serve command is not supported with --data-dir "
-                      "(persistent storage). Use in-memory mode.",
+                      "(persistent storage). Use in-memory mode, or "
+                      "`serve --durable-dir DIR` for a WAL-backed server.",
                       file=sys.stderr)
                 return 1
+            if args.durable_dir:
+                from .persistence import EngineConfig
+                from .server.app import start_durable
+                config = EngineConfig(checkpoint_interval=1000,
+                                      metric=metric,
+                                      index_type=args.index,
+                                      search_mode=args.search_mode,
+                                      storage=args.storage)
+                start_durable(args.addr, args.durable_dir, config,
+                              batch_window_ms=args.batch_window_ms,
+                              backend=args.http)
+                return 0
             from .server import start_flat, start_hnsw
             if args.index == "ivf":
                 from .index.ivf import IvfFlatIndex

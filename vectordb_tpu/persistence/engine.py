@@ -339,14 +339,42 @@ class StorageEngine:
         return removed
 
     # -- reads (proxied to the store) ----------------------------------------
+    # The full VectorStore read surface is exposed so the engine can sit
+    # directly behind the HTTP AppState (durable serving via
+    # ``serve --durable-dir`` — beyond the reference, whose server cannot
+    # persist: main.rs:100-102 rejects serve + --data-dir).
 
     def search(self, query: Vector, k: int, *, ef: Optional[int] = None,
                nprobe: Optional[int] = None) -> List[SearchResult]:
         return self.store.search(query, k, ef=ef, nprobe=nprobe)
 
+    def search_with_filter(self, query: Vector, k: int,
+                           filter) -> List[SearchResult]:
+        return self.store.search_with_filter(query, k, filter)
+
     def search_radius(self, query: Vector, radius: float, *,
-                      limit: int = 100) -> List[SearchResult]:
-        return self.store.search_radius(query, radius, limit=limit)
+                      limit: int = 100, filter=None) -> List[SearchResult]:
+        return self.store.search_radius(query, radius, limit=limit,
+                                        filter=filter)
+
+    def search_batch(self, queries, *, ef: Optional[int] = None,
+                     nprobe: Optional[int] = None):
+        return self.store.search_batch(queries, ef=ef, nprobe=nprobe)
+
+    def search_batch_submit(self, queries, *, ef: Optional[int] = None,
+                            nprobe: Optional[int] = None):
+        return self.store.search_batch_submit(queries, ef=ef, nprobe=nprobe)
+
+    def search_batch_with_filter(self, queries, filter):
+        return self.store.search_batch_with_filter(queries, filter)
+
+    @property
+    def metric(self) -> DistanceMetric:
+        return self.store.metric
+
+    @property
+    def dimension(self) -> Optional[int]:
+        return self.store.dimension
 
     def get(self, id: str) -> Optional[Vector]:
         return self.store.get(id)

@@ -8,7 +8,8 @@ status + JSON) so tests drive it in-process with no socket — the same
 pattern as the reference's tower::oneshot tests (routes.rs:433-722).
 """
 
-from .app import AppState, serve, start_flat, start_hnsw  # noqa: F401
+from .app import (AppState, serve, start_durable, start_flat,  # noqa: F401
+                  start_hnsw)
 from .routes import Api  # noqa: F401
 
 

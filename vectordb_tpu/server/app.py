@@ -32,9 +32,12 @@ class VdbHTTPServer(ThreadingHTTPServer):
 
 
 class AppState:
-    """Shared server state (reference: src/server/mod.rs:13-16)."""
+    """Shared server state (reference: src/server/mod.rs:13-16).
 
-    def __init__(self, store: VectorStore,
+    ``store`` is anything exposing the VectorStore surface — an in-memory
+    VectorStore or a persistence.StorageEngine (durable serving)."""
+
+    def __init__(self, store: "VectorStore",
                  metrics: Optional[MetricsCollector] = None):
         self.store = store
         self.metrics = metrics or MetricsCollector()
@@ -168,5 +171,23 @@ def start_hnsw(addr: str, metric: DistanceMetric,
           batch_window_ms=batch_window_ms, backend=backend)
 
 
+def start_durable(addr: str, data_dir, config=None,
+                  batch_window_ms: float = 0.0,
+                  backend: str = "auto") -> None:
+    """Serve a WAL-backed persistent store (beyond the reference, which
+    rejects serve + --data-dir outright: src/main.rs:100-102).
+
+    Every HTTP insert/delete is WAL-first durable before the response is
+    sent (routes hold the write lock across the engine call, so WAL
+    appends serialize); reads go straight to the recovered store; POST
+    /checkpoint forces a snapshot + WAL truncate. Reopening the same
+    directory recovers the pre-crash state, including HNSW graph tables
+    and trained IVF layouts (persistence/engine.py)."""
+    from ..persistence import StorageEngine
+    with StorageEngine.open(data_dir, config) as engine:
+        serve(addr, AppState(engine), batch_window_ms=batch_window_ms,
+              backend=backend)
+
+
 __all__ = ["AppState", "serve", "start_flat", "start_hnsw",
-           "start_server_background"]
+           "start_durable", "start_server_background"]

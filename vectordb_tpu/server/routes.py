@@ -16,6 +16,12 @@ Same JSON shapes as the reference DTOs (routes.rs:21-98): search hits are
 {"id", "distance"}; GET /vectors/{id} omits "metadata" when empty
 (routes.rs:74); batch search records ONE latency sample for the whole batch
 (routes.rs:365-369).
+
+Beyond the reference, when the server is engine-backed (durable serving,
+``serve --durable-dir``):
+
+    POST   /checkpoint     force snapshot + WAL truncate (404 on an
+                           in-memory store, keeping the surface identical)
 """
 
 from __future__ import annotations
@@ -104,6 +110,8 @@ class Api:
                 return self.search(body)
             elif path == "/search/batch" and method == "POST":
                 return self.batch_search(body)
+            elif path == "/checkpoint" and method == "POST":
+                return self.checkpoint()
             elif path == "/health" and method == "GET":
                 return self.health()
             elif path == "/metrics" and method == "GET":
@@ -251,6 +259,19 @@ class Api:
         with self.state.lock.read():
             ids = self.state.store.list_ids()
         return 200, ids
+
+    def checkpoint(self) -> Response:
+        """Force a durability checkpoint: snapshot save + WAL truncate.
+        Only meaningful when the server is engine-backed (``serve
+        --durable-dir``, beyond the reference); an in-memory store
+        answers 404 so the reference's 9-endpoint surface is unchanged."""
+        fn = getattr(self.state.store, "checkpoint", None)
+        if fn is None:
+            return _not_found("Not found")
+        with self.state.lock.write():
+            fn()
+            count = len(self.state.store)
+        return 200, {"status": "checkpointed", "vector_count": count}
 
     def health(self) -> Response:
         with self.state.lock.read():
