@@ -1,0 +1,264 @@
+"""PqFlatIndex: PQ codes on device + exact host re-rank.
+
+Runs on the CPU test backend. Recall is measured against the flat oracle
+on clustered (structured) data; returned distances must be exact f32
+values over the true stored rows, and CRUD/store semantics must hold
+before and after training.
+"""
+
+import numpy as np
+import pytest
+
+from vectordb_tpu import DistanceMetric, VectorStore
+from vectordb_tpu.distance import pairwise_distances
+from vectordb_tpu.errors import IndexOpError
+from vectordb_tpu.index import PqFlatIndex
+from vectordb_tpu.metadata import Metadata, MetadataFilter
+from vectordb_tpu.vector import Vector
+
+
+def _clustered(rng, n, d, n_centers=32, scale=0.15):
+    centers = rng.standard_normal((n_centers, d)).astype(np.float32)
+    which = rng.integers(0, n_centers, n)
+    return (centers[which]
+            + scale * rng.standard_normal((n, d)).astype(np.float32))
+
+
+def _flat_topk(queries, db, metric, k):
+    dists = pairwise_distances(np, queries, db, metric)
+    return np.argsort(dists, axis=1, kind="stable")[:, :k]
+
+
+def test_train_and_recall_euclidean(rng):
+    n, d, q, k = 4096, 32, 40, 10
+    db = _clustered(rng, n, d)
+    idx = PqFlatIndex(DistanceMetric.EUCLIDEAN, m=8, ksub=64, refine=128,
+                      seed=1)
+    idx.add_batch([(i, db[i]) for i in range(n)])
+    assert not idx.is_trained
+    idx.train()
+    assert idx.is_trained
+    queries = db[rng.choice(n, q, replace=False)] + 0.01
+    results = idx.search_batch(queries, k)
+    want = _flat_topk(queries, db, DistanceMetric.EUCLIDEAN, k)
+    recall = np.mean([len({i for i, _ in got} & set(w.tolist())) / k
+                      for got, w in zip(results, want)])
+    assert recall >= 0.9, recall
+    # distances of returned ids are the EXACT euclidean values (re-rank
+    # runs on the true stored rows, not the decoded approximations)
+    for qi, got in enumerate(results[:5]):
+        for rid, dist in got:
+            ref = float(np.linalg.norm(queries[qi] - db[rid]))
+            assert abs(dist - ref) < 1e-3, (rid, dist, ref)
+    for got in results:
+        dd = [dv for _, dv in got]
+        assert dd == sorted(dd)
+
+
+@pytest.mark.parametrize("metric", list(DistanceMetric))
+def test_exact_distances_per_metric(rng, metric):
+    n, d, q, k = 2000, 16, 8, 5
+    db = _clustered(rng, n, d, n_centers=16)
+    if metric is DistanceMetric.COSINE:
+        db = db[np.linalg.norm(db, axis=1) > 1e-3]
+        n = len(db)
+    idx = PqFlatIndex(metric, m=4, ksub=32, refine=64)
+    idx.add_batch([(i, db[i]) for i in range(n)])
+    idx.train()
+    queries = db[:q] * 1.01
+    results = idx.search_batch(queries, k)
+    exact = pairwise_distances(np, queries, db, metric)
+    for qi, got in enumerate(results):
+        assert len(got) == k
+        for rid, dist in got:
+            assert abs(dist - float(exact[qi, rid])) < 2e-3
+
+
+def test_refine_knob_monotone_recall(rng):
+    n, d, q, k = 4096, 32, 64, 10
+    db = _clustered(rng, n, d, n_centers=8, scale=0.6)
+    idx = PqFlatIndex(DistanceMetric.EUCLIDEAN, m=16, ksub=16, seed=3)
+    idx.add_batch([(i, db[i]) for i in range(n)])
+    idx.train()
+    queries = rng.standard_normal((q, d)).astype(np.float32)
+    want = _flat_topk(queries, db, DistanceMetric.EUCLIDEAN, k)
+
+    def recall_at(r):
+        res = idx.search_batch(queries, k, refine=r)
+        return np.mean([len({i for i, _ in got} & set(w.tolist())) / k
+                        for got, w in zip(res, want)])
+
+    r_small, r_big = recall_at(16), recall_at(256)
+    assert r_big >= r_small
+    assert r_big >= 0.9, (r_small, r_big)
+
+
+def test_crud_after_training(rng):
+    n, d = 512, 16
+    db = _clustered(rng, n, d, n_centers=8)
+    idx = PqFlatIndex(DistanceMetric.EUCLIDEAN, m=4, ksub=16, refine=32)
+    idx.add_batch([(i, db[i]) for i in range(n)])
+    idx.train()
+    # post-train insert is searchable
+    v_new = (db[3] + 0.001).astype(np.float32)
+    idx.add(n, v_new)
+    got = idx.search_batch(v_new.reshape(1, -1), 1)[0]
+    assert got[0][0] == n
+    # upsert moves the id and is searchable at its new value
+    v_up = (db[7] + 5.0).astype(np.float32)
+    idx.add(7, v_up)
+    got = idx.search_batch(v_up.reshape(1, -1), 1)[0]
+    assert got[0][0] == 7
+    # remove disappears from results
+    idx.remove(n)
+    got = idx.search_batch(v_new.reshape(1, -1), 3)[0]
+    assert all(rid != n for rid, _ in got)
+    # get_vector returns stored values
+    assert np.allclose(idx.get_vector(7).as_array(), v_up)
+    assert idx.get_vector(n) is None
+    assert len(idx) == n
+
+
+def test_post_train_bulk_append_is_searchable(rng):
+    n, d = 300, 16
+    db = _clustered(rng, n, d, n_centers=8)
+    idx = PqFlatIndex(DistanceMetric.EUCLIDEAN, m=4, ksub=16, refine=32)
+    idx.add_batch([(i, db[i]) for i in range(n)])
+    idx.train()
+    # well-separated gaussians: each extra row lands in its own PQ cell
+    # (tight clusters would share codes and tie-break arbitrarily)
+    extra = (5.0 * rng.standard_normal((200, d))).astype(np.float32)
+    idx.add_batch([(n + i, extra[i]) for i in range(200)])
+    got = idx.search_batch(extra[:4], 1)
+    for j, row in enumerate(got):
+        assert row[0][0] == n + j
+    assert len(idx) == n + 200
+
+
+def test_auto_train_on_search(rng):
+    n, d = 600, 16
+    db = _clustered(rng, n, d, n_centers=8)
+    idx = PqFlatIndex(DistanceMetric.EUCLIDEAN, m=4, ksub=16,
+                      auto_train_min=512)
+    idx.add_batch([(i, db[i]) for i in range(n)])
+    assert not idx.is_trained
+    idx.search_batch(db[:2], 3)
+    assert idx.is_trained
+
+
+def test_untrained_small_index_is_exact_flat(rng):
+    n, d, k = 64, 8, 5
+    db = rng.standard_normal((n, d)).astype(np.float32)
+    idx = PqFlatIndex(DistanceMetric.EUCLIDEAN, m=2, ksub=8)
+    idx.add_batch([(i, db[i]) for i in range(n)])
+    res = idx.search_batch(db[:3], k)
+    want = _flat_topk(db[:3], db, DistanceMetric.EUCLIDEAN, k)
+    for got, w in zip(res, want):
+        assert [i for i, _ in got] == w.tolist()
+
+
+def test_store_with_pq_and_exact_filters(rng):
+    n, d, k = 1200, 16, 6
+    db = _clustered(rng, n, d, n_centers=6)
+    store = VectorStore(PqFlatIndex(DistanceMetric.EUCLIDEAN, m=4,
+                                    ksub=16, refine=64,
+                                    auto_train_min=600))
+    for i in range(n):
+        store.insert_with_metadata(
+            f"v{i}", Vector(db[i]),
+            Metadata({"par": "even" if i % 2 == 0 else "odd"}))
+    store.search(Vector(db[0]), 1)  # trigger auto-train
+    assert store.index.is_trained
+    flt = MetadataFilter.eq("par", "even")
+    res = store.search_with_filter(Vector(db[10]), k, flt)
+    assert len(res) == k
+    assert all(int(h.id[1:]) % 2 == 0 for h in res)
+    # distances exact vs stored rows
+    for h in res:
+        ref = float(np.linalg.norm(db[10] - db[int(h.id[1:])]))
+        assert abs(h.distance - ref) < 1e-3
+
+
+def test_bad_m_raises_at_train(rng):
+    idx = PqFlatIndex(DistanceMetric.EUCLIDEAN, m=5, ksub=16)
+    db = rng.standard_normal((64, 16)).astype(np.float32)
+    idx.add_batch([(i, db[i]) for i in range(64)])
+    with pytest.raises(IndexOpError):
+        idx.train()
+
+
+def test_train_needs_ksub_rows(rng):
+    idx = PqFlatIndex(DistanceMetric.EUCLIDEAN, m=2, ksub=64)
+    db = rng.standard_normal((32, 8)).astype(np.float32)
+    idx.add_batch([(i, db[i]) for i in range(32)])
+    with pytest.raises(IndexOpError):
+        idx.train()
+
+
+def test_k_bigger_than_refine_still_served(rng):
+    n, d = 2048, 16
+    db = _clustered(rng, n, d, n_centers=8)
+    idx = PqFlatIndex(DistanceMetric.EUCLIDEAN, m=4, ksub=16, refine=8)
+    idx.add_batch([(i, db[i]) for i in range(n)])
+    idx.train()
+    got = idx.search_batch(db[:2], 50)
+    for row in got:
+        assert len(row) == 50
+        dd = [dv for _, dv in row]
+        assert dd == sorted(dd)
+
+
+def test_cosine_zero_vector_raises_after_training(rng):
+    from vectordb_tpu.errors import InvalidVectorError
+    n, d = 512, 16
+    db = _clustered(rng, n, d, n_centers=4)
+    db /= np.maximum(np.linalg.norm(db, axis=1, keepdims=True), 1e-6)
+    idx = PqFlatIndex(DistanceMetric.COSINE, m=4, ksub=16)
+    idx.add_batch([(i, db[i]) for i in range(n)])
+    idx.train()
+    with pytest.raises(InvalidVectorError):
+        idx.search_batch(np.zeros((1, d), np.float32), 3)
+
+
+def test_export_import_trained_state_bit_identical(rng):
+    n, d, q, k = 1024, 16, 16, 10
+    db = _clustered(rng, n, d, n_centers=8)
+    idx = PqFlatIndex(DistanceMetric.EUCLIDEAN, m=4, ksub=32, refine=64,
+                      seed=5)
+    idx.add_batch([(i, db[i]) for i in range(n)])
+    idx.train()
+    queries = rng.standard_normal((q, d)).astype(np.float32)
+    want = idx.search_batch(queries, k)
+    tables = idx.export_trained_state()
+    assert tables is not None
+
+    idx2 = PqFlatIndex(DistanceMetric.EUCLIDEAN, m=4, ksub=32, refine=64)
+    idx2.add_batch([(i, db[i]) for i in range(n)])
+    idx2.import_trained_state(tables)
+
+    def boom():
+        raise AssertionError("import must not retrain")
+    idx2.train = boom
+    got = idx2.search_batch(queries, k)
+    assert got == want  # bit-identical: same codebook -> same candidates
+    assert idx2.is_trained
+
+
+def test_export_untrained_is_none():
+    idx = PqFlatIndex(DistanceMetric.EUCLIDEAN)
+    assert idx.export_trained_state() is None
+
+
+def test_removed_rows_never_returned_even_unencoded(rng):
+    # delete + re-add churn around sync boundaries
+    n, d = 600, 8
+    db = rng.standard_normal((n, d)).astype(np.float32)
+    idx = PqFlatIndex(DistanceMetric.EUCLIDEAN, m=2, ksub=16, refine=32)
+    idx.add_batch([(i, db[i]) for i in range(n)])
+    idx.train()
+    idx.search_batch(db[:1], 1)          # sync devices
+    for i in range(0, 100):
+        idx.remove(i)
+    got = idx.search_batch(db[:4], 5)
+    for row in got:
+        assert all(rid >= 100 for rid, _ in row)

@@ -1,0 +1,516 @@
+"""PQ-Flat: product-quantized flat index — the beyond-HBM capacity lane.
+
+An index family beyond the reference (flat + HNSW, src/lib.rs:30-47),
+motivated by the chip's memory hierarchy: HBM capacity, not FLOPs, caps
+one-chip database size (f32 rows ~4M x 768, bf16 8M, int8 16M —
+BASELINE.md). PQ codes at 1 byte per subspace cut device storage to
+``m`` bytes/row (96 B at 768-d with the default 8-dim subspaces — 32x
+less than f32), so tens of millions of rows fit on one chip.
+
+Architecture (ops/pq.py holds the device programs):
+
+* The DEVICE holds only codes (uint8[capacity, m]) + the codebook +
+  validity. The streaming scan decodes tiles in VMEM via one-hot MXU
+  matmuls and returns the top-R candidate slots per query.
+* The HOST keeps the full-precision rows (FlatIndex's packed array — the
+  source of truth that already exists for persistence) and exactly
+  re-ranks the R candidates per query, so RETURNED DISTANCES ARE EXACT
+  f32 values over the true stored rows; recall is governed only by
+  candidate coverage (``refine``), exactly like IVF's nprobe.
+
+Mutations follow FlatIndex slot semantics unchanged — PQ never repacks
+slots (slot_layout_version never bumps), so store-compiled filter masks
+stay valid across training. Post-train writes re-encode on the next
+search sync (host for small deltas, device slabs for bulk). Searches
+racing mutations reflect the snapshot point: candidate slots mutated
+mid-flight are dropped via a per-slot mutation stamp rather than mixing
+old candidacy with new row values.
+
+Filtered searches run the masked PQ scan (mask ANDed into validity
+before top-R) + exact re-rank: filters stay exact in the same sense as
+the unmasked path.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..distance import DistanceMetric, validate_cosine_operands
+from ..errors import IndexOpError
+from .flat import FlatIndex
+
+_TRAIN_SAMPLE_MAX = 1 << 18
+_SCAN_CHUNK = 4096          # rows per streamed scan tile (pow2)
+_MAX_REFINE = 1024          # r beyond this falls back to the exact scan
+_NP_ENCODE_MAX = 512        # below this, encode on host (saves a ~25 ms
+                            # relay dispatch per small write batch)
+_ENC_SLAB = 1 << 20         # rows per host->device encode transfer
+_SCORE_BYTES = 1 << 28      # budget for (m, chunk, ksub) score tensors
+_ONEHOT_BYTES = 1 << 28     # budget for (chunk, m, ksub) bf16 one-hots
+_SCATTER_MAX = 1 << 15      # beyond this many dirty codes, re-put wholesale
+_RERANK_QBLOCK = 512
+
+
+def _pow2_floor(n: int) -> int:
+    return 1 << (max(int(n), 1).bit_length() - 1)
+
+
+class PqFlatIndex(FlatIndex):
+    """Product-quantized flat index with exact host re-rank."""
+
+    def __init__(self, metric: DistanceMetric, m: Optional[int] = None,
+                 ksub: int = 256, refine: int = 64, train_iters: int = 15,
+                 auto_train_min: int = 8192, seed: int = 0):
+        super().__init__(metric, search_mode="exact", storage="f32")
+        self._want_mirrors = False
+        if m is not None and m < 1:
+            raise ValueError("m must be >= 1")
+        if not 2 <= ksub <= 256:
+            raise ValueError("ksub must be in [2, 256] (codes are uint8)")
+        if refine < 1:
+            raise ValueError("refine must be >= 1")
+        self._m_arg = m
+        self.ksub = int(ksub)
+        # top-R candidate pool re-ranked exactly per query (the recall
+        # knob; effective R = max(refine, k), rounded up to a pow2)
+        self.refine = int(refine)
+        self.train_iters = int(train_iters)
+        self.auto_train_min = int(auto_train_min)
+        self._seed = int(seed)
+        # trained state
+        self._trained = False
+        self._m = 0
+        self._codebook: Optional[np.ndarray] = None   # (m, ksub, dsub) f32
+        self._codebook_dev = None
+        self._codes: Optional[np.ndarray] = None      # uint8[capacity, m]
+        self._codes_dev = None
+        self._pq_valid_dev = None
+        self._pq_valid_dirty = True
+        self._pq_dirty: set[int] = set()
+        self._pq_full_reencode = False
+        # per-slot mutation stamps: searches snapshot the tick at submit
+        # and drop candidates whose slot mutated after it
+        self._tick = 0
+        self._slot_tick: Optional[np.ndarray] = None  # int64[capacity]
+
+    # -- configuration --------------------------------------------------------
+
+    @property
+    def is_trained(self) -> bool:
+        return self._trained
+
+    def _resolve_m(self, d: int) -> int:
+        if self._m_arg is not None:
+            if d % self._m_arg:
+                raise IndexOpError(
+                    f"PQ m={self._m_arg} must divide dimension {d}")
+            return self._m_arg
+        for dsub in (8, 4, 2, 1):
+            if d % dsub == 0:
+                return d // dsub
+        return d  # unreachable (dsub=1 always divides)
+
+    @staticmethod
+    def _fit_chunk(m: int, ksub: int, s: int) -> int:
+        return min(_pow2_floor(s),
+                   max(256, _pow2_floor(_SCORE_BYTES // (m * ksub * 4))))
+
+    @staticmethod
+    def _enc_chunk(m: int, ksub: int) -> int:
+        return max(256, _pow2_floor(_SCORE_BYTES // (m * ksub * 4)))
+
+    def _scan_chunk(self) -> int:
+        chunk = min(_SCAN_CHUNK, _pow2_floor(self._capacity),
+                    max(256, _pow2_floor(_ONEHOT_BYTES
+                                         // (self._m * self.ksub * 2))))
+        return max(chunk, 1)
+
+    # -- training --------------------------------------------------------------
+
+    def train(self) -> None:
+        """Fit the subspace codebooks on the live rows and encode them.
+
+        Unlike IVF training this never repacks slots: codes live beside
+        the packed rows, so filter masks and slot ids stay valid."""
+        with self._lock:
+            n = self._len
+            if n < self.ksub:
+                raise IndexOpError(
+                    f"need at least ksub={self.ksub} vectors to train PQ")
+            d = self._dim
+            m = self._resolve_m(d)
+            live = np.nonzero(self._valid)[0]
+            smax = min(live.size, _TRAIN_SAMPLE_MAX)
+            if live.size > smax:
+                sel = np.random.default_rng(self._seed).choice(
+                    live, smax, replace=False)
+                sample = self._vectors[np.sort(sel)]
+            elif live.size == n and n and int(live[-1]) == n - 1:
+                sample = self._vectors[:n]      # contiguous prefix: a view
+            else:
+                sample = self._vectors[live]
+            chunk = self._fit_chunk(m, self.ksub, len(sample))
+            pad = (-len(sample)) % chunk
+            if pad:
+                # wrap-pad to a chunk multiple (duplicates re-weight at
+                # most chunk-1 of >=ksub rows — negligible for k-means)
+                sample = np.concatenate([sample, sample[:pad]])
+
+            import jax
+            from ..ops.pq import pq_fit
+            codebook = np.asarray(pq_fit(
+                jnp.asarray(np.ascontiguousarray(sample, np.float32)),
+                jax.random.PRNGKey(self._seed), m=m, ksub=self.ksub,
+                iters=self.train_iters, chunk=chunk))
+
+            self._m = m
+            self._codebook = codebook
+            self._codebook_dev = None
+            self._codes = np.zeros((self._capacity, m), np.uint8)
+            self._trained = True
+            self._pq_dirty.clear()
+            self._pq_full_reencode = True
+            self._codes_dev = None
+            self._pq_valid_dirty = True
+
+    # -- encoding --------------------------------------------------------------
+
+    def _np_encode_rows(self, rows: np.ndarray) -> np.ndarray:
+        cb = self._codebook
+        m, ksub, dsub = cb.shape
+        sub = np.ascontiguousarray(rows, np.float32).reshape(
+            len(rows), m, dsub)
+        out = np.empty((len(rows), m), np.uint8)
+        for j in range(m):
+            c = cb[j]
+            sc = sub[:, j] @ c.T * -2.0 + np.sum(c * c, axis=1)[None, :]
+            out[:, j] = np.argmin(sc, axis=1)
+        return out
+
+    def _encode_rows(self, rows: np.ndarray) -> np.ndarray:
+        """(n, d) f32 -> (n, m) uint8 via the trained codebook. Host path
+        for small batches, device slabs for bulk."""
+        n = len(rows)
+        if n == 0:
+            return np.empty((0, self._m), np.uint8)
+        if n <= _NP_ENCODE_MAX:
+            return self._np_encode_rows(rows)
+        from ..ops.pq import pq_encode
+        if self._codebook_dev is None:
+            self._codebook_dev = jnp.asarray(self._codebook)
+        chunk = self._enc_chunk(self._m, self.ksub)
+        out = np.empty((n, self._m), np.uint8)
+        for a in range(0, n, _ENC_SLAB):
+            blk = np.ascontiguousarray(rows[a:a + _ENC_SLAB], np.float32)
+            bn = len(blk)
+            c = min(chunk, _pow2_floor(bn) if bn >= 256 else bn)
+            pad = (-bn) % c
+            if pad:
+                blk = np.concatenate(
+                    [blk, np.zeros((pad, blk.shape[1]), np.float32)])
+            codes = np.asarray(pq_encode(jnp.asarray(blk),
+                                         self._codebook_dev, chunk=c))
+            out[a:a + bn] = codes[:bn]
+        return out
+
+    def _reencode_all(self) -> None:
+        live = np.nonzero(self._valid)[0]
+        for a in range(0, live.size, _ENC_SLAB):
+            idx = live[a:a + _ENC_SLAB]
+            self._codes[idx] = self._encode_rows(self._vectors[idx])
+
+    # -- mutation hooks ----------------------------------------------------------
+
+    def _stamp(self, slot: int) -> None:
+        self._tick += 1
+        if self._slot_tick is not None:
+            self._slot_tick[slot] = self._tick
+
+    def _ensure_storage(self, dim: int, want_rows: int) -> None:
+        old_cap = self._capacity
+        super()._ensure_storage(dim, want_rows)
+        if self._capacity != old_cap:
+            nt = np.zeros(self._capacity, np.int64)
+            if self._slot_tick is not None:
+                nt[:old_cap] = self._slot_tick
+            self._slot_tick = nt
+            if self._trained:
+                nc = np.zeros((self._capacity, self._m), np.uint8)
+                nc[:old_cap] = self._codes
+                self._codes = nc
+                self._codes_dev = None
+                self._pq_valid_dirty = True
+
+    def _write_slot(self, slot: int, internal_id: int,
+                    arr: np.ndarray) -> None:
+        super()._write_slot(slot, internal_id, arr)
+        self._stamp(slot)
+        if self._trained:
+            self._pq_dirty.add(slot)
+            self._pq_valid_dirty = True
+
+    def _clear_slot(self, slot: int) -> None:
+        super()._clear_slot(slot)
+        self._stamp(slot)
+        if self._trained:
+            self._pq_valid_dirty = True
+
+    def _bulk_append_fresh(self, ids: np.ndarray, items, dim: int) -> None:
+        pre = set(self._dirty_slots)
+        try:
+            super()._bulk_append_fresh(ids, items, dim)
+        finally:
+            new = self._dirty_slots - pre
+            if new:
+                self._tick += 1
+                self._slot_tick[list(new)] = self._tick
+                if self._trained:
+                    self._pq_dirty.update(new)
+                    self._pq_valid_dirty = True
+
+    def _bulk_load_fresh(self, ids: np.ndarray, items, dim: int) -> None:
+        super()._bulk_load_fresh(ids, items, dim)
+        self._after_bulk_load()
+
+    def bulk_load_matrix(self, ids: np.ndarray, mat: np.ndarray) -> None:
+        super().bulk_load_matrix(ids, mat)
+        with self._lock:
+            self._after_bulk_load()
+
+    def _after_bulk_load(self) -> None:
+        self._tick += 1
+        self._slot_tick[:self._len] = self._tick
+        if self._trained:
+            self._pq_dirty.clear()
+            self._pq_full_reencode = True
+            self._codes_dev = None
+            self._pq_valid_dirty = True
+
+    # -- device sync -------------------------------------------------------------
+
+    def _pq_sync(self):
+        """Bring codes/codebook/validity device copies current (lock
+        held). Returns (codes_dev, codebook_dev, valid_dev)."""
+        if self._codebook_dev is None:
+            self._codebook_dev = jnp.asarray(self._codebook)
+        if self._pq_full_reencode:
+            self._reencode_all()
+            self._pq_full_reencode = False
+            self._pq_dirty.clear()
+            self._codes_dev = None
+        if self._pq_dirty:
+            slots = np.fromiter(self._pq_dirty, np.int64,
+                                count=len(self._pq_dirty))
+            self._pq_dirty.clear()
+            self._codes[slots] = self._encode_rows(self._vectors[slots])
+            if (self._codes_dev is not None
+                    and len(slots) <= _SCATTER_MAX):
+                from ..ops.topk import next_pow2
+                from ..ops.update import scatter_rows, scatter_rows_copy
+                n = len(slots)
+                npad = next_pow2(n, floor=1)
+                if npad != n:   # idempotent duplicate writes pad the shape
+                    slots = np.concatenate(
+                        [slots, np.full(npad - n, slots[0], np.int64)])
+                rows = self._codes[slots]
+                op = (scatter_rows if self._searches_in_flight == 0
+                      else scatter_rows_copy)
+                self._codes_dev = op(self._codes_dev,
+                                     jnp.asarray(slots), jnp.asarray(rows))
+            else:
+                self._codes_dev = None
+        if self._codes_dev is None:
+            self._codes_dev = jnp.asarray(self._codes)
+            self._pq_valid_dirty = True
+        if self._pq_valid_dirty or self._pq_valid_dev is None:
+            self._pq_valid_dev = jnp.asarray(self._valid)
+            self._pq_valid_dirty = False
+        return self._codes_dev, self._codebook_dev, self._pq_valid_dev
+
+    # -- search --------------------------------------------------------------------
+
+    def search_batch_submit(self, queries: np.ndarray, k: int,
+                            slot_mask: Optional[np.ndarray] = None,
+                            mask_layout_version: Optional[int] = None):
+        """PQ's scan + host re-rank pipeline is synchronous (the re-rank
+        needs the candidate slots on host), so the async contract is
+        served eagerly — inheriting FlatIndex's launcher would silently
+        swap the PQ lane for a full exact scan (same note as IVF)."""
+        from .flat import SearchBatchHandle
+        return SearchBatchHandle.ready(self.search_batch(
+            queries, k, slot_mask=slot_mask,
+            mask_layout_version=mask_layout_version))
+
+    def search_batch(self, queries: np.ndarray, k: int,
+                     slot_mask: Optional[np.ndarray] = None,
+                     refine: Optional[int] = None,
+                     mask_layout_version: Optional[int] = None
+                     ) -> List[List[Tuple[int, float]]]:
+        if slot_mask is not None:
+            # NO auto-train here even though PQ training preserves slot
+            # layout — keep the same policy surface as IVF (training
+            # mid-filtered-query is surprising latency, not a bug risk)
+            with self._lock:
+                trained = self._trained
+            if not trained:
+                return super().search_batch(
+                    queries, k, slot_mask=slot_mask,
+                    mask_layout_version=mask_layout_version)
+            return self._pq_search(queries, k, refine, slot_mask,
+                                   mask_layout_version)
+        with self._lock:
+            if not self._trained and self._len >= self.auto_train_min:
+                self.train()
+            trained = self._trained
+        if not trained:
+            return super().search_batch(queries, k)
+        return self._pq_search(queries, k, refine, None, None)
+
+    def _pq_search(self, queries: np.ndarray, k: int,
+                   refine: Optional[int],
+                   slot_mask: Optional[np.ndarray],
+                   mask_layout_version: Optional[int]
+                   ) -> List[List[Tuple[int, float]]]:
+        fb: dict = ({} if slot_mask is None else
+                    {"slot_mask": slot_mask,
+                     "mask_layout_version": mask_layout_version})
+        queries = np.asarray(queries, dtype=np.float32)
+        if queries.ndim != 2:
+            from ..errors import InvalidVectorError
+            raise InvalidVectorError("queries must be a (Q, d) array")
+        with self._lock:
+            if (mask_layout_version is not None
+                    and mask_layout_version != self.slot_layout_version):
+                from ..errors import StaleSlotMaskError
+                raise StaleSlotMaskError(mask_layout_version,
+                                         self.slot_layout_version)
+            if self._len == 0 or k <= 0:
+                return [[] for _ in range(queries.shape[0])]
+            if queries.shape[1] != self._dim:
+                from ..errors import DimensionMismatchError
+                raise DimensionMismatchError(self._dim, queries.shape[1])
+            if self._metric is DistanceMetric.COSINE:
+                qn = np.sqrt(np.sum(queries * queries, axis=1))
+                validate_cosine_operands(self._metric,
+                                         float(qn.min(initial=np.inf)),
+                                         self._zero_norm_live)
+            from ..ops.topk import next_pow2
+            k_req = min(int(k), self._len)
+            r_eff = max(int(refine if refine is not None else self.refine),
+                        k_req)
+            r = next_pow2(min(r_eff, self._capacity), floor=1)
+            chunk = self._scan_chunk()
+            if r > min(chunk, _MAX_REFINE):
+                # candidate pool bigger than a scan tile (tiny index or
+                # huge k): the exact scan is the better program
+                return super().search_batch(queries, k, **fb)
+            codes_dev, cb_dev, valid_dev = self._pq_sync()
+            if slot_mask is not None:
+                cap = int(valid_dev.shape[0])
+                mk = np.asarray(slot_mask, dtype=bool)
+                if mk.shape[0] < cap:
+                    mk = np.concatenate(
+                        [mk, np.zeros(cap - mk.shape[0], bool)])
+                valid_dev = jnp.logical_and(valid_dev,
+                                            jnp.asarray(mk[:cap]))
+            tick0 = self._tick
+            self._searches_in_flight += 1
+        try:
+            from ..ops.pq import pq_scan_topr
+            import jax
+            q = queries.shape[0]
+            q_pad = next_pow2(q, floor=1)
+            qs = queries
+            if q_pad != q:
+                qs = np.concatenate(
+                    [queries, np.zeros((q_pad - q, queries.shape[1]),
+                                       np.float32)])
+            scores, slots = pq_scan_topr(
+                jnp.asarray(qs), codes_dev, cb_dev, valid_dev,
+                self._metric, r=r, chunk=chunk)
+            scores = np.asarray(jax.device_get(scores))[:q]
+            slots = np.asarray(jax.device_get(slots))[:q]
+        finally:
+            with self._lock:
+                self._searches_in_flight -= 1
+        with self._lock:
+            return self._rerank(queries, scores, slots, k_req, tick0)
+
+    def _rerank(self, queries: np.ndarray, scan_scores: np.ndarray,
+                slots: np.ndarray, k_req: int, tick0: int
+                ) -> List[List[Tuple[int, float]]]:
+        """Exact f32 re-rank of the candidate slots on the true stored
+        rows (lock held). Candidates whose slot mutated after the scan
+        snapshot (stamp > tick0) are dropped, so results never mix old
+        candidacy with new row values."""
+        out: List[List[Tuple[int, float]]] = []
+        metric = self._metric
+        for a in range(0, queries.shape[0], _RERANK_QBLOCK):
+            qb = queries[a:a + _RERANK_QBLOCK]
+            sl = slots[a:a + _RERANK_QBLOCK]
+            ok = np.isfinite(scan_scores[a:a + _RERANK_QBLOCK])
+            ok &= self._slot_tick[sl] <= tick0
+            ok &= self._valid[sl]
+            rows = self._vectors[sl]                      # (qb, r, d)
+            dots = np.einsum("qrd,qd->qr", rows, qb, optimize=True)
+            if metric is DistanceMetric.DOT_PRODUCT:
+                dist = -dots
+            elif metric is DistanceMetric.EUCLIDEAN:
+                qsq = np.sum(qb * qb, axis=1)[:, None]
+                d2 = qsq + self._sq_norms[sl] - 2.0 * dots
+                dist = np.sqrt(np.maximum(d2, 0.0))
+            else:
+                qn = np.sqrt(np.sum(qb * qb, axis=1))[:, None]
+                denom = np.maximum(qn * self._norms[sl], 1e-30)
+                dist = 1.0 - np.clip(dots / denom, -1.0, 1.0)
+            dist = np.where(ok, dist, np.inf).astype(np.float32)
+            order = np.argsort(dist, axis=1, kind="stable")[:, :k_req]
+            ids = self._id_of_slot[sl]
+            for qi in range(len(qb)):
+                row: List[Tuple[int, float]] = []
+                for j in order[qi]:
+                    dv = float(dist[qi, j])
+                    if not np.isfinite(dv):
+                        break
+                    row.append((int(ids[qi, j]), dv))
+                out.append(row)
+        return out
+
+    # -- persistence -----------------------------------------------------------
+
+    def export_trained_state(self) -> Optional[dict]:
+        """The codebook is the whole trained state: codes are a
+        DETERMINISTIC function of (codebook, rows), so recovery re-encodes
+        instead of persisting gigabytes of codes — reopen never retrains
+        and search results are bit-identical (engine.rs:44-73 parity, same
+        contract as IVF's import)."""
+        with self._lock:
+            if not self._trained:
+                return None
+            return {"codebook": self._codebook.copy(),
+                    "ksub": np.int64(self.ksub)}
+
+    def import_trained_state(self, tables: dict) -> None:
+        with self._lock:
+            cb = np.asarray(tables["codebook"], np.float32).copy()
+            if cb.ndim != 3:
+                raise IndexOpError("pq state: codebook must be 3-D")
+            m, ksub, dsub = cb.shape
+            if self._dim is not None and m * dsub != self._dim:
+                raise IndexOpError(
+                    f"pq state: codebook covers {m * dsub} dims, index "
+                    f"holds {self._dim}")
+            self._m = m
+            self.ksub = ksub
+            self._codebook = cb
+            self._codebook_dev = None
+            self._trained = True
+            self._codes = np.zeros((self._capacity, m), np.uint8)
+            self._pq_dirty.clear()
+            self._pq_full_reencode = True
+            self._codes_dev = None
+            self._pq_valid_dirty = True
