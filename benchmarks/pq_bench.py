@@ -1,0 +1,101 @@
+"""PQ-Flat on one chip: batched subspace k-means training + refine sweep
+(QPS + recall@10 vs the certified-exact flat scan).
+
+Structured data (low intrinsic dimension), the honest ANN workload — the
+same protocol as ivf_bench.py so the two beyond-reference index families
+are directly comparable. At --logn 20 (1M x 768) the device holds 96 MB
+of codes instead of 3 GB of f32 rows; the capacity story scales from
+there (see pq_scale.py for the >16M-row lane).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from vectordb_tpu.cli import enable_persistent_jit_cache  # noqa: E402
+from vectordb_tpu.distance import DistanceMetric  # noqa: E402
+from vectordb_tpu.index import FlatIndex, PqFlatIndex  # noqa: E402
+
+CENTERS = 2048
+NOISE = 0.25
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--logn", type=int, default=20)
+    ap.add_argument("--d", type=int, default=768)
+    ap.add_argument("--q", type=int, default=4096)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--m", type=int, default=None,
+                    help="subquantizers (default d/8)")
+    ap.add_argument("--refines", type=str, default="32,64,128,256")
+    args = ap.parse_args()
+    n, d, q, k = 1 << args.logn, args.d, args.q, args.k
+
+    enable_persistent_jit_cache()
+    rng = np.random.default_rng(0)
+    centers = rng.standard_normal((CENTERS, d)).astype(np.float32)
+    which = rng.integers(0, CENTERS, n)
+    data_np = centers[which] + NOISE * rng.standard_normal(
+        (n, d)).astype(np.float32)
+    qwhich = rng.integers(0, CENTERS, q)
+    queries = centers[qwhich] + NOISE * rng.standard_normal(
+        (q, d)).astype(np.float32)
+    del centers
+    print(f"data generated: n={n} d={d}", flush=True)
+
+    idx = PqFlatIndex(DistanceMetric.EUCLIDEAN, m=args.m, seed=0)
+    t0 = time.perf_counter()
+    ids = np.arange(n, dtype=np.int64)
+    idx.bulk_load_matrix(ids, data_np)
+    t_add = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    idx.train()
+    t_train = time.perf_counter() - t0
+    print(f"ingest {t_add:.1f}s; TRAIN (fit only) {t_train:.1f}s — "
+          f"m={idx._m} ksub={idx.ksub}", flush=True)
+    # first search pays the one-time full encode + scan compile
+    t0 = time.perf_counter()
+    idx.search_batch(queries[:16], k)
+    print(f"encode+compile+first-batch {time.perf_counter() - t0:.1f}s",
+          flush=True)
+
+    # exact ground truth on a sample via the certified flat scan
+    sample = queries[:512]
+    flat = FlatIndex(DistanceMetric.EUCLIDEAN)
+    flat.bulk_load_matrix(ids, data_np)
+    truth = flat.search_batch(sample, k)
+    want = [set(i for i, _ in row) for row in truth]
+    # exact distances for a correctness spot-check
+    tdist = {qi: dict(truth[qi]) for qi in range(16)}
+    del flat
+    print("ground truth done", flush=True)
+
+    for r in (int(x) for x in args.refines.split(",")):
+        got = idx.search_batch(sample, k, refine=r)
+        recall = float(np.mean(
+            [len({i for i, _ in row} & want[qi]) / k
+             for qi, row in enumerate(got)]))
+        for qi in range(16):
+            for rid, dist in got[qi]:
+                if rid in tdist[qi]:
+                    assert abs(dist - tdist[qi][rid]) < 1e-3
+        idx.search_batch(queries, k, refine=r)   # warm the Q-bucket
+        iters = 3
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            idx.search_batch(queries, k, refine=r)
+        per = (time.perf_counter() - t0) / iters
+        print(f"refine={r:4d}: {q / per:8,.0f} QPS ({per * 1e3:7.1f} "
+              f"ms/batch) recall@10={recall:.4f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -262,3 +262,160 @@ def test_removed_rows_never_returned_even_unencoded(rng):
     got = idx.search_batch(db[:4], 5)
     for row in got:
         assert all(rid >= 100 for rid, _ in row)
+
+
+def test_engine_pq_mode_roundtrip(rng, tmp_path):
+    """Persistent mode with --index pq: vectors+metadata survive reopen."""
+    from vectordb_tpu.persistence import EngineConfig, StorageEngine
+
+    cfg = EngineConfig(checkpoint_interval=100,
+                       metric=DistanceMetric.EUCLIDEAN, index_type="pq")
+    db = _clustered(rng, 300, 8)
+    with StorageEngine.open(tmp_path, cfg) as eng:
+        for i in range(300):
+            eng.insert(f"v{i}", Vector(db[i]))
+        assert eng.search(Vector(db[5] + 0.001), 3)[0].id == "v5"
+    with StorageEngine.open(tmp_path, cfg) as eng:
+        assert len(eng) == 300
+        res = eng.search(Vector(db[5] + 0.001), 3)
+        assert res[0].id == "v5"
+        eng.store.index.train()
+        assert eng.search(Vector(db[7] + 0.001), 1)[0].id == "v7"
+
+
+def test_engine_pq_rejects_storage_modes(tmp_path):
+    from vectordb_tpu.persistence import EngineConfig, StorageEngine
+    cfg = EngineConfig(metric=DistanceMetric.EUCLIDEAN, index_type="pq",
+                       storage="bf16")
+    with pytest.raises(ValueError):
+        StorageEngine.open(tmp_path, cfg)
+
+
+def test_engine_pq_trained_state_persists(rng, tmp_path, monkeypatch):
+    """Train -> checkpoint -> reopen must restore the trained codebook:
+    no retrain call, bit-identical search results (codes re-encode
+    deterministically from the recovered rows)."""
+    from vectordb_tpu.persistence import EngineConfig, StorageEngine
+
+    cfg = EngineConfig(checkpoint_interval=10 ** 9,
+                       metric=DistanceMetric.EUCLIDEAN, index_type="pq")
+    n, d, k = 400, 8, 5
+    db = _clustered(rng, n, d, n_centers=8)
+    queries = db[rng.choice(n, 10, replace=False)] + 0.01
+    with StorageEngine.open(tmp_path, cfg) as eng:
+        for i in range(n):
+            eng.insert(f"v{i}", Vector(db[i]))
+        eng.store.index.train()
+        before = [[(r.id, r.distance) for r in eng.search(
+            Vector(queries[qi]), k)] for qi in range(10)]
+        cb_before = eng.store.index._codebook.copy()
+        eng.checkpoint()
+
+    from vectordb_tpu.index.pq import PqFlatIndex as _Pq
+
+    def boom(self):
+        raise AssertionError("reopen must not retrain")
+    monkeypatch.setattr(_Pq, "train", boom)
+    with StorageEngine.open(tmp_path, cfg) as eng:
+        idx = eng.store.index
+        assert idx.is_trained
+        np.testing.assert_array_equal(idx._codebook, cb_before)
+        after = [[(r.id, r.distance) for r in eng.search(
+            Vector(queries[qi]), k)] for qi in range(10)]
+        assert after == before
+        # post-recovery writes still searchable through the PQ path
+        eng.insert("new", Vector(db[0] * 0.5))
+        assert eng.search(Vector(db[0] * 0.5), 1)[0].id == "new"
+        eng.delete("new")
+
+
+def test_engine_pq_wrong_metric_state_ignored(rng, tmp_path):
+    """A pq_state file written under another metric must be ignored."""
+    from vectordb_tpu.persistence import EngineConfig, StorageEngine
+
+    n, d = 300, 8
+    db = _clustered(rng, n, d, n_centers=4)
+    db /= np.maximum(np.linalg.norm(db, axis=1, keepdims=True), 1e-6)
+    cfg = EngineConfig(checkpoint_interval=10 ** 9,
+                       metric=DistanceMetric.EUCLIDEAN, index_type="pq")
+    with StorageEngine.open(tmp_path, cfg) as eng:
+        for i in range(n):
+            eng.insert(f"v{i}", Vector(db[i]))
+        eng.store.index.train()
+        eng.checkpoint()
+    cfg2 = EngineConfig(checkpoint_interval=10 ** 9,
+                        metric=DistanceMetric.COSINE, index_type="pq")
+    with StorageEngine.open(tmp_path, cfg2) as eng:
+        assert not eng.store.index.is_trained  # stale state ignored
+        assert eng.search(Vector(db[5]), 1)[0].id == "v5"
+
+
+def test_cli_index_pq(tmp_path):
+    from vectordb_tpu.cli import main
+    d = tmp_path / "data"
+    assert main(["--index", "pq", "--data-dir", str(d), "insert", "a",
+                 "--vector", "1,2,3"]) == 0
+    assert main(["--index", "pq", "--data-dir", str(d), "search", "1,2,3",
+                 "-k", "1"]) == 0
+    assert main(["--index", "pq", "--storage", "bf16", "--data-dir",
+                 str(d), "search", "1,2,3", "-k", "1"]) == 1
+
+
+def test_store_refine_knob_and_mismatches(rng):
+    from vectordb_tpu.errors import IndexOpError as IOE
+    from vectordb_tpu.index import FlatIndex
+
+    n, d = 1024, 16
+    db = _clustered(rng, n, d, n_centers=8)
+    store = VectorStore(PqFlatIndex(DistanceMetric.EUCLIDEAN, m=4,
+                                    ksub=16, refine=16))
+    store.insert_batch([
+        __import__("vectordb_tpu").store.BatchInsertItem(
+            id=f"v{i}", vector=Vector(db[i])) for i in range(n)])
+    store.index.train()
+    res = store.search(Vector(db[3]), 5, refine=256)
+    assert res[0].id == "v3"
+    res_b = store.search_batch([(Vector(db[3]), 5)], refine=256)
+    assert res_b[0][0].id == "v3"
+    with pytest.raises(IOE):
+        store.search(Vector(db[3]), 5, refine=0)
+    with pytest.raises(IOE):
+        store.search(Vector(db[3]), 5, ef=10, refine=16)
+    with pytest.raises(IOE):
+        store.search(Vector(db[3]), 5, nprobe=2)  # PQ has no nprobe
+    flat_store = VectorStore(FlatIndex(DistanceMetric.EUCLIDEAN))
+    flat_store.insert("a", Vector(db[0]))
+    with pytest.raises(IOE):
+        flat_store.search(Vector(db[0]), 1, refine=8)
+
+
+def test_http_refine_knob(rng):
+    from vectordb_tpu.server.app import AppState
+    from vectordb_tpu.server.routes import Api
+
+    n, d = 1024, 16
+    db = _clustered(rng, n, d, n_centers=8)
+    store = VectorStore(PqFlatIndex(DistanceMetric.EUCLIDEAN, m=4,
+                                    ksub=16, refine=16))
+    for i in range(64):
+        store.insert(f"v{i}", Vector(db[i]))
+    api = Api(AppState(store))
+    store.index.auto_train_min = 32
+    store.index.train()
+    status, body = api.handle("POST", "/search", {
+        "vector": db[3].tolist(), "k": 3, "refine": 64})
+    assert status == 200 and body[0]["id"] == "v3"
+    status, body = api.handle("POST", "/search/batch", {
+        "queries": [{"vector": db[4].tolist(), "k": 2}], "refine": 64})
+    assert status == 200 and body[0][0]["id"] == "v4"
+    # mismatches are 400s
+    status, _ = api.handle("POST", "/search", {
+        "vector": db[3].tolist(), "k": 3, "refine": 64, "ef": 10})
+    assert status == 400
+    status, _ = api.handle("POST", "/search", {
+        "vector": db[3].tolist(), "radius": 1.0, "refine": 64})
+    assert status == 400
+    status, _ = api.handle("POST", "/search", {
+        "vector": db[3].tolist(), "k": 3, "refine": 64,
+        "filter": {"op": "exists", "field": "x"}})
+    assert status == 400

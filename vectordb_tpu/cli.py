@@ -30,7 +30,7 @@ def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(
         prog="vectordb-tpu",
         description="A TPU-native vector database built from scratch")
-    parser.add_argument("--index", choices=["flat", "hnsw", "ivf"],
+    parser.add_argument("--index", choices=["flat", "hnsw", "ivf", "pq"],
                         default="flat",
                         help="Index type to use for search")
     parser.add_argument("--data-dir", default=None,
@@ -76,6 +76,9 @@ def build_parser() -> argparse.ArgumentParser:
     p_search.add_argument("--nprobe", type=int, default=None,
                           help="IVF clusters to probe for this query "
                                "(requires --index ivf)")
+    p_search.add_argument("--refine", type=int, default=None,
+                          help="PQ candidates to re-rank exactly for this "
+                               "query (requires --index pq)")
 
     p_delete = sub.add_parser("delete", help="Delete a vector")
     p_delete.add_argument("id", help="Vector ID to delete")
@@ -120,13 +123,16 @@ def _run_commands(db, args) -> int:
             if args.k is not None:
                 raise IndexOpError(
                     "-k and --radius are mutually exclusive")
-            if args.ef is not None or args.nprobe is not None:
+            if (args.ef is not None or args.nprobe is not None
+                    or args.refine is not None):
                 raise IndexOpError(
-                    "--ef/--nprobe cannot be combined with --radius")
+                    "--ef/--nprobe/--refine cannot be combined with "
+                    "--radius")
             results = db.search_radius(q, args.radius, limit=args.limit)
         else:
             k = 5 if args.k is None else args.k
-            results = db.search(q, k, ef=args.ef, nprobe=args.nprobe)
+            results = db.search(q, k, ef=args.ef, nprobe=args.nprobe,
+                                refine=args.refine)
         if not results:
             print("No results found (store is empty)"
                   if args.radius is None else "No results within radius")
@@ -156,6 +162,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     args = build_parser().parse_args(argv)
     enable_persistent_jit_cache()
     metric = DistanceMetric.from_name(args.metric)
+    if args.index == "pq" and args.storage != "f32":
+        print("Error: --index pq owns its device representation (codes); "
+              "--storage does not compose with it.", file=sys.stderr)
+        return 1
     try:
         if args.command == "serve":
             if args.data_dir:
@@ -188,6 +198,14 @@ def main(argv: Optional[List[str]] = None) -> int:
                       batch_window_ms=args.batch_window_ms,
                       backend=args.http)
                 return 0
+            if args.index == "pq":
+                from .index.pq import PqFlatIndex
+                from .server.app import AppState, serve
+                serve(args.addr,
+                      AppState(VectorStore.with_index(PqFlatIndex(metric))),
+                      batch_window_ms=args.batch_window_ms,
+                      backend=args.http)
+                return 0
             if args.index == "hnsw":
                 start_hnsw(args.addr, metric, HnswParams(),
                            batch_window_ms=args.batch_window_ms,
@@ -214,6 +232,9 @@ def main(argv: Optional[List[str]] = None) -> int:
             from .index.ivf import IvfFlatIndex
             store = VectorStore.with_index(
                 IvfFlatIndex(metric, storage=args.storage))
+        elif args.index == "pq":
+            from .index.pq import PqFlatIndex
+            store = VectorStore.with_index(PqFlatIndex(metric))
         elif args.index == "hnsw":
             store = VectorStore.with_index(HnswIndex(metric, HnswParams()))
         else:

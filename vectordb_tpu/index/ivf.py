@@ -59,7 +59,7 @@ class IvfFlatIndex(FlatIndex):
                  seed: int = 0, storage: str = "f32",
                  assign_mode: str = "auto",
                  balance_slack: float = _BALANCE_SLACK,
-                 kmeans_balance: float = 0.1):
+                 kmeans_balance: float = 0.0):
         # storage="bf16" composes: vectors quantize at insert (the host
         # mirror keeps the quantized values in f32, so training/repack
         # are unchanged) and the probed refine computes exact distances
@@ -89,8 +89,13 @@ class IvfFlatIndex(FlatIndex):
             raise ValueError("balance_slack must be >= 1.0")
         self.balance_slack = float(balance_slack)
         # size-penalized Lloyd (ops/ivf.kmeans_fit): shapes centroids so
-        # natural cluster sizes concentrate near the mean — less spill AND
-        # more rows in their true nearest cluster. 0 disables.
+        # natural cluster sizes concentrate near the mean. Default OFF:
+        # the chip A/B at the headline scale (1M x 768 hard-clustered,
+        # nlist=8192, benchmarks/exp_balance_ab.py) measured spill
+        # unchanged (7.83% -> 7.73%) and nprobe=4 recall WORSE (0.9881 ->
+        # 0.9764) — the small-config CPU prototype's ~40% spill cut does
+        # not transfer once nlist splits each natural cluster ~4-ways.
+        # Kept as an option for workloads with genuinely skewed clusters.
         if kmeans_balance < 0.0:
             raise ValueError("kmeans_balance must be >= 0")
         self.kmeans_balance = float(kmeans_balance)

@@ -456,16 +456,24 @@ class PqFlatIndex(FlatIndex):
             ok &= self._slot_tick[sl] <= tick0
             ok &= self._valid[sl]
             rows = self._vectors[sl]                      # (qb, r, d)
-            dots = np.einsum("qrd,qd->qr", rows, qb, optimize=True)
-            if metric is DistanceMetric.DOT_PRODUCT:
-                dist = -dots
-            elif metric is DistanceMetric.EUCLIDEAN:
-                qsq = np.sum(qb * qb, axis=1)[:, None]
-                d2 = qsq + self._sq_norms[sl] - 2.0 * dots
-                dist = np.sqrt(np.maximum(d2, 0.0))
+            # everything below derives from the gathered ROW VALUES only
+            # (not the stored sq-norm caches): recovery re-inserts rows
+            # through a different bulk path whose cached norms can differ
+            # in the last ulp, and PQ's recovery contract is bit-identical
+            # results. The difference form also avoids the |q|^2+|x|^2-2qx
+            # cancellation outright.
+            if metric is DistanceMetric.EUCLIDEAN:
+                diff = rows - qb[:, None, :]
+                dist = np.sqrt(np.einsum("qrd,qrd->qr", diff, diff,
+                                         optimize=True))
+            elif metric is DistanceMetric.DOT_PRODUCT:
+                dist = -np.einsum("qrd,qd->qr", rows, qb, optimize=True)
             else:
+                dots = np.einsum("qrd,qd->qr", rows, qb, optimize=True)
                 qn = np.sqrt(np.sum(qb * qb, axis=1))[:, None]
-                denom = np.maximum(qn * self._norms[sl], 1e-30)
+                xn = np.sqrt(np.einsum("qrd,qrd->qr", rows, rows,
+                                       optimize=True))
+                denom = np.maximum(qn * xn, 1e-30)
                 dist = 1.0 - np.clip(dots / denom, -1.0, 1.0)
             dist = np.where(ok, dist, np.inf).astype(np.float32)
             order = np.argsort(dist, axis=1, kind="stable")[:, :k_req]
@@ -479,6 +487,16 @@ class PqFlatIndex(FlatIndex):
                     row.append((int(ids[qi, j]), dv))
                 out.append(row)
         return out
+
+    def search_with_refine(self, query, k: int,
+                           refine: int) -> List[Tuple[int, float]]:
+        """Per-call recall/latency knob (the PQ analogue of HNSW's
+        search_with_ef / IVF's search_with_nprobe): re-rank the top
+        ``refine`` PQ candidates exactly. Passed through as an argument —
+        mutating self.refine would race concurrent searches."""
+        from ..vector import as_f32_array
+        return self.search_batch(as_f32_array(query).reshape(1, -1), k,
+                                 refine=int(refine))[0]
 
     # -- persistence -----------------------------------------------------------
 

@@ -73,7 +73,7 @@ class EngineConfig:
     """
     checkpoint_interval: int = 1000
     metric: DistanceMetric = DistanceMetric.EUCLIDEAN
-    index_type: str = "flat"        # "flat" | "hnsw" | "ivf"
+    index_type: str = "flat"        # "flat" | "hnsw" | "ivf" | "pq"
     hnsw_params: Optional[object] = None
     mesh: Optional[object] = None   # jax.sharding.Mesh for sharded storage
     search_mode: str = "exact"      # flat scan mode: "exact" | "fast"
@@ -101,6 +101,14 @@ class StorageEngine:
             self.store = VectorStore.with_index(
                 IvfFlatIndex(self.config.metric,
                              storage=self.config.storage))
+        elif self.config.index_type == "pq":
+            if self.config.storage != "f32":
+                raise ValueError(
+                    "index_type='pq' owns its device representation "
+                    "(codes); storage quantization modes do not compose")
+            from ..index.pq import PqFlatIndex
+            self.store = VectorStore.with_index(
+                PqFlatIndex(self.config.metric))
         elif self.config.index_type == "flat":
             from ..index.flat import FlatIndex
             self.store = VectorStore.with_index(FlatIndex(
@@ -120,9 +128,12 @@ class StorageEngine:
     # -- recovery (reference: engine.rs:44-104) ------------------------------
 
     def _recover(self) -> None:
-        if self.config.index_type == "flat":
+        if self.config.index_type in ("flat", "pq"):
             # streaming apply: the 10M x 768 lane — never materializes
-            # the 30 GB payload or a 10M-element object list
+            # the 30 GB payload or a 10M-element object list. PQ recovers
+            # through the same path: its trained state is just the
+            # codebook (installed below, after replay — codes re-encode
+            # deterministically from the recovered rows)
             reader = self.snapshots.open_stream()
             if reader is not None:
                 with reader:
@@ -153,15 +164,43 @@ class StorageEngine:
                 pending.flush()
                 self._apply_wal_entry(entry)
         pending.flush()
+        self._try_import_pq()
 
     GRAPH_FILE = "hnsw_graph.npz"
     IVF_FILE = "ivf_state.npz"
+    PQ_FILE = "pq_state.npz"
 
     def _graph_path(self) -> Path:
         return self.data_dir / self.GRAPH_FILE
 
     def _ivf_path(self) -> Path:
         return self.data_dir / self.IVF_FILE
+
+    def _pq_path(self) -> Path:
+        return self.data_dir / self.PQ_FILE
+
+    def _try_import_pq(self) -> bool:
+        """Restore a trained PQ codebook so reopen never retrains. Unlike
+        the HNSW/IVF tables the codebook is a pure quantizer — valid for
+        ANY row set of the right dimension, with codes re-derived
+        deterministically — so it needs no snapshot-digest binding, only
+        metric + dimension agreement."""
+        if self.config.index_type != "pq" or not self._pq_path().exists():
+            return False
+        try:
+            import numpy as np
+            with np.load(self._pq_path()) as z:
+                tables = {key: z[key] for key in z.files}
+            if str(tables.get("metric", "")) != self.config.metric.value:
+                return False
+            cb = np.asarray(tables["codebook"], np.float32)
+            dim = self.store.dimension
+            if dim is not None and cb.shape[0] * cb.shape[2] != dim:
+                return False
+            self.store.index.import_trained_state(tables)
+            return True
+        except Exception:
+            return False  # stale/corrupt state: retrain on first search
 
     def _try_import_graph(self, snap: DatabaseSnapshot) -> bool:
         """Fast HNSW reopen: restore the serialized graph tables instead of
@@ -345,8 +384,10 @@ class StorageEngine:
     # persist: main.rs:100-102 rejects serve + --data-dir).
 
     def search(self, query: Vector, k: int, *, ef: Optional[int] = None,
-               nprobe: Optional[int] = None) -> List[SearchResult]:
-        return self.store.search(query, k, ef=ef, nprobe=nprobe)
+               nprobe: Optional[int] = None,
+               refine: Optional[int] = None) -> List[SearchResult]:
+        return self.store.search(query, k, ef=ef, nprobe=nprobe,
+                                 refine=refine)
 
     def search_with_filter(self, query: Vector, k: int,
                            filter) -> List[SearchResult]:
@@ -358,12 +399,16 @@ class StorageEngine:
                                         filter=filter)
 
     def search_batch(self, queries, *, ef: Optional[int] = None,
-                     nprobe: Optional[int] = None):
-        return self.store.search_batch(queries, ef=ef, nprobe=nprobe)
+                     nprobe: Optional[int] = None,
+                     refine: Optional[int] = None):
+        return self.store.search_batch(queries, ef=ef, nprobe=nprobe,
+                                       refine=refine)
 
     def search_batch_submit(self, queries, *, ef: Optional[int] = None,
-                            nprobe: Optional[int] = None):
-        return self.store.search_batch_submit(queries, ef=ef, nprobe=nprobe)
+                            nprobe: Optional[int] = None,
+                            refine: Optional[int] = None):
+        return self.store.search_batch_submit(queries, ef=ef,
+                                              nprobe=nprobe, refine=refine)
 
     def search_batch_with_filter(self, queries, filter):
         return self.store.search_batch_with_filter(queries, filter)
@@ -419,6 +464,7 @@ class StorageEngine:
         self._save_snapshot_stream()
         self._save_graph()
         self._save_ivf()
+        self._save_pq()
         self.wal.append(WalEntry.checkpoint())
         self.wal.truncate()
         self._wal_count = 0
@@ -502,6 +548,24 @@ class StorageEngine:
         np.savez(buf, metric=self.config.metric.value,
                  snapshot_digest=self._snapshot_digest(), **state)
         _durable_write(self._ivf_path(), buf.getvalue())
+
+    def _save_pq(self) -> None:
+        """Serialize the trained PQ codebook (a few hundred KB) beside the
+        snapshot so reopen re-encodes instead of retraining."""
+        if self.config.index_type != "pq":
+            return
+        state = self.store.index.export_trained_state()
+        if state is None:
+            self._pq_path().unlink(missing_ok=True)
+            return
+        import io
+
+        import numpy as np
+
+        from .snapshot import _durable_write
+        buf = io.BytesIO()
+        np.savez(buf, metric=self.config.metric.value, **state)
+        _durable_write(self._pq_path(), buf.getvalue())
 
     def close(self) -> None:
         self.wal.close()

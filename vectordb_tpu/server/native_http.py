@@ -196,7 +196,7 @@ class NativeHttpServer:
         on the hot path) are answered synchronously during submit."""
         state = self.api.state
         # parse first; invalid ones answered immediately
-        groups: dict = {}  # (k, ef, nprobe) -> list[(conn_id, Vector)]
+        groups: dict = {}  # (k, ef, nprobe, refine) -> [(conn_id, Vector)]
         singles = []       # (conn_id, Vector, k, filter)
         for conn_id, body, pre_parsed in searches:
             try:
@@ -205,7 +205,7 @@ class NativeHttpServer:
                     k, n = struct.unpack_from("<iI", body, 0)
                     query = Vector(np.frombuffer(body, np.float32,
                                                  count=n, offset=8))
-                    flt = ef = nprobe = None
+                    flt = ef = nprobe = refine = None
                 else:
                     parsed = json.loads(body) if body else None
                     if not isinstance(parsed, dict) or "vector" not in parsed:
@@ -222,30 +222,31 @@ class NativeHttpServer:
                     raw_k = parsed.get("k")
                     k = 10 if raw_k is None else int(raw_k)
                     flt = _parse_filter(parsed.get("filter"))
-                    ef, nprobe = _parse_knobs(parsed)
+                    ef, nprobe, refine = _parse_knobs(parsed)
                     if flt is not None and (ef is not None
-                                            or nprobe is not None):
+                                            or nprobe is not None
+                                            or refine is not None):
                         self._respond(conn_id, 400, {
-                            "error": "'ef'/'nprobe' cannot be combined "
-                                     "with 'filter'"})
+                            "error": "'ef'/'nprobe'/'refine' cannot be "
+                                     "combined with 'filter'"})
                         continue
             except Exception as e:
                 self._respond(conn_id, 400, {"error": str(e)})
                 continue
             if flt is None:
-                groups.setdefault((k, ef, nprobe), []).append(
+                groups.setdefault((k, ef, nprobe, refine), []).append(
                     (conn_id, query))
             else:
                 singles.append((conn_id, query, k, flt))
 
         completions = []
-        for (k, ef, nprobe), members in groups.items():
+        for (k, ef, nprobe, refine), members in groups.items():
             start = time.perf_counter()
             try:
                 with state.lock.read():
                     handle = state.store.search_batch_submit(
                         [(query, k) for _, query in members],
-                        ef=ef, nprobe=nprobe)
+                        ef=ef, nprobe=nprobe, refine=refine)
             except Exception as e:
                 self._respond_group_error(members, e)
                 continue

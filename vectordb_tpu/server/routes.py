@@ -69,12 +69,15 @@ def _parse_filter(raw) -> Optional[MetadataFilter]:
 
 
 def _parse_knobs(body: dict):
-    """Optional per-request recall knobs: 'ef' (HNSW) / 'nprobe' (IVF).
-    Type errors raise ValueError -> 400 via Api.handle's except clause;
-    knob-vs-index mismatches raise IndexOpError in the store -> 400."""
-    ef, nprobe = body.get("ef"), body.get("nprobe")
+    """Optional per-request recall knobs: 'ef' (HNSW) / 'nprobe' (IVF) /
+    'refine' (PQ). Type errors raise ValueError -> 400 via Api.handle's
+    except clause; knob-vs-index mismatches raise IndexOpError in the
+    store -> 400."""
+    ef, nprobe, refine = (body.get("ef"), body.get("nprobe"),
+                          body.get("refine"))
     return (None if ef is None else int(ef),
-            None if nprobe is None else int(nprobe))
+            None if nprobe is None else int(nprobe),
+            None if refine is None else int(refine))
 
 
 class Api:
@@ -165,7 +168,9 @@ class Api:
         raw_k = body.get("k")
         k = 10 if raw_k is None else int(raw_k)  # explicit k=0 means 0
         flt = _parse_filter(body.get("filter"))
-        ef, nprobe = _parse_knobs(body)
+        ef, nprobe, refine = _parse_knobs(body)
+        knobbed = (ef is not None or nprobe is not None
+                   or refine is not None)
         raw_radius = body.get("radius")
         if raw_radius is not None:
             # range query (beyond the reference): all results within
@@ -173,9 +178,10 @@ class Api:
             if raw_k is not None:
                 return _bad_request("'k' and 'radius' are mutually "
                                     "exclusive")
-            if ef is not None or nprobe is not None:
+            if knobbed:
                 return _bad_request(
-                    "'ef'/'nprobe' cannot be combined with 'radius'")
+                    "'ef'/'nprobe'/'refine' cannot be combined with "
+                    "'radius'")
             limit = int(body.get("limit", 100))
             start = time.perf_counter()
             with self.state.lock.read():
@@ -185,13 +191,15 @@ class Api:
             return 200, [{"id": r.id, "distance": r.distance}
                          for r in results]
         start = time.perf_counter()
-        if ef is not None or nprobe is not None:
+        if knobbed:
             if flt is not None:
                 return _bad_request(
-                    "'ef'/'nprobe' cannot be combined with 'filter'")
+                    "'ef'/'nprobe'/'refine' cannot be combined with "
+                    "'filter'")
             with self.state.lock.read():
                 results = self.state.store.search(query, k, ef=ef,
-                                                  nprobe=nprobe)
+                                                  nprobe=nprobe,
+                                                  refine=refine)
         elif self.batcher is not None:
             results = self.batcher.search(query, k, flt)
         else:
@@ -238,10 +246,11 @@ class Api:
             queries.append((_parse_vector(raw["vector"]),
                             10 if raw_k is None else int(raw_k)))
         flt = _parse_filter(body.get("filter"))
-        ef, nprobe = _parse_knobs(body)
-        if flt is not None and (ef is not None or nprobe is not None):
+        ef, nprobe, refine = _parse_knobs(body)
+        if flt is not None and (ef is not None or nprobe is not None
+                                or refine is not None):
             return _bad_request(
-                "'ef'/'nprobe' cannot be combined with 'filter'")
+                "'ef'/'nprobe'/'refine' cannot be combined with 'filter'")
         start = time.perf_counter()
         with self.state.lock.read():
             if flt is not None:
@@ -249,7 +258,7 @@ class Api:
                     queries, flt)
             else:
                 all_results = self.state.store.search_batch(
-                    queries, ef=ef, nprobe=nprobe)
+                    queries, ef=ef, nprobe=nprobe, refine=refine)
         # one latency sample for the whole batch (routes.rs:365-369)
         self.state.metrics.record_query(time.perf_counter() - start)
         return 200, [[{"id": r.id, "distance": r.distance} for r in batch]

@@ -330,23 +330,31 @@ class VectorStore:
         return out
 
     def search(self, query: Vector, k: int, *, ef: Optional[int] = None,
-               nprobe: Optional[int] = None) -> List[SearchResult]:
-        """``ef``/``nprobe`` are per-request recall knobs for HNSW/IVF
-        indexes (reference exposes ef only at the library level,
-        src/hnsw/mod.rs:45-53; here they reach the HTTP/CLI surfaces).
-        Requesting a knob the index doesn't support raises IndexOpError."""
+               nprobe: Optional[int] = None,
+               refine: Optional[int] = None) -> List[SearchResult]:
+        """``ef``/``nprobe``/``refine`` are per-request recall knobs for
+        HNSW/IVF/PQ indexes (reference exposes ef only at the library
+        level, src/hnsw/mod.rs:45-53; here they reach the HTTP/CLI
+        surfaces). Requesting a knob the index doesn't support raises
+        IndexOpError."""
         if self.is_empty():
             return []
         self._check_query_dim(query)
-        if ef is not None or nprobe is not None:
+        if ef is not None or nprobe is not None or refine is not None:
             return self._map_results(
-                self._tuned_search(query, k, ef, nprobe))
+                self._tuned_search(query, k, ef, nprobe, refine))
         return self._map_results(self._index.search(query, k))
 
-    def _tuned_knob(self, ef: Optional[int], nprobe: Optional[int]):
-        """Validate the (ef, nprobe) pair and resolve the index method."""
-        if ef is not None and nprobe is not None:
-            raise IndexOpError("'ef' and 'nprobe' are mutually exclusive")
+    def _tuned_knob(self, ef: Optional[int], nprobe: Optional[int],
+                    refine: Optional[int] = None):
+        """Validate the knob set (at most one) and resolve the index
+        method."""
+        given = [n for n, v in (("ef", ef), ("nprobe", nprobe),
+                                ("refine", refine)) if v is not None]
+        if len(given) > 1:
+            raise IndexOpError(
+                f"{' and '.join(repr(g) for g in given)} are mutually "
+                "exclusive")
         if ef is not None:
             if int(ef) < 1:
                 raise IndexOpError("'ef' must be >= 1")
@@ -356,6 +364,15 @@ class VectorStore:
                     "'ef' requires an HNSW index (this store's index "
                     "has no search_with_ef)")
             return "ef", int(ef), fn
+        if refine is not None:
+            if int(refine) < 1:
+                raise IndexOpError("'refine' must be >= 1")
+            fn = getattr(self._index, "search_with_refine", None)
+            if fn is None:
+                raise IndexOpError(
+                    "'refine' requires a PQ index (this store's index "
+                    "has no search_with_refine)")
+            return "refine", int(refine), fn
         if int(nprobe) < 1:
             raise IndexOpError("'nprobe' must be >= 1")
         fn = getattr(self._index, "search_with_nprobe", None)
@@ -366,8 +383,10 @@ class VectorStore:
         return "nprobe", int(nprobe), fn
 
     def _tuned_search(self, query: Vector, k: int, ef: Optional[int],
-                      nprobe: Optional[int]) -> List[Tuple[int, float]]:
-        _, value, fn = self._tuned_knob(ef, nprobe)
+                      nprobe: Optional[int],
+                      refine: Optional[int] = None
+                      ) -> List[Tuple[int, float]]:
+        _, value, fn = self._tuned_knob(ef, nprobe, refine)
         return fn(query, k, value)
 
     def search_with_filter(self, query: Vector, k: int,
@@ -437,16 +456,18 @@ class VectorStore:
 
     def search_batch(self, queries: Sequence[Tuple[Vector, int]], *,
                      ef: Optional[int] = None,
-                     nprobe: Optional[int] = None
+                     nprobe: Optional[int] = None,
+                     refine: Optional[int] = None
                      ) -> List[List[SearchResult]]:
         """Batched search: one fused device program for the whole batch
         (the reference loops queries sequentially, src/storage.rs:302-310)."""
-        return self.search_batch_submit(queries, ef=ef,
-                                        nprobe=nprobe).collect()
+        return self.search_batch_submit(queries, ef=ef, nprobe=nprobe,
+                                        refine=refine).collect()
 
     def search_batch_submit(self, queries: Sequence[Tuple[Vector, int]], *,
                             ef: Optional[int] = None,
-                            nprobe: Optional[int] = None
+                            nprobe: Optional[int] = None,
+                            refine: Optional[int] = None
                             ) -> "StoreSearchHandle":
         """Asynchronous ``search_batch``: launches the fused device program
         and returns a handle whose ``collect()`` blocks and maps internal
@@ -463,12 +484,16 @@ class VectorStore:
         ks = [int(k) for _, k in queries]
         kmax = max(ks)
         qmat = np.stack([as_f32_array(q) for q, _ in queries])
-        if ef is not None or nprobe is not None:
-            knob, value, fn = self._tuned_knob(ef, nprobe)
+        if ef is not None or nprobe is not None or refine is not None:
+            knob, value, fn = self._tuned_knob(ef, nprobe, refine)
             if knob == "nprobe":
                 # IVF's batched probed pipeline takes nprobe directly
                 raw_batches = self._index.search_batch(qmat, kmax,
                                                        nprobe=value)
+            elif knob == "refine":
+                # PQ's batched scan + re-rank takes refine directly
+                raw_batches = self._index.search_batch(qmat, kmax,
+                                                       refine=value)
             else:
                 # HNSW's tuned traversal is per-query host work
                 raw_batches = [fn(q, k, value) for (q, k) in queries]
