@@ -419,3 +419,37 @@ def test_http_refine_knob(rng):
         "vector": db[3].tolist(), "k": 3, "refine": 64,
         "filter": {"op": "exists", "field": "x"}})
     assert status == 400
+
+
+def test_host_backing_memmap_rows(rng, tmp_path):
+    """FlatIndex host_backing: rows live in a disk memmap; CRUD, growth
+    (new file replaces old), training, and PQ search all behave
+    identically to RAM-backed rows."""
+    import os
+
+    n, d = 1500, 16
+    db = _clustered(rng, n, d, n_centers=8)
+    back = str(tmp_path / "rows")
+    idx = PqFlatIndex(DistanceMetric.EUCLIDEAN, m=4, ksub=16, refine=64,
+                      host_backing=back)
+    idx.add_batch([(i, db[i]) for i in range(1024)])
+    files = os.listdir(back)
+    assert files and all(f.endswith(".f32") for f in files)
+    idx.add_batch([(1024 + i, db[1024 + i]) for i in range(n - 1024)])
+    # growth swapped the file and removed the old one
+    assert len(os.listdir(back)) == 1
+    assert isinstance(idx._vectors, np.memmap)
+    idx.train()
+    got = idx.search_batch(db[:4] + 0.001, 3)
+    for j, row in enumerate(got):
+        assert row[0][0] == j
+    # results identical to a RAM-backed twin
+    twin = PqFlatIndex(DistanceMetric.EUCLIDEAN, m=4, ksub=16, refine=64)
+    twin.add_batch([(i, db[i]) for i in range(1024)])
+    twin.add_batch([(1024 + i, db[1024 + i]) for i in range(n - 1024)])
+    twin.train()
+    assert twin.search_batch(db[:4] + 0.001, 3) == got
+    idx.remove(2)
+    got = idx.search_batch(db[2:3] + 0.001, 1)[0]
+    assert got[0][0] != 2
+    assert np.allclose(idx.get_vector(5).as_array(), db[5])

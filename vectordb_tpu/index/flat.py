@@ -189,7 +189,8 @@ class FlatIndex(Index):
 
     def __init__(self, metric: DistanceMetric, search_mode: str = "exact",
                  mesh=None, row_axis: str = "shard",
-                 storage: str = "f32"):
+                 storage: str = "f32",
+                 host_backing: "Optional[str]" = None):
         if search_mode not in ("exact", "fast"):
             raise ValueError(f"unknown search_mode: {search_mode!r}")
         if storage not in ("f32", "bf16", "int8"):
@@ -220,6 +221,14 @@ class FlatIndex(Index):
         self._mesh = mesh
         self._row_axis = row_axis
         self._sharded_search_cache: dict = {}
+        # host_backing: a directory; the packed f32 row matrix lives in a
+        # disk-backed np.memmap there instead of RAM. Rows beyond host
+        # memory become possible (the OS page cache keeps the hot set);
+        # device-side limits per index type are unchanged — the natural
+        # pairing is PqFlatIndex, whose device footprint is m bytes/row
+        # (32M x 768 = a 98 GB row file + 3 GB of device codes).
+        self._host_backing = host_backing
+        self._vectors_path: Optional[str] = None
         self._metric = metric
         self._dim: Optional[int] = None
         self._capacity = 0
@@ -290,13 +299,21 @@ class FlatIndex(Index):
             per_shard = next_pow2((needed + n_shards - 1) // n_shards,
                                   floor=_MIN_CAPACITY)
             new_cap = per_shard * n_shards
-        new_vectors = np.zeros((new_cap, self._dim), dtype=np.float32)
+        old_path = self._vectors_path
+        new_vectors = self._alloc_rows(new_cap, self._dim)
         new_valid = np.zeros(new_cap, dtype=bool)
         new_sq = np.zeros(new_cap, dtype=np.float32)
         new_norms = np.zeros(new_cap, dtype=np.float32)
         new_ids = np.full(new_cap, -1, dtype=np.int64)
         if self._capacity:
-            new_vectors[: self._capacity] = self._vectors
+            if self._host_backing is not None:
+                # chunked copy bounds dirty page-cache pressure at the
+                # tens-of-GB scale this mode exists for
+                for lo in range(0, self._capacity, 1 << 20):
+                    hi = min(lo + (1 << 20), self._capacity)
+                    new_vectors[lo:hi] = self._vectors[lo:hi]
+            else:
+                new_vectors[: self._capacity] = self._vectors
             new_valid[: self._capacity] = self._valid
             new_sq[: self._capacity] = self._sq_norms
             new_norms[: self._capacity] = self._norms
@@ -307,6 +324,26 @@ class FlatIndex(Index):
         self._capacity = new_cap
         self._device = None  # full re-upload on next search
         self._dirty_slots.clear()
+        if old_path is not None and old_path != self._vectors_path:
+            import os
+            try:
+                os.remove(old_path)
+            except OSError:
+                pass
+
+    def _alloc_rows(self, rows: int, dim: int) -> np.ndarray:
+        """Packed row matrix: RAM by default; a zero-initialized
+        disk-backed memmap under ``host_backing`` when set."""
+        if self._host_backing is None:
+            return np.zeros((rows, dim), dtype=np.float32)
+        import os
+        os.makedirs(self._host_backing, exist_ok=True)
+        path = os.path.join(self._host_backing,
+                            f"rows_{rows}x{dim}.f32")
+        mm = np.memmap(path, dtype=np.float32, mode="w+",
+                       shape=(rows, dim))
+        self._vectors_path = path
+        return mm
 
     def _take_slot(self) -> int:
         if not self._free_slots:

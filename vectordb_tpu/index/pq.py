@@ -64,8 +64,14 @@ class PqFlatIndex(FlatIndex):
 
     def __init__(self, metric: DistanceMetric, m: Optional[int] = None,
                  ksub: int = 256, refine: int = 64, train_iters: int = 15,
-                 auto_train_min: int = 8192, seed: int = 0):
-        super().__init__(metric, search_mode="exact", storage="f32")
+                 auto_train_min: int = 8192, seed: int = 0,
+                 host_backing: Optional[str] = None):
+        # host_backing (FlatIndex option): keep the full-precision rows in
+        # a disk-backed memmap — the natural pairing for PQ, whose device
+        # footprint is m bytes/row while the re-rank touches only R rows
+        # per query (OS page cache serves the hot set)
+        super().__init__(metric, search_mode="exact", storage="f32",
+                         host_backing=host_backing)
         self._want_mirrors = False
         if m is not None and m < 1:
             raise ValueError("m must be >= 1")
