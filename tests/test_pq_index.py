@@ -453,3 +453,26 @@ def test_host_backing_memmap_rows(rng, tmp_path):
     got = idx.search_batch(db[2:3] + 0.001, 1)[0]
     assert got[0][0] != 2
     assert np.allclose(idx.get_vector(5).as_array(), db[5])
+
+
+def test_bulk_load_stream(rng, tmp_path):
+    n, d = 1536, 16
+    db = _clustered(rng, n, d, n_centers=8)
+    idx = PqFlatIndex(DistanceMetric.EUCLIDEAN, m=4, ksub=16, refine=64,
+                      host_backing=str(tmp_path / "rows"))
+    idx.bulk_load_stream(n, d, (db[a:a + 500] for a in range(0, n, 500)))
+    assert len(idx) == n
+    idx.train()
+    got = idx.search_batch(db[:4] + 0.001, 2)
+    for j, row in enumerate(got):
+        assert row[0][0] == j
+    twin = PqFlatIndex(DistanceMetric.EUCLIDEAN, m=4, ksub=16, refine=64)
+    twin.bulk_load_matrix(np.arange(n, dtype=np.int64), db)
+    twin.train()
+    assert twin.search_batch(db[:4] + 0.001, 2) == got
+    # declared-count mismatches are errors
+    with pytest.raises(ValueError):
+        PqFlatIndex(DistanceMetric.EUCLIDEAN).bulk_load_stream(
+            10, d, iter([db[:4]]))
+    with pytest.raises(ValueError):
+        idx.bulk_load_stream(4, d, iter([db[:4]]))  # non-empty index

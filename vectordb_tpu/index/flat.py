@@ -512,6 +512,47 @@ class FlatIndex(Index):
             self._device = None
             self._dirty_slots.clear()
 
+    def bulk_load_stream(self, n: int, dim: int, chunks) -> None:
+        """Fresh bulk load from an ITERATOR of (c, d) f32 row chunks
+        totaling exactly ``n`` rows, with ids 0..n-1. The beyond-RAM
+        ingest path: chunks are written straight into the packed storage
+        (which under ``host_backing`` is a disk memmap), so no second
+        n x d matrix ever exists — ``bulk_load_matrix`` requires the
+        caller to materialize one, which at 32M x 768 is 98 GB.
+        Requires an empty index."""
+        with self._lock:
+            if self._len or self._slot_of_id:
+                raise ValueError("bulk_load_stream requires an empty index")
+            if n < 1:
+                raise ValueError("n must be >= 1")
+            self._ensure_storage(dim, n)
+            pos = 0
+            for blk in chunks:
+                blk = np.ascontiguousarray(blk, dtype=np.float32)
+                if blk.ndim != 2 or blk.shape[1] != dim:
+                    raise DimensionMismatchError(
+                        dim, blk.shape[-1] if blk.ndim else 0)
+                if pos + len(blk) > n:
+                    raise ValueError("chunks exceed declared row count")
+                for lo in range(0, len(blk), _QUANT_CHUNK):
+                    sub = self._quantize(blk[lo:lo + _QUANT_CHUNK])
+                    self._vectors[pos + lo:pos + lo + len(sub)] = sub
+                    sq = np.einsum("ij,ij->i", sub, sub).astype(np.float32)
+                    self._sq_norms[pos + lo:pos + lo + len(sub)] = sq
+                    self._norms[pos + lo:pos + lo + len(sub)] = np.sqrt(sq)
+                pos += len(blk)
+            if pos != n:
+                raise ValueError(f"chunks yielded {pos} rows, declared {n}")
+            self._valid[:n] = True
+            ids = np.arange(n, dtype=np.int64)
+            self._id_of_slot[:n] = ids
+            self._slot_of_id = {j: j for j in range(n)}
+            self._free_slots = [s for s in self._free_slots if s >= n]
+            self._len = n
+            self._zero_norm_live = int((self._sq_norms[:n] == 0.0).sum())
+            self._device = None
+            self._dirty_slots.clear()
+
     def _write_slot(self, slot: int, internal_id: int, arr: np.ndarray) -> None:
         arr = self._quantize(arr)   # norms below see the stored values
         self._vectors[slot] = arr

@@ -287,6 +287,11 @@ class PqFlatIndex(FlatIndex):
         with self._lock:
             self._after_bulk_load()
 
+    def bulk_load_stream(self, n: int, dim: int, chunks) -> None:
+        super().bulk_load_stream(n, dim, chunks)
+        with self._lock:
+            self._after_bulk_load()
+
     def _after_bulk_load(self) -> None:
         self._tick += 1
         self._slot_tick[:self._len] = self._tick
