@@ -7,8 +7,8 @@ import jax.numpy as jnp
 import pytest
 
 from vectordb_tpu.distance import DistanceMetric
-from vectordb_tpu.ops.pq import (pq_distortion, pq_encode, pq_fit,
-                                 pq_scan_topr)
+from vectordb_tpu.ops.pq import (pack_codebook, pq_distortion, pq_encode,
+                                 pq_fit, pq_scan_topr)
 
 RNG = np.random.default_rng(7)
 
@@ -65,6 +65,23 @@ def test_pq_encode_matches_numpy_argmin():
     np.testing.assert_array_equal(got, want)
 
 
+def test_pack_codebook_blockdiag_decode_matches_naive():
+    m, dsub, ksub = 8, 8, 16
+    cb = RNG.standard_normal((m, ksub, dsub)).astype(np.float32)
+    bd, spg = pack_codebook(cb, lane=32)   # spg = 4 -> g = 2 groups
+    assert spg == 4 and bd.shape == (2, 4 * ksub, 4 * dsub)
+    codes = RNG.integers(0, ksub, size=(12, m)).astype(np.uint8)
+    naive = _np_decode(codes, cb)
+    # grouped block-diag decode: onehot(codes) @ bd per group
+    g = m // spg
+    cg = codes.reshape(12, g, spg).transpose(1, 0, 2)
+    oh = np.eye(ksub, dtype=np.float32)[cg]        # (g, 12, spg, ksub)
+    dec = np.stack(
+        [oh[i].reshape(12, spg * ksub) @ bd[i] for i in range(g)])
+    grouped = dec.transpose(1, 0, 2).reshape(12, m * dsub)
+    np.testing.assert_allclose(grouped, naive, atol=1e-6)
+
+
 @pytest.mark.parametrize("metric", [DistanceMetric.EUCLIDEAN,
                                     DistanceMetric.COSINE,
                                     DistanceMetric.DOT_PRODUCT])
@@ -82,10 +99,13 @@ def test_pq_scan_covers_exact_topk(metric):
     np.testing.assert_allclose(_np_decode(codes, words), rows, atol=1e-6)
     queries = RNG.standard_normal((q, m * dsub)).astype(np.float32)
     valid = np.ones(n, dtype=bool)
+    bd, _ = pack_codebook(words)
+    cnorm = np.sum(words * words, axis=-1)
 
     scores, slots = pq_scan_topr(
-        jnp.asarray(queries), jnp.asarray(codes), jnp.asarray(words),
-        jnp.asarray(valid), metric, r=16, chunk=64)
+        jnp.asarray(queries), jnp.asarray(codes), jnp.asarray(bd),
+        jnp.asarray(cnorm), jnp.asarray(valid), metric, r=16, chunk=64,
+        recall_target=0.99)
     scores, slots = np.asarray(scores), np.asarray(slots)
     assert scores.shape == (q, 16) and slots.shape == (q, 16)
     assert np.all(np.diff(scores, axis=1) >= 0)
@@ -104,31 +124,37 @@ def test_pq_scan_covers_exact_topk(metric):
 
 
 def test_pq_scan_respects_validity_and_short_sets():
-    m, dsub, ksub, n = 4, 4, 8, 64
+    m, dsub, ksub, n = 4, 4, 8, 128
     cb = RNG.standard_normal((m, ksub, dsub)).astype(np.float32)
     rows = RNG.standard_normal((n, m * dsub)).astype(np.float32)
     codes = _np_encode(rows, cb)
     valid = np.zeros(n, dtype=bool)
-    valid[[3, 10, 40]] = True
+    valid[[3, 40, 100]] = True
     queries = RNG.standard_normal((5, m * dsub)).astype(np.float32)
+    bd, _ = pack_codebook(cb)
+    cnorm = np.sum(cb * cb, axis=-1)
     scores, slots = pq_scan_topr(
-        jnp.asarray(queries), jnp.asarray(codes), jnp.asarray(cb),
-        jnp.asarray(valid), DistanceMetric.EUCLIDEAN, r=8, chunk=32)
+        jnp.asarray(queries), jnp.asarray(codes), jnp.asarray(bd),
+        jnp.asarray(cnorm), jnp.asarray(valid),
+        DistanceMetric.EUCLIDEAN, r=8, chunk=32)
     scores, slots = np.asarray(scores), np.asarray(slots)
     for qi in range(5):
         finite = np.isfinite(scores[qi])
         assert finite.sum() == 3
-        assert set(slots[qi][finite]) == {3, 10, 40}
+        assert set(slots[qi][finite]) == {3, 40, 100}
 
 
 def test_pq_scan_rejects_bad_shapes():
-    cb = jnp.zeros((2, 4, 2), jnp.float32)
+    cb = np.zeros((2, 4, 2), np.float32)
+    bd, _ = pack_codebook(cb)
+    cnorm = np.sum(cb * cb, axis=-1)
     codes = jnp.zeros((48, 2), jnp.uint8)
     valid = jnp.ones((48,), bool)
     qs = jnp.zeros((2, 4), jnp.float32)
     with pytest.raises(ValueError):
-        pq_scan_topr(qs, codes, cb, valid, DistanceMetric.EUCLIDEAN,
-                     r=4, chunk=32)
+        pq_scan_topr(qs, codes, jnp.asarray(bd), jnp.asarray(cnorm),
+                     valid, DistanceMetric.EUCLIDEAN, r=4, chunk=32)
     with pytest.raises(ValueError):
-        pq_scan_topr(qs, codes, cb, valid, DistanceMetric.EUCLIDEAN,
-                     r=64, chunk=48)
+        pq_scan_topr(qs, jnp.zeros((64, 2), jnp.uint8), jnp.asarray(bd),
+                     jnp.asarray(cnorm), jnp.ones((64,), bool),
+                     DistanceMetric.EUCLIDEAN, r=64, chunk=32)

@@ -46,6 +46,8 @@ from .flat import FlatIndex
 _TRAIN_SAMPLE_MAX = 1 << 18
 _SCAN_CHUNK = 4096          # rows per streamed scan tile (pow2)
 _MAX_REFINE = 1024          # r beyond this falls back to the exact scan
+_CAND_BYTES = 1 << 31       # (Q, nc*r) stacked-candidate budget ->
+                            # Q sub-batching at huge N
 _NP_ENCODE_MAX = 512        # below this, encode on host (saves a ~25 ms
                             # relay dispatch per small write batch)
 _ENC_SLAB = 1 << 20         # rows per host->device encode transfer
@@ -92,6 +94,8 @@ class PqFlatIndex(FlatIndex):
         self._m = 0
         self._codebook: Optional[np.ndarray] = None   # (m, ksub, dsub) f32
         self._codebook_dev = None
+        self._bd_dev = None          # grouped block-diag decode matrices
+        self._cnorm_dev = None       # (m, ksub) codeword sq-norms
         self._codes: Optional[np.ndarray] = None      # uint8[capacity, m]
         self._codes_dev = None
         self._pq_valid_dev = None
@@ -305,9 +309,15 @@ class PqFlatIndex(FlatIndex):
 
     def _pq_sync(self):
         """Bring codes/codebook/validity device copies current (lock
-        held). Returns (codes_dev, codebook_dev, valid_dev)."""
+        held). Returns (codes_dev, bd_dev, cnorm_dev, valid_dev)."""
         if self._codebook_dev is None:
+            from ..ops.pq import pack_codebook
             self._codebook_dev = jnp.asarray(self._codebook)
+            bd, _ = pack_codebook(self._codebook)
+            self._bd_dev = jnp.asarray(bd)
+            self._cnorm_dev = jnp.asarray(
+                np.sum(self._codebook * self._codebook, axis=-1,
+                       dtype=np.float32))
         if self._pq_full_reencode:
             self._reencode_all()
             self._pq_full_reencode = False
@@ -340,7 +350,8 @@ class PqFlatIndex(FlatIndex):
         if self._pq_valid_dirty or self._pq_valid_dev is None:
             self._pq_valid_dev = jnp.asarray(self._valid)
             self._pq_valid_dirty = False
-        return self._codes_dev, self._codebook_dev, self._pq_valid_dev
+        return (self._codes_dev, self._bd_dev, self._cnorm_dev,
+                self._pq_valid_dev)
 
     # -- search --------------------------------------------------------------------
 
@@ -416,48 +427,63 @@ class PqFlatIndex(FlatIndex):
             r = next_pow2(min(r_eff, self._capacity), floor=1)
             chunk = self._scan_chunk()
             if r > min(chunk, _MAX_REFINE):
-                # candidate pool bigger than a scan tile (tiny index or
-                # huge k): the exact scan is the better program
+                # huge k / tiny index: the exact scan is the better
+                # program than a multi-thousand-row host re-rank
                 return super().search_batch(queries, k, **fb)
-            codes_dev, cb_dev, valid_dev = self._pq_sync()
+            codes_dev, bd_dev, cnorm_dev, valid_dev = self._pq_sync()
+            mk = None
             if slot_mask is not None:
                 cap = int(valid_dev.shape[0])
                 mk = np.asarray(slot_mask, dtype=bool)
                 if mk.shape[0] < cap:
                     mk = np.concatenate(
                         [mk, np.zeros(cap - mk.shape[0], bool)])
-                valid_dev = jnp.logical_and(valid_dev,
-                                            jnp.asarray(mk[:cap]))
+                mk = mk[:cap]
+                valid_dev = jnp.logical_and(valid_dev, jnp.asarray(mk))
+            # bound the stacked (Q, nc*r) candidate footprint per dispatch
+            nc = max(self._capacity // chunk, 1)
+            max_q = max(256, _pow2_floor(_CAND_BYTES
+                                         // max(nc * r * 8, 1)))
             tick0 = self._tick
             self._searches_in_flight += 1
         try:
             from ..ops.pq import pq_scan_topr
             import jax
             q = queries.shape[0]
-            q_pad = next_pow2(q, floor=1)
-            qs = queries
-            if q_pad != q:
-                qs = np.concatenate(
-                    [queries, np.zeros((q_pad - q, queries.shape[1]),
-                                       np.float32)])
-            scores, slots = pq_scan_topr(
-                jnp.asarray(qs), codes_dev, cb_dev, valid_dev,
-                self._metric, r=r, chunk=chunk)
-            scores = np.asarray(jax.device_get(scores))[:q]
-            slots = np.asarray(jax.device_get(slots))[:q]
+            svs, sls = [], []
+            for a in range(0, q, max_q):
+                qb = queries[a:a + max_q]
+                q_pad = next_pow2(len(qb), floor=1)
+                if q_pad != len(qb):
+                    qb = np.concatenate(
+                        [qb, np.zeros((q_pad - len(qb), qb.shape[1]),
+                                      np.float32)])
+                sv, sl = pq_scan_topr(
+                    jnp.asarray(qb), codes_dev, bd_dev, cnorm_dev,
+                    valid_dev, self._metric, r=r, chunk=chunk)
+                got = min(max_q, q - a)
+                svs.append(np.asarray(jax.device_get(sv))[:got])
+                sls.append(np.asarray(jax.device_get(sl))[:got])
         finally:
             with self._lock:
                 self._searches_in_flight -= 1
+        scan_scores = np.concatenate(svs)
+        slots = np.concatenate(sls).astype(np.int64)
         with self._lock:
-            return self._rerank(queries, scores, slots, k_req, tick0)
+            return self._rerank(queries, scan_scores, slots, k_req, tick0,
+                                slot_mask=mk)
 
     def _rerank(self, queries: np.ndarray, scan_scores: np.ndarray,
-                slots: np.ndarray, k_req: int, tick0: int
+                slots: np.ndarray, k_req: int, tick0: int,
+                slot_mask: Optional[np.ndarray] = None
                 ) -> List[List[Tuple[int, float]]]:
         """Exact f32 re-rank of the candidate slots on the true stored
         rows (lock held). Candidates whose slot mutated after the scan
         snapshot (stamp > tick0) are dropped, so results never mix old
-        candidacy with new row values."""
+        candidacy with new row values. ``slot_mask`` re-applies the
+        filter per slot (defense in depth — the scan already masked on
+        device; this keeps filter exactness independent of candidate
+        granularity)."""
         out: List[List[Tuple[int, float]]] = []
         metric = self._metric
         for a in range(0, queries.shape[0], _RERANK_QBLOCK):
@@ -466,6 +492,8 @@ class PqFlatIndex(FlatIndex):
             ok = np.isfinite(scan_scores[a:a + _RERANK_QBLOCK])
             ok &= self._slot_tick[sl] <= tick0
             ok &= self._valid[sl]
+            if slot_mask is not None:
+                ok &= slot_mask[sl]
             rows = self._vectors[sl]                      # (qb, r, d)
             # everything below derives from the gathered ROW VALUES only
             # (not the stored sq-norm caches): recovery re-inserts rows

@@ -16,13 +16,17 @@ disk-backed) — the classic PQ + refine architecture, re-expressed for TPU:
   platform's relay).
 * encoding: chunked batched argmin over subspace codebooks (lax.map).
 * scan: the database never exists in decoded form in HBM. A lax.scan
-  streams code tiles, decodes each tile to bf16 rows IN REGISTERS/VMEM via
-  a one-hot matmul (``onehot(code) @ codebook`` — the standard MXU-native
-  gather), dots them against the query block, and folds the tile's
-  approx-top-R into a running candidate list. Decoded-row squared norms
-  come exactly from the codebook (``|x_hat|^2 = sum_m |c_m|^2`` — the
-  subspaces are disjoint coordinates), so euclidean/cosine surrogates
-  need no second pass.
+  streams code tiles, decodes each to bf16 rows IN VMEM via grouped
+  block-diagonal one-hot matmuls (``pack_codebook`` — MXU-lane-width
+  outputs; the naive per-subspace batched matmul is 16x underutilized
+  and layout-transposed), dots them against the query block, and emits
+  the chunk's approx-top-r rows (``lax.approx_min_k`` — the TPU
+  PartialReduce unit, O(chunk)) as scan outputs; one more approx pass
+  over the pooled candidates finishes selection — no O(chunk*r) merge
+  ever runs inside the loop. Decoded-row squared norms come exactly
+  from the codebook (``|x_hat|^2 = sum_m |c_m|^2`` — the subspaces are
+  disjoint coordinates), so euclidean/cosine surrogates need no second
+  pass.
 
 Scan scores are rank-surrogates (per-query constants dropped; bf16 dots):
 the index's host re-rank recomputes exact f32 distances over the true
@@ -158,51 +162,103 @@ def pq_encode(rows, codebook, chunk: int):
     return codes.reshape(n, m)
 
 
+TILE = 16          # rows per candidate tile (matches coarse_kernel.SUB)
+
+
+def pack_codebook(codebook, lane: int = 128):
+    """Regroup the (m, ksub, dsub) codebook into MXU-width block-diagonal
+    decode matrices.
+
+    The naive decode ``onehot(codes) @ codebook`` is m batched matmuls
+    with dsub-wide outputs — at dsub=8 the MXU runs 16x underutilized and
+    XLA inserts a layout transpose of the one-hot per chunk (measured 6+ s
+    per 1M x 768 batch). Grouping ``spg = lane/dsub`` subspaces into one
+    block-diagonal matrix makes each matmul's output exactly one MXU lane
+    tile wide: ``spg``x the useful FLOPs (the zero blocks), but full
+    utilization — net ~10x faster and layout-clean.
+
+    Returns (bd (g, spg*ksub, spg*dsub) f32, spg). Works on numpy or jax
+    arrays; the caller ships bd to device once per codebook change.
+    """
+    import numpy as np
+    cb = np.asarray(codebook, dtype=np.float32)
+    m, ksub, dsub = cb.shape
+    spg = max(1, min(m, lane // max(dsub, 1)))
+    while m % spg:
+        spg -= 1
+    g = m // spg
+    bd = np.zeros((g, spg * ksub, spg * dsub), np.float32)
+    cbg = cb.reshape(g, spg, ksub, dsub)
+    for s in range(spg):
+        bd[:, s * ksub:(s + 1) * ksub, s * dsub:(s + 1) * dsub] = cbg[:, s]
+    return bd, spg
+
+
 @functools.partial(jax.jit, static_argnames=("metric", "r", "chunk",
                                              "recall_target"))
-def pq_scan_topr(queries, codes, codebook, valid, metric: DistanceMetric,
-                 r: int, chunk: int, recall_target: float = 0.99):
-    """Streaming PQ scan: top-R candidate slots per query, never decoding
-    the database into HBM.
+def pq_scan_topr(queries, codes, bd, cnorm, valid, metric: DistanceMetric,
+                 r: int, chunk: int, recall_target: float = 0.95):
+    """Streaming PQ scan -> top-r candidate ROWS per query, never decoding
+    the database into HBM and never running an O(chunk*r) top-k inside
+    the streaming loop.
 
-    queries (Q, d) f32 · codes (N, m) uint8 · codebook (m, ksub, dsub) f32
-    · valid (N,) bool. N must be a multiple of ``chunk``; r <= chunk.
+    queries (Q, d) f32 · codes (N, m) uint8 · bd = pack_codebook output ·
+    cnorm (m, ksub) f32 codeword sq-norms · valid (N,) bool. N must be a
+    multiple of ``chunk``; r <= chunk.
+
+    Per chunk: grouped block-diagonal one-hot matmuls decode the tile to
+    bf16 rows in VMEM, one (Q, d) @ (d, chunk) bf16 matmul scores it, and
+    ``lax.approx_min_k`` (the TPU PartialReduce unit, O(chunk)) emits the
+    chunk's best r as a scan OUTPUT — no running merge (an exact
+    top_k over the carry costs O(r^2) per chunk and measured 3-20 s per
+    1M-row batch; stacking outputs costs memory, Q*nc*r*8 bytes, which
+    the caller bounds by sub-batching queries). Selection then happens
+    ONCE more at the end: approx_min_k over the pooled (Q, nc*r)
+    candidates — each true top-r row faces exactly TWO approximate
+    selections, so there is no per-chunk compounding.
+
+    Candidate granularity is per-ROW: a tile-minima variant (the flat
+    coarse kernel's architecture) was measured and rejected here — PQ
+    candidates need |pool| ~ r useful rows, and with neighbors scattered
+    ~1 per 16-row tile, tile-granular pools waste 15/16 of the re-rank
+    budget (recall 0.27 vs 0.99 at the same row budget).
+
     Returns (scores (Q, r) ascending, slots (Q, r) int32). Scores are
-    rank-surrogates (per-query constant terms dropped; +inf marks dead /
-    masked slots — fewer than r live rows surface as +inf tails).
-
-    Per chunk: one-hot(codes) @ codebook decodes the tile to bf16 rows in
-    VMEM (MXU gather), a (Q, d) @ (d, chunk) bf16 matmul scores it, and
-    ``lax.approx_min_k`` (the TPU PartialReduce unit) folds the tile's
-    best R into the running list — selection stays O(chunk) per tile
-    instead of O(chunk * r).
+    rank-surrogates (per-query constants dropped; bf16 dots); +inf marks
+    dead/masked slots — fewer than r live rows surface as +inf tails.
     """
     n, m = codes.shape
     if n % chunk:
-        raise ValueError(f"codes rows {n} not a multiple of chunk {chunk}")
+        raise ValueError(f"codes rows {n} must be a multiple of "
+                         f"chunk {chunk}")
     if r > chunk:
         raise ValueError(f"r={r} exceeds chunk={chunk}")
     q = queries.shape[0]
-    ksub, dsub = codebook.shape[1], codebook.shape[2]
-    cnorm = jnp.sum(codebook * codebook, axis=-1)         # (m, ksub) f32
-    cb_bf = codebook.astype(jnp.bfloat16)
+    g, spgk, spgd = bd.shape
+    ksub = cnorm.shape[1]
+    spg = spgk // ksub
+    bd_bf = bd.astype(jnp.bfloat16)
+    cnorm_g = cnorm.reshape(g, spg, ksub)
     q_bf = queries.astype(jnp.bfloat16)
     iota_k = jnp.arange(ksub, dtype=jnp.uint8)
 
-    codes_c = codes.reshape(n // chunk, chunk, m)
-    valid_c = valid.reshape(n // chunk, chunk)
+    nc = n // chunk
+    codes_c = codes.reshape(nc, chunk, m)
+    valid_c = valid.reshape(nc, chunk)
+    base = (jnp.arange(nc, dtype=jnp.int32) * chunk)
     inf = jnp.float32(jnp.inf)
 
-    def body(carry, inp):
-        vals, idx, ci = carry
-        cc, vc = inp
-        onehot = (cc[:, :, None] == iota_k[None, None, :])
-        oh_bf = onehot.astype(jnp.bfloat16)
-        decoded = jnp.einsum("cmk,mkd->cmd", oh_bf, cb_bf,
-                             preferred_element_type=jnp.bfloat16)
-        decoded = decoded.reshape(chunk, m * dsub)        # (chunk, d) bf16
+    def body(_, inp):
+        cc, vc, b = inp
+        # (chunk, g, spg) -> (g, chunk, spg) one-hot in group-major layout
+        cg = cc.reshape(chunk, g, spg).transpose(1, 0, 2)
+        oh = (cg[..., None] == iota_k).astype(jnp.bfloat16)
+        oh3 = oh.reshape(g, chunk, spgk)
+        dec = jnp.einsum("gck,gkd->gcd", oh3, bd_bf,
+                         preferred_element_type=jnp.bfloat16)
+        decoded = dec.transpose(1, 0, 2).reshape(chunk, g * spgd)
         # exact decoded-row sq norm from the codebook (disjoint subspaces)
-        xsq = jnp.einsum("cmk,mk->c", oh_bf, cnorm,
+        xsq = jnp.einsum("gcsk,gsk->c", oh, cnorm_g,
                          preferred_element_type=jnp.float32)
         dots = jnp.matmul(q_bf, decoded.T,
                           preferred_element_type=jnp.float32)  # (Q, chunk)
@@ -216,19 +272,16 @@ def pq_scan_topr(queries, codes, codebook, valid, metric: DistanceMetric,
         scores = jnp.where(vc[None, :], scores, inf)
         cv, cl = jax.lax.approx_min_k(scores, r,
                                       recall_target=recall_target)
-        cg = (cl + ci * chunk).astype(jnp.int32)
-        av = jnp.concatenate([vals, cv], axis=1)          # (Q, 2r)
-        ai = jnp.concatenate([idx, cg], axis=1)
-        nv, pos = jax.lax.top_k(-av, r)
-        ni = jnp.take_along_axis(ai, pos, axis=1)
-        return (-nv, ni, ci + 1), None
+        return 0, (cv, (cl + b).astype(jnp.int32))
 
-    vals0 = jnp.full((q, r), inf, jnp.float32)
-    idx0 = jnp.zeros((q, r), jnp.int32)
-    (vals, idx, _), _ = jax.lax.scan(
-        body, (vals0, idx0, jnp.int32(0)), (codes_c, valid_c))
-    sv, pos = jax.lax.top_k(-vals, r)
-    return -sv, jnp.take_along_axis(idx, pos, axis=1)
+    _, (vals, idx) = jax.lax.scan(body, 0, (codes_c, valid_c, base))
+    vals = vals.transpose(1, 0, 2).reshape(q, nc * r)     # (Q, nc*r)
+    idx = idx.transpose(1, 0, 2).reshape(q, nc * r)
+    fv, pos = jax.lax.approx_min_k(vals, r,
+                                   recall_target=recall_target)
+    fi = jnp.take_along_axis(idx, pos, axis=1)
+    sv, sp = jax.lax.top_k(-fv, r)                        # exact final sort
+    return -sv, jnp.take_along_axis(fi, sp, axis=1)
 
 
 def pq_distortion(rows, codebook, codes):
