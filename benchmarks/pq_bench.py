@@ -1,11 +1,15 @@
 """PQ-Flat on one chip: batched subspace k-means training + refine sweep
 (QPS + recall@10 vs the certified-exact flat scan).
 
-Structured data (low intrinsic dimension), the honest ANN workload — the
-same protocol as ivf_bench.py so the two beyond-reference index families
-are directly comparable. At --logn 20 (1M x 768) the device holds 96 MB
-of codes instead of 3 GB of f32 rows; the capacity story scales from
-there (see pq_scale.py for the >16M-row lane).
+Default data = the intrinsic-dim-32 protocol (the repo's north-star data
+model, same as the HNSW 1M row): PQ codebooks resolve low-dimensional
+manifold structure well. --data clustered runs ivf_bench.py's hard
+2048-tight-center workload instead — an honest NEGATIVE for plain PQ
+(within-cluster deviations sit below global quantization resolution, so
+codes tie and recall tracks refine/cluster_size; that workload wants
+IVF's probed exact refine, or residual coding). At --logn 20 (1M x 768)
+the device holds 96 MB of codes instead of 3 GB of f32 rows; the
+capacity story scales from there (see pq_scale.py for the >16M-row lane).
 """
 
 from __future__ import annotations
@@ -36,20 +40,29 @@ def main():
     ap.add_argument("--m", type=int, default=None,
                     help="subquantizers (default d/8)")
     ap.add_argument("--refines", type=str, default="32,64,128,256")
+    ap.add_argument("--data", choices=["intrinsic", "clustered"],
+                    default="intrinsic")
     args = ap.parse_args()
     n, d, q, k = 1 << args.logn, args.d, args.q, args.k
 
     enable_persistent_jit_cache()
     rng = np.random.default_rng(0)
-    centers = rng.standard_normal((CENTERS, d)).astype(np.float32)
-    which = rng.integers(0, CENTERS, n)
-    data_np = centers[which] + NOISE * rng.standard_normal(
-        (n, d)).astype(np.float32)
-    qwhich = rng.integers(0, CENTERS, q)
-    queries = centers[qwhich] + NOISE * rng.standard_normal(
-        (q, d)).astype(np.float32)
-    del centers
-    print(f"data generated: n={n} d={d}", flush=True)
+    if args.data == "clustered":
+        centers = rng.standard_normal((CENTERS, d)).astype(np.float32)
+        which = rng.integers(0, CENTERS, n)
+        data_np = centers[which] + NOISE * rng.standard_normal(
+            (n, d)).astype(np.float32)
+        qwhich = rng.integers(0, CENTERS, q)
+        queries = centers[qwhich] + NOISE * rng.standard_normal(
+            (q, d)).astype(np.float32)
+        del centers
+    else:
+        # intrinsic-dim-32 (the north-star protocol, hnsw_1m.py parity)
+        basis = rng.standard_normal((32, d)).astype(np.float32) / \
+            np.float32(np.sqrt(32))
+        data_np = rng.standard_normal((n, 32)).astype(np.float32) @ basis
+        queries = rng.standard_normal((q, 32)).astype(np.float32) @ basis
+    print(f"data generated: n={n} d={d} ({args.data})", flush=True)
 
     idx = PqFlatIndex(DistanceMetric.EUCLIDEAN, m=args.m, seed=0)
     t0 = time.perf_counter()

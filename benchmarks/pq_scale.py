@@ -30,9 +30,8 @@ from vectordb_tpu.cli import enable_persistent_jit_cache  # noqa: E402
 from vectordb_tpu.distance import DistanceMetric  # noqa: E402
 from vectordb_tpu.index import PqFlatIndex  # noqa: E402
 
-CENTERS = 4096
-NOISE = 0.25
 GEN_CHUNK = 1 << 20
+INTRINSIC = 32
 
 
 def main():
@@ -50,10 +49,10 @@ def main():
 
     enable_persistent_jit_cache()
     rng = np.random.default_rng(0)
-    centers = rng.standard_normal((CENTERS, d)).astype(np.float32)
-    qwhich = rng.integers(0, CENTERS, q)
-    queries = centers[qwhich] + NOISE * rng.standard_normal(
-        (q, d)).astype(np.float32)
+    # intrinsic-dim-32 protocol (the north-star data model)
+    basis = rng.standard_normal((INTRINSIC, d)).astype(np.float32) / \
+        np.float32(np.sqrt(INTRINSIC))
+    queries = rng.standard_normal((q, INTRINSIC)).astype(np.float32) @ basis
 
     idx = PqFlatIndex(DistanceMetric.EUCLIDEAN, seed=0,
                       host_backing=args.backing)
@@ -61,9 +60,8 @@ def main():
     def gen_chunks():
         for a in range(0, n, GEN_CHUNK):
             c = min(GEN_CHUNK, n - a)
-            which = rng.integers(0, CENTERS, c)
-            blk = centers[which] + NOISE * rng.standard_normal(
-                (c, d)).astype(np.float32)
+            blk = rng.standard_normal((c, INTRINSIC)).astype(
+                np.float32) @ basis
             if a % (8 * GEN_CHUNK) == 0:
                 print(f"  gen+ingest {a / n:.0%}", flush=True)
             yield blk

@@ -44,7 +44,10 @@ from ..errors import IndexOpError
 from .flat import FlatIndex
 
 _TRAIN_SAMPLE_MAX = 1 << 18
-_SCAN_CHUNK = 4096          # rows per streamed scan tile (pow2)
+_SCAN_CHUNK = 16384         # rows per streamed scan chunk (pow2): the
+                            # chip A/B measured 884 ms/batch at 16384 vs
+                            # 1015 at 4096 (rt=0.85, 1M x 768, Q=4096) —
+                            # fewer per-chunk selection calls
 _MAX_REFINE = 1024          # r beyond this falls back to the exact scan
 _CAND_BYTES = 1 << 31       # (Q, nc*r) stacked-candidate budget ->
                             # Q sub-batching at huge N
@@ -52,7 +55,7 @@ _NP_ENCODE_MAX = 512        # below this, encode on host (saves a ~25 ms
                             # relay dispatch per small write batch)
 _ENC_SLAB = 1 << 20         # rows per host->device encode transfer
 _SCORE_BYTES = 1 << 28      # budget for (m, chunk, ksub) score tensors
-_ONEHOT_BYTES = 1 << 28     # budget for (chunk, m, ksub) bf16 one-hots
+_ONEHOT_BYTES = 1 << 30     # budget for (chunk, m, ksub) bf16 one-hots
 _SCATTER_MAX = 1 << 15      # beyond this many dirty codes, re-put wholesale
 _RERANK_QBLOCK = 512
 
@@ -67,7 +70,8 @@ class PqFlatIndex(FlatIndex):
     def __init__(self, metric: DistanceMetric, m: Optional[int] = None,
                  ksub: int = 256, refine: int = 64, train_iters: int = 15,
                  auto_train_min: int = 8192, seed: int = 0,
-                 host_backing: Optional[str] = None):
+                 host_backing: Optional[str] = None,
+                 scan_recall: float = 0.85):
         # host_backing (FlatIndex option): keep the full-precision rows in
         # a disk-backed memmap — the natural pairing for PQ, whose device
         # footprint is m bytes/row while the re-rank touches only R rows
@@ -88,6 +92,14 @@ class PqFlatIndex(FlatIndex):
         self.refine = int(refine)
         self.train_iters = int(train_iters)
         self.auto_train_min = int(auto_train_min)
+        # approx_min_k recall target for the scan's candidate selection.
+        # 0.85 measured 2.7x faster than 0.95 on chip (the aggregation
+        # step shrinks) at negligible top-k cost: selection misses
+        # concentrate near the pool BOUNDARY, while the true top-k rank
+        # deep inside the pool; the exact re-rank then fixes ordering.
+        if not 0.0 < scan_recall <= 1.0:
+            raise ValueError("scan_recall must be in (0, 1]")
+        self.scan_recall = float(scan_recall)
         self._seed = int(seed)
         # trained state
         self._trained = False
@@ -460,7 +472,8 @@ class PqFlatIndex(FlatIndex):
                                       np.float32)])
                 sv, sl = pq_scan_topr(
                     jnp.asarray(qb), codes_dev, bd_dev, cnorm_dev,
-                    valid_dev, self._metric, r=r, chunk=chunk)
+                    valid_dev, self._metric, r=r, chunk=chunk,
+                    recall_target=self.scan_recall)
                 got = min(max_q, q - a)
                 svs.append(np.asarray(jax.device_get(sv))[:got])
                 sls.append(np.asarray(jax.device_get(sl))[:got])
