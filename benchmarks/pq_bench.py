@@ -25,7 +25,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from vectordb_tpu.cli import enable_persistent_jit_cache  # noqa: E402
 from vectordb_tpu.distance import DistanceMetric  # noqa: E402
-from vectordb_tpu.index import FlatIndex, PqFlatIndex  # noqa: E402
+from vectordb_tpu.index import PqFlatIndex  # noqa: E402
 
 CENTERS = 2048
 NOISE = 0.25
@@ -80,16 +80,31 @@ def main():
     print(f"encode+compile+first-batch {time.perf_counter() - t0:.1f}s",
           flush=True)
 
-    # exact ground truth on a sample via the certified flat scan
+    # exact ground truth on a sample via chunked host BLAS (the device
+    # flat scan would pay a fresh multi-minute compile just for this)
     sample = queries[:512]
-    flat = FlatIndex(DistanceMetric.EUCLIDEAN)
-    flat.bulk_load_matrix(ids, data_np)
-    truth = flat.search_batch(sample, k)
-    want = [set(i for i, _ in row) for row in truth]
-    # exact distances for a correctness spot-check
-    tdist = {qi: dict(truth[qi]) for qi in range(16)}
-    del flat
-    print("ground truth done", flush=True)
+    t0 = time.perf_counter()
+    qsq = np.sum(sample * sample, axis=1)[:, None]
+    best_d = np.full((len(sample), k), np.inf, np.float32)
+    best_i = np.zeros((len(sample), k), np.int64)
+    gtc = 1 << 18
+    for a in range(0, n, gtc):
+        blk = data_np[a:a + gtc]
+        sq = np.einsum("ij,ij->i", blk, blk)
+        d2 = qsq + sq[None, :] - 2.0 * (sample @ blk.T)
+        cat_d = np.concatenate([best_d, d2.astype(np.float32)], axis=1)
+        cat_i = np.concatenate(
+            [best_i, np.broadcast_to(np.arange(a, a + len(blk)),
+                                     (len(sample), len(blk)))], axis=1)
+        sel = np.argpartition(cat_d, k - 1, axis=1)[:, :k]
+        best_d = np.take_along_axis(cat_d, sel, axis=1)
+        best_i = np.take_along_axis(cat_i, sel, axis=1)
+    want = [set(row.tolist()) for row in best_i]
+    tdist = {qi: {int(i): float(np.sqrt(max(dv, 0.0)))
+                  for i, dv in zip(best_i[qi], best_d[qi])}
+             for qi in range(16)}
+    print(f"ground truth done ({time.perf_counter() - t0:.0f}s host BLAS)",
+          flush=True)
 
     for r in (int(x) for x in args.refines.split(",")):
         got = idx.search_batch(sample, k, refine=r)

@@ -49,8 +49,12 @@ _SCAN_CHUNK = 16384         # rows per streamed scan chunk (pow2): the
                             # 1015 at 4096 (rt=0.85, 1M x 768, Q=4096) —
                             # fewer per-chunk selection calls
 _MAX_REFINE = 1024          # r beyond this falls back to the exact scan
-_CAND_BYTES = 1 << 31       # (Q, nc*r) stacked-candidate budget ->
-                            # Q sub-batching at huge N
+_CAND_BYTES = 1 << 32       # (Q, nc*r) stacked-candidate budget -> Q
+                            # sub-batching at huge N. Generous on purpose:
+                            # every sub-batch call re-decodes the whole
+                            # database (decode cost is per-row per-CALL),
+                            # so splitting Q multiplies the scan's decode
+                            # share
 _NP_ENCODE_MAX = 512        # below this, encode on host (saves a ~25 ms
                             # relay dispatch per small write batch)
 _ENC_SLAB = 1 << 20         # rows per host->device encode transfer
@@ -397,7 +401,8 @@ class PqFlatIndex(FlatIndex):
             return self._pq_search(queries, k, refine, slot_mask,
                                    mask_layout_version)
         with self._lock:
-            if not self._trained and self._len >= self.auto_train_min:
+            if (not self._trained
+                    and self._len >= max(self.auto_train_min, self.ksub)):
                 self.train()
             trained = self._trained
         if not trained:
@@ -566,7 +571,11 @@ class PqFlatIndex(FlatIndex):
 
     def import_trained_state(self, tables: dict) -> None:
         with self._lock:
-            cb = np.asarray(tables["codebook"], np.float32).copy()
+            import ml_dtypes
+            # idempotent for pq_fit output (already bf16 values); protects
+            # the exact-decode invariant against hand-built codebooks
+            cb = np.asarray(tables["codebook"], np.float32) \
+                .astype(ml_dtypes.bfloat16).astype(np.float32)
             if cb.ndim != 3:
                 raise IndexOpError("pq state: codebook must be 3-D")
             m, ksub, dsub = cb.shape
