@@ -42,6 +42,11 @@ def main():
     ap.add_argument("--refines", type=str, default="32,64,128,256")
     ap.add_argument("--data", choices=["intrinsic", "clustered"],
                     default="intrinsic")
+    ap.add_argument("--family", type=str, default="pq",
+                    help="comma list of pq|ivfpq — ivfpq encodes "
+                         "RESIDUALS vs the IVF centroid (the clustered-"
+                         "data lane); both run over the same data and "
+                         "ground truth for a direct A/B")
     args = ap.parse_args()
     n, d, q, k = 1 << args.logn, args.d, args.q, args.k
 
@@ -63,22 +68,6 @@ def main():
         data_np = rng.standard_normal((n, 32)).astype(np.float32) @ basis
         queries = rng.standard_normal((q, 32)).astype(np.float32) @ basis
     print(f"data generated: n={n} d={d} ({args.data})", flush=True)
-
-    idx = PqFlatIndex(DistanceMetric.EUCLIDEAN, m=args.m, seed=0)
-    t0 = time.perf_counter()
-    ids = np.arange(n, dtype=np.int64)
-    idx.bulk_load_matrix(ids, data_np)
-    t_add = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    idx.train()
-    t_train = time.perf_counter() - t0
-    print(f"ingest {t_add:.1f}s; TRAIN (fit only) {t_train:.1f}s — "
-          f"m={idx._m} ksub={idx.ksub}", flush=True)
-    # first search pays the one-time full encode + scan compile
-    t0 = time.perf_counter()
-    idx.search_batch(queries[:16], k)
-    print(f"encode+compile+first-batch {time.perf_counter() - t0:.1f}s",
-          flush=True)
 
     # exact ground truth on a sample via chunked host BLAS (the device
     # flat scan would pay a fresh multi-minute compile just for this)
@@ -106,23 +95,46 @@ def main():
     print(f"ground truth done ({time.perf_counter() - t0:.0f}s host BLAS)",
           flush=True)
 
-    for r in (int(x) for x in args.refines.split(",")):
-        got = idx.search_batch(sample, k, refine=r)
-        recall = float(np.mean(
-            [len({i for i, _ in row} & want[qi]) / k
-             for qi, row in enumerate(got)]))
-        for qi in range(16):
-            for rid, dist in got[qi]:
-                if rid in tdist[qi]:
-                    assert abs(dist - tdist[qi][rid]) < 1e-3
-        idx.search_batch(queries, k, refine=r)   # warm the Q-bucket
-        iters = 3
+    ids = np.arange(n, dtype=np.int64)
+    for family in args.family.split(","):
+        if family == "ivfpq":
+            from vectordb_tpu.index import IvfPqIndex
+            idx = IvfPqIndex(DistanceMetric.EUCLIDEAN, m=args.m, seed=0)
+        else:
+            idx = PqFlatIndex(DistanceMetric.EUCLIDEAN, m=args.m, seed=0)
         t0 = time.perf_counter()
-        for _ in range(iters):
-            idx.search_batch(queries, k, refine=r)
-        per = (time.perf_counter() - t0) / iters
-        print(f"refine={r:4d}: {q / per:8,.0f} QPS ({per * 1e3:7.1f} "
-              f"ms/batch) recall@10={recall:.4f}", flush=True)
+        idx.bulk_load_matrix(ids, data_np)
+        t_add = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        idx.train()
+        t_train = time.perf_counter() - t0
+        print(f"[{family}] ingest {t_add:.1f}s; TRAIN {t_train:.1f}s — "
+              f"m={idx._m} ksub={idx.ksub}", flush=True)
+        # first search pays the one-time full encode + scan compile
+        t0 = time.perf_counter()
+        idx.search_batch(queries[:16], k)
+        print(f"[{family}] encode+compile+first-batch "
+              f"{time.perf_counter() - t0:.1f}s", flush=True)
+
+        for r in (int(x) for x in args.refines.split(",")):
+            got = idx.search_batch(sample, k, refine=r)
+            recall = float(np.mean(
+                [len({i for i, _ in row} & want[qi]) / k
+                 for qi, row in enumerate(got)]))
+            for qi in range(16):
+                for rid, dist in got[qi]:
+                    if rid in tdist[qi]:
+                        assert abs(dist - tdist[qi][rid]) < 1e-3
+            idx.search_batch(queries, k, refine=r)   # warm the Q-bucket
+            iters = 3
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                idx.search_batch(queries, k, refine=r)
+            per = (time.perf_counter() - t0) / iters
+            print(f"[{family}] refine={r:4d}: {q / per:8,.0f} QPS "
+                  f"({per * 1e3:7.1f} ms/batch) recall@10={recall:.4f}",
+                  flush=True)
+        del idx
 
 
 if __name__ == "__main__":

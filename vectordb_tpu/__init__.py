@@ -16,7 +16,7 @@ from .errors import (DimensionMismatchError, IndexOpError,  # noqa: F401
                      InvalidVectorError, SerializationError, StorageError,
                      VdbIoError, VectorDbError, VectorNotFoundError)
 from .index import (FlatIndex, HnswIndex, HnswParams, Index,  # noqa: F401
-                    IvfFlatIndex, PqFlatIndex)
+                    IvfFlatIndex, IvfPqIndex, PqFlatIndex)
 from .metadata import Metadata, MetadataFilter  # noqa: F401
 from .metrics import MetricsCollector  # noqa: F401
 from .store import BatchInsertItem, SearchResult, VectorStore  # noqa: F401

@@ -30,7 +30,8 @@ def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(
         prog="vectordb-tpu",
         description="A TPU-native vector database built from scratch")
-    parser.add_argument("--index", choices=["flat", "hnsw", "ivf", "pq"],
+    parser.add_argument("--index",
+                        choices=["flat", "hnsw", "ivf", "pq", "ivfpq"],
                         default="flat",
                         help="Index type to use for search")
     parser.add_argument("--data-dir", default=None,
@@ -78,7 +79,7 @@ def build_parser() -> argparse.ArgumentParser:
                                "(requires --index ivf)")
     p_search.add_argument("--refine", type=int, default=None,
                           help="PQ candidates to re-rank exactly for this "
-                               "query (requires --index pq)")
+                               "query (requires --index pq or ivfpq)")
 
     p_delete = sub.add_parser("delete", help="Delete a vector")
     p_delete.add_argument("id", help="Vector ID to delete")
@@ -158,13 +159,22 @@ def _run_commands(db, args) -> int:
 from .utils.jit_cache import enable_persistent_jit_cache  # noqa: E402
 
 
+def _pq_family_index(kind: str, metric: DistanceMetric):
+    if kind == "ivfpq":
+        from .index.ivfpq import IvfPqIndex
+        return IvfPqIndex(metric)
+    from .index.pq import PqFlatIndex
+    return PqFlatIndex(metric)
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     args = build_parser().parse_args(argv)
     enable_persistent_jit_cache()
     metric = DistanceMetric.from_name(args.metric)
-    if args.index == "pq" and args.storage != "f32":
-        print("Error: --index pq owns its device representation (codes); "
-              "--storage does not compose with it.", file=sys.stderr)
+    if args.index in ("pq", "ivfpq") and args.storage != "f32":
+        print(f"Error: --index {args.index} owns its device representation "
+              "(codes); --storage does not compose with it.",
+              file=sys.stderr)
         return 1
     try:
         if args.command == "serve":
@@ -198,11 +208,11 @@ def main(argv: Optional[List[str]] = None) -> int:
                       batch_window_ms=args.batch_window_ms,
                       backend=args.http)
                 return 0
-            if args.index == "pq":
-                from .index.pq import PqFlatIndex
+            if args.index in ("pq", "ivfpq"):
                 from .server.app import AppState, serve
                 serve(args.addr,
-                      AppState(VectorStore.with_index(PqFlatIndex(metric))),
+                      AppState(VectorStore.with_index(
+                          _pq_family_index(args.index, metric))),
                       batch_window_ms=args.batch_window_ms,
                       backend=args.http)
                 return 0
@@ -232,9 +242,9 @@ def main(argv: Optional[List[str]] = None) -> int:
             from .index.ivf import IvfFlatIndex
             store = VectorStore.with_index(
                 IvfFlatIndex(metric, storage=args.storage))
-        elif args.index == "pq":
-            from .index.pq import PqFlatIndex
-            store = VectorStore.with_index(PqFlatIndex(metric))
+        elif args.index in ("pq", "ivfpq"):
+            store = VectorStore.with_index(
+                _pq_family_index(args.index, metric))
         elif args.index == "hnsw":
             store = VectorStore.with_index(HnswIndex(metric, HnswParams()))
         else:

@@ -29,6 +29,13 @@ old candidacy with new row values.
 Filtered searches run the masked PQ scan (mask ANDed into validity
 before top-R) + exact re-rank: filters stay exact in the same sense as
 the unmasked path.
+
+``_PqCodesCore`` factors the code storage / encode / device-sync /
+scan-dispatch / exact-re-rank machinery out of ``PqFlatIndex`` so
+``IvfPqIndex`` (index/ivfpq.py — IVF layout + residual codes, the
+clustered-data lane) shares it; the hooks each concrete index overrides
+are ``train``, ``_encode_slots``, ``_scan_state``/``_scan_call``, and
+the trained-state persistence pair.
 """
 
 from __future__ import annotations
@@ -68,20 +75,21 @@ def _pow2_floor(n: int) -> int:
     return 1 << (max(int(n), 1).bit_length() - 1)
 
 
-class PqFlatIndex(FlatIndex):
-    """Product-quantized flat index with exact host re-rank."""
+class _PqCodesCore:
+    """Shared PQ-codes machinery (mixin over a FlatIndex-family base).
 
-    def __init__(self, metric: DistanceMetric, m: Optional[int] = None,
-                 ksub: int = 256, refine: int = 64, train_iters: int = 15,
-                 auto_train_min: int = 8192, seed: int = 0,
-                 host_backing: Optional[str] = None,
-                 scan_recall: float = 0.85):
-        # host_backing (FlatIndex option): keep the full-precision rows in
-        # a disk-backed memmap — the natural pairing for PQ, whose device
-        # footprint is m bytes/row while the re-rank touches only R rows
-        # per query (OS page cache serves the hot set)
-        super().__init__(metric, search_mode="exact", storage="f32",
-                         host_backing=host_backing)
+    Holds: the uint8 code array + its device mirror, encode paths
+    (host for small deltas, device slabs for bulk), per-slot mutation
+    stamps, the scan dispatch loop with query sub-batching, and the
+    exact host re-rank. Concrete indexes provide ``train`` (codebook
+    fit), ``_encode_slots`` (rows vs residuals), and the scan state/call
+    pair."""
+
+    # -- shared state ----------------------------------------------------------
+
+    def _pq_init(self, m: Optional[int], ksub: int, refine: int,
+                 train_iters: int, auto_train_min: int, seed: int,
+                 scan_recall: float) -> None:
         self._want_mirrors = False
         if m is not None and m < 1:
             raise ValueError("m must be >= 1")
@@ -155,53 +163,21 @@ class PqFlatIndex(FlatIndex):
                                          // (self._m * self.ksub * 2))))
         return max(chunk, 1)
 
-    # -- training --------------------------------------------------------------
-
-    def train(self) -> None:
-        """Fit the subspace codebooks on the live rows and encode them.
-
-        Unlike IVF training this never repacks slots: codes live beside
-        the packed rows, so filter masks and slot ids stay valid."""
-        with self._lock:
-            n = self._len
-            if n < self.ksub:
-                raise IndexOpError(
-                    f"need at least ksub={self.ksub} vectors to train PQ")
-            d = self._dim
-            m = self._resolve_m(d)
-            live = np.nonzero(self._valid)[0]
-            smax = min(live.size, _TRAIN_SAMPLE_MAX)
-            if live.size > smax:
-                sel = np.random.default_rng(self._seed).choice(
-                    live, smax, replace=False)
-                sample = self._vectors[np.sort(sel)]
-            elif live.size == n and n and int(live[-1]) == n - 1:
-                sample = self._vectors[:n]      # contiguous prefix: a view
-            else:
-                sample = self._vectors[live]
-            chunk = self._fit_chunk(m, self.ksub, len(sample))
-            pad = (-len(sample)) % chunk
-            if pad:
-                # wrap-pad to a chunk multiple (duplicates re-weight at
-                # most chunk-1 of >=ksub rows — negligible for k-means)
-                sample = np.concatenate([sample, sample[:pad]])
-
-            import jax
-            from ..ops.pq import pq_fit
-            codebook = np.asarray(pq_fit(
-                jnp.asarray(np.ascontiguousarray(sample, np.float32)),
-                jax.random.PRNGKey(self._seed), m=m, ksub=self.ksub,
-                iters=self.train_iters, chunk=chunk))
-
-            self._m = m
-            self._codebook = codebook
-            self._codebook_dev = None
-            self._codes = np.zeros((self._capacity, m), np.uint8)
-            self._trained = True
-            self._pq_dirty.clear()
-            self._pq_full_reencode = True
-            self._codes_dev = None
-            self._pq_valid_dirty = True
+    def _fit_codebook(self, sample: np.ndarray, m: int) -> np.ndarray:
+        """Batched subspace k-means over ``sample`` rows (wrap-padded to
+        a chunk multiple)."""
+        chunk = self._fit_chunk(m, self.ksub, len(sample))
+        pad = (-len(sample)) % chunk
+        if pad:
+            # wrap-pad to a chunk multiple (duplicates re-weight at
+            # most chunk-1 of >=ksub rows — negligible for k-means)
+            sample = np.concatenate([sample, sample[:pad]])
+        import jax
+        from ..ops.pq import pq_fit
+        return np.asarray(pq_fit(
+            jnp.asarray(np.ascontiguousarray(sample, np.float32)),
+            jax.random.PRNGKey(self._seed), m=m, ksub=self.ksub,
+            iters=self.train_iters, chunk=chunk))
 
     # -- encoding --------------------------------------------------------------
 
@@ -243,11 +219,17 @@ class PqFlatIndex(FlatIndex):
             out[a:a + bn] = codes[:bn]
         return out
 
+    def _encode_slots(self, slots: np.ndarray) -> np.ndarray:
+        """Codes for the given slots. Hook: PqFlatIndex encodes the raw
+        stored rows; IvfPqIndex encodes residuals vs the owning
+        centroid."""
+        return self._encode_rows(self._vectors[slots])
+
     def _reencode_all(self) -> None:
         live = np.nonzero(self._valid)[0]
         for a in range(0, live.size, _ENC_SLAB):
             idx = live[a:a + _ENC_SLAB]
-            self._codes[idx] = self._encode_rows(self._vectors[idx])
+            self._codes[idx] = self._encode_slots(idx)
 
     # -- mutation hooks ----------------------------------------------------------
 
@@ -343,7 +325,7 @@ class PqFlatIndex(FlatIndex):
             slots = np.fromiter(self._pq_dirty, np.int64,
                                 count=len(self._pq_dirty))
             self._pq_dirty.clear()
-            self._codes[slots] = self._encode_rows(self._vectors[slots])
+            self._codes[slots] = self._encode_slots(slots)
             if (self._codes_dev is not None
                     and len(slots) <= _SCATTER_MAX):
                 from ..ops.topk import next_pow2
@@ -368,6 +350,38 @@ class PqFlatIndex(FlatIndex):
             self._pq_valid_dirty = False
         return (self._codes_dev, self._bd_dev, self._cnorm_dev,
                 self._pq_valid_dev)
+
+    # -- scan dispatch hooks -----------------------------------------------------
+
+    def _scan_state(self) -> dict:
+        """Device arrays the scan needs (lock held)."""
+        codes, bd, cnorm, valid = self._pq_sync()
+        return {"codes": codes, "bd": bd, "cnorm": cnorm, "valid": valid}
+
+    def _scan_pool_cols(self, r: int) -> int:
+        """Stacked-candidate columns per query (bounds the per-dispatch
+        query count)."""
+        return max(self._capacity // self._scan_chunk(), 1) * r
+
+    def _scan_bytes_per_query(self, r: int) -> int:
+        return self._scan_pool_cols(r) * 8
+
+    def _scan_call(self, state: dict, qb, r: int):
+        """One scan dispatch -> (scores (Qb, r) dev, slots (Qb, r) dev)."""
+        from ..ops.pq import pq_scan_topr
+        return pq_scan_topr(qb, state["codes"], state["bd"],
+                            state["cnorm"], state["valid"], self._metric,
+                            r=r, chunk=self._scan_chunk(),
+                            recall_target=self.scan_recall)
+
+    def _scan_r_max(self) -> int:
+        """Largest refine pool the scan program supports."""
+        return min(self._scan_chunk(), _MAX_REFINE)
+
+    def _pq_fallback_search(self, queries: np.ndarray, k: int, **fb):
+        """Exact-scan fallback while untrained / for out-of-envelope r.
+        Hook: IvfPqIndex bypasses IvfFlatIndex's probed path."""
+        return super().search_batch(queries, k, **fb)
 
     # -- search --------------------------------------------------------------------
 
@@ -395,7 +409,7 @@ class PqFlatIndex(FlatIndex):
             with self._lock:
                 trained = self._trained
             if not trained:
-                return super().search_batch(
+                return self._pq_fallback_search(
                     queries, k, slot_mask=slot_mask,
                     mask_layout_version=mask_layout_version)
             return self._pq_search(queries, k, refine, slot_mask,
@@ -406,7 +420,7 @@ class PqFlatIndex(FlatIndex):
                 self.train()
             trained = self._trained
         if not trained:
-            return super().search_batch(queries, k)
+            return self._pq_fallback_search(queries, k)
         return self._pq_search(queries, k, refine, None, None)
 
     def _pq_search(self, queries: np.ndarray, k: int,
@@ -442,29 +456,29 @@ class PqFlatIndex(FlatIndex):
             r_eff = max(int(refine if refine is not None else self.refine),
                         k_req)
             r = next_pow2(min(r_eff, self._capacity), floor=1)
-            chunk = self._scan_chunk()
-            if r > min(chunk, _MAX_REFINE):
+            if r > self._scan_r_max():
                 # huge k / tiny index: the exact scan is the better
                 # program than a multi-thousand-row host re-rank
-                return super().search_batch(queries, k, **fb)
-            codes_dev, bd_dev, cnorm_dev, valid_dev = self._pq_sync()
+                return self._pq_fallback_search(queries, k, **fb)
+            state = self._scan_state()
             mk = None
             if slot_mask is not None:
-                cap = int(valid_dev.shape[0])
+                cap = int(state["valid"].shape[0])
                 mk = np.asarray(slot_mask, dtype=bool)
                 if mk.shape[0] < cap:
                     mk = np.concatenate(
                         [mk, np.zeros(cap - mk.shape[0], bool)])
                 mk = mk[:cap]
-                valid_dev = jnp.logical_and(valid_dev, jnp.asarray(mk))
-            # bound the stacked (Q, nc*r) candidate footprint per dispatch
-            nc = max(self._capacity // chunk, 1)
-            max_q = max(256, _pow2_floor(_CAND_BYTES
-                                         // max(nc * r * 8, 1)))
+                state = dict(state)
+                state["valid"] = jnp.logical_and(state["valid"],
+                                                 jnp.asarray(mk))
+            # bound the stacked per-query device footprint per dispatch
+            max_q = max(256, _pow2_floor(
+                _CAND_BYTES // max(self._scan_bytes_per_query(r), 1)))
             tick0 = self._tick
+            lv0 = self.slot_layout_version
             self._searches_in_flight += 1
         try:
-            from ..ops.pq import pq_scan_topr
             import jax
             q = queries.shape[0]
             svs, sls = [], []
@@ -475,10 +489,7 @@ class PqFlatIndex(FlatIndex):
                     qb = np.concatenate(
                         [qb, np.zeros((q_pad - len(qb), qb.shape[1]),
                                       np.float32)])
-                sv, sl = pq_scan_topr(
-                    jnp.asarray(qb), codes_dev, bd_dev, cnorm_dev,
-                    valid_dev, self._metric, r=r, chunk=chunk,
-                    recall_target=self.scan_recall)
+                sv, sl = self._scan_call(state, jnp.asarray(qb), r)
                 got = min(max_q, q - a)
                 svs.append(np.asarray(jax.device_get(sv))[:got])
                 sls.append(np.asarray(jax.device_get(sl))[:got])
@@ -488,8 +499,19 @@ class PqFlatIndex(FlatIndex):
         scan_scores = np.concatenate(svs)
         slots = np.concatenate(sls).astype(np.int64)
         with self._lock:
-            return self._rerank(queries, scan_scores, slots, k_req, tick0,
-                                slot_mask=mk)
+            if self.slot_layout_version == lv0:
+                return self._rerank(queries, scan_scores, slots, k_req,
+                                    tick0, slot_mask=mk)
+            # the layout repacked mid-flight (e.g. an IVF retrain): the
+            # candidate slots address the OLD packing — re-ranking would
+            # read the wrong rows. Masked callers get the stale-mask
+            # error the probed path raises (their mask was compiled
+            # against the old layout too).
+            if slot_mask is not None:
+                from ..errors import StaleSlotMaskError
+                raise StaleSlotMaskError(mask_layout_version,
+                                         self.slot_layout_version)
+        return self._pq_search(queries, k, refine, None, None)
 
     def _rerank(self, queries: np.ndarray, scan_scores: np.ndarray,
                 slots: np.ndarray, k_req: int, tick0: int,
@@ -554,6 +576,60 @@ class PqFlatIndex(FlatIndex):
         from ..vector import as_f32_array
         return self.search_batch(as_f32_array(query).reshape(1, -1), k,
                                  refine=int(refine))[0]
+
+
+class PqFlatIndex(_PqCodesCore, FlatIndex):
+    """Product-quantized flat index with exact host re-rank."""
+
+    def __init__(self, metric: DistanceMetric, m: Optional[int] = None,
+                 ksub: int = 256, refine: int = 64, train_iters: int = 15,
+                 auto_train_min: int = 8192, seed: int = 0,
+                 host_backing: Optional[str] = None,
+                 scan_recall: float = 0.85):
+        # host_backing (FlatIndex option): keep the full-precision rows in
+        # a disk-backed memmap — the natural pairing for PQ, whose device
+        # footprint is m bytes/row while the re-rank touches only R rows
+        # per query (OS page cache serves the hot set)
+        super().__init__(metric, search_mode="exact", storage="f32",
+                         host_backing=host_backing)
+        self._pq_init(m, ksub, refine, train_iters, auto_train_min, seed,
+                      scan_recall)
+
+    # -- training --------------------------------------------------------------
+
+    def train(self) -> None:
+        """Fit the subspace codebooks on the live rows and encode them.
+
+        Unlike IVF training this never repacks slots: codes live beside
+        the packed rows, so filter masks and slot ids stay valid."""
+        with self._lock:
+            n = self._len
+            if n < self.ksub:
+                raise IndexOpError(
+                    f"need at least ksub={self.ksub} vectors to train PQ")
+            d = self._dim
+            m = self._resolve_m(d)
+            live = np.nonzero(self._valid)[0]
+            smax = min(live.size, _TRAIN_SAMPLE_MAX)
+            if live.size > smax:
+                sel = np.random.default_rng(self._seed).choice(
+                    live, smax, replace=False)
+                sample = self._vectors[np.sort(sel)]
+            elif live.size == n and n and int(live[-1]) == n - 1:
+                sample = self._vectors[:n]      # contiguous prefix: a view
+            else:
+                sample = self._vectors[live]
+            codebook = self._fit_codebook(sample, m)
+
+            self._m = m
+            self._codebook = codebook
+            self._codebook_dev = None
+            self._codes = np.zeros((self._capacity, m), np.uint8)
+            self._trained = True
+            self._pq_dirty.clear()
+            self._pq_full_reencode = True
+            self._codes_dev = None
+            self._pq_valid_dirty = True
 
     # -- persistence -----------------------------------------------------------
 

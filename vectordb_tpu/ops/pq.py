@@ -206,6 +206,39 @@ def pack_codebook(codebook, lane: int = 128):
     return bd, spg
 
 
+def _split_query(queries):
+    """f32 queries -> (hi, lo) bf16 pair with hi + lo == q exactly (the
+    flat coarse kernel's trick): two bf16 MXU passes recover the f32
+    query dot without rounding — plain bf16 rounding of q perturbs scores
+    past the tiny neighbor gaps on manifold data and candidate coverage
+    plateaus."""
+    q32 = queries.astype(jnp.float32)
+    q_hi = q32.astype(jnp.bfloat16)
+    q_lo = (q32 - q_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return q_hi, q_lo
+
+
+def _decode_block(cc, bd_bf, cnorm_g, iota_k):
+    """(rows, m) uint8 codes -> ((rows, d) bf16 decoded rows,
+    (rows,) f32 exact decoded sq-norms). The decode is EXACT in bf16
+    because pq_fit rounds codewords to bf16 values. Grouped
+    block-diagonal one-hot matmuls keep the MXU a full lane tile wide
+    (see pack_codebook)."""
+    rows = cc.shape[0]
+    g, spgk, spgd = bd_bf.shape
+    spg = cnorm_g.shape[1]
+    cg = cc.reshape(rows, g, spg).transpose(1, 0, 2)
+    oh = (cg[..., None] == iota_k).astype(jnp.bfloat16)
+    oh3 = oh.reshape(g, rows, spgk)
+    dec = jnp.einsum("gck,gkd->gcd", oh3, bd_bf,
+                     preferred_element_type=jnp.bfloat16)
+    decoded = dec.transpose(1, 0, 2).reshape(rows, g * spgd)
+    # exact decoded-row sq norm from the codebook (disjoint subspaces)
+    rsq = jnp.einsum("gcsk,gsk->c", oh, cnorm_g,
+                     preferred_element_type=jnp.float32)
+    return decoded, rsq
+
+
 @functools.partial(jax.jit, static_argnames=("metric", "r", "chunk",
                                              "recall_target"))
 def pq_scan_topr(queries, codes, bd, cnorm, valid, metric: DistanceMetric,
@@ -253,13 +286,7 @@ def pq_scan_topr(queries, codes, bd, cnorm, valid, metric: DistanceMetric,
     # therefore the whole decode — is EXACT
     bd_bf = bd.astype(jnp.bfloat16)
     cnorm_g = cnorm.reshape(g, spg, ksub)
-    # hi/lo query split (the flat coarse kernel's trick): q = q_hi + q_lo
-    # recovers the f32 query exactly across two bf16 MXU passes — plain
-    # bf16 rounding of q perturbs scores past the tiny neighbor gaps on
-    # manifold data and candidate coverage plateaus
-    q32 = queries.astype(jnp.float32)
-    q_hi = q32.astype(jnp.bfloat16)
-    q_lo = (q32 - q_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    q_hi, q_lo = _split_query(queries)
     iota_k = jnp.arange(ksub, dtype=jnp.uint8)
 
     nc = n // chunk
@@ -270,16 +297,7 @@ def pq_scan_topr(queries, codes, bd, cnorm, valid, metric: DistanceMetric,
 
     def body(_, inp):
         cc, vc, b = inp
-        # (chunk, g, spg) -> (g, chunk, spg) one-hot in group-major layout
-        cg = cc.reshape(chunk, g, spg).transpose(1, 0, 2)
-        oh = (cg[..., None] == iota_k).astype(jnp.bfloat16)
-        oh3 = oh.reshape(g, chunk, spgk)
-        dec = jnp.einsum("gck,gkd->gcd", oh3, bd_bf,
-                         preferred_element_type=jnp.bfloat16)
-        decoded = dec.transpose(1, 0, 2).reshape(chunk, g * spgd)
-        # exact decoded-row sq norm from the codebook (disjoint subspaces)
-        xsq = jnp.einsum("gcsk,gsk->c", oh, cnorm_g,
-                         preferred_element_type=jnp.float32)
+        decoded, xsq = _decode_block(cc, bd_bf, cnorm_g, iota_k)
         dt = decoded.T
         dots = (jnp.matmul(q_hi, dt, preferred_element_type=jnp.float32)
                 + jnp.matmul(q_lo, dt,
@@ -305,6 +323,181 @@ def pq_scan_topr(queries, codes, bd, cnorm, valid, metric: DistanceMetric,
     # approx covers 0.81 of the true top-10 vs 0.998 with an exact pooled
     # pass, 2^18 rows). top_k over nc*r columns is cheap next to the scan.
     fv, pos = jax.lax.top_k(-vals, r)
+    return -fv, jnp.take_along_axis(idx, pos, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "r", "cpc", "span",
+                                             "nlist", "recall_target"))
+def ivfpq_scan_topr(queries, codes, bd, cnorm, valid, cents, csq, cid_sp,
+                    metric: DistanceMetric, r: int, cpc: int, span: int,
+                    nlist: int, recall_target: float = 0.85):
+    """Residual-corrected streaming PQ scan over an IVF slot layout ->
+    top-r candidate rows per query.
+
+    The database row decodes as ``x_hat = c + r_hat``: ``c`` is the
+    owning cluster's centroid (constant over each ``span``-row cluster
+    block — the IVF repack contract, index/ivf.py) and ``r_hat`` the
+    PQ-decoded RESIDUAL. Residual coding is what plain PQ lacks on
+    clustered data: within a tight cluster the rows differ only by
+    small deviations that sit below global quantization resolution, so
+    raw-row codes tie (measured recall ~=0.55 at 1M x 768 hard-clustered
+    regardless of refine); subtracting the centroid re-centers the
+    codebook on exactly those deviations.
+
+    Exactness of the arithmetic (coverage quality): centroids and
+    codewords are bf16 VALUES (rounded at fit time), decoded residuals
+    are exact bf16, and queries split hi/lo across two bf16 MXU passes,
+    so every term below carries only f32-accumulation rounding:
+
+    * ``q . x_hat = q . c + q . r_hat`` — ``q . c`` comes from ONE
+      (Q, nlist) matmul hoisted out of the scan (each cluster's dot is
+      reused by all ``span`` rows of its block); ``q . r_hat`` from the
+      per-chunk decode matmul.
+    * ``|x_hat|^2 = |c|^2 + 2 c . r_hat + |r_hat|^2`` — ``|c|^2`` from a
+      host table, ``|r_hat|^2`` exactly from the codebook, ``c . r_hat``
+      as a per-chunk batched rowwise product (VPU-cheap).
+
+    Layout: rows [0, nlist*span) are cluster blocks; rows
+    [nlist*span, N) are the IVF spill region, whose rows were encoded as
+    residuals vs their NEAREST centroid (``cid_sp`` int32[S], garbage
+    for dead slots — masked). The spill block is dense per-row work
+    (gathered centroids + two extra matmuls): fine while the spill stays
+    the few-percent region the IVF layout keeps it.
+
+    The main region streams through a lax.scan in chunks of
+    ``cpc * span`` rows (dynamic_slice — no materialized copy); a
+    cluster-count tail that doesn't fill a chunk runs once, padded. The
+    pooled pass at the end is an EXACT top_k (same argument as
+    pq_scan_topr: stage-1 blocks arrive sorted, approx buckets collide
+    their heads).
+
+    Returns (scores (Q, r) ascending, slots (Q, r) int32 in SLOT space).
+    Scores are rank-surrogates (per-query constants dropped); +inf marks
+    dead/masked slots.
+    """
+    n, m = codes.shape
+    big_m = nlist * span
+    s_rows = n - big_m
+    chunk = cpc * span
+    if r > chunk:
+        raise ValueError(f"r={r} exceeds chunk={chunk}")
+    q, d = queries.shape
+    g, spgk, spgd = bd.shape
+    ksub = cnorm.shape[1]
+    spg = spgk // ksub
+    bd_bf = bd.astype(jnp.bfloat16)
+    cnorm_g = cnorm.reshape(g, spg, ksub)
+    q_hi, q_lo = _split_query(queries)
+    iota_k = jnp.arange(ksub, dtype=jnp.uint8)
+    inf = jnp.float32(jnp.inf)
+
+    nfull = big_m // chunk
+    tail_cl = nlist - nfull * cpc
+    # pad the centroid tables to the chunk grid so the tail call's
+    # dynamic_slice never clamps back into real clusters
+    nlist_pad = (nfull + (1 if tail_cl else 0)) * cpc
+    cents_bf = cents.astype(jnp.bfloat16)         # exact: values are bf16
+    if nlist_pad != nlist:
+        cents_bf = jnp.concatenate(
+            [cents_bf, jnp.zeros((nlist_pad - nlist, d), jnp.bfloat16)])
+        csq = jnp.concatenate(
+            [csq, jnp.zeros((nlist_pad - nlist,), csq.dtype)])
+    # q . c for every cluster, ONCE (hoisted out of the scan)
+    qc = (jnp.matmul(q_hi, cents_bf.T, preferred_element_type=jnp.float32)
+          + jnp.matmul(q_lo, cents_bf.T,
+                       preferred_element_type=jnp.float32))
+
+    def chunk_scores(cc, vc, c0):
+        """Scores for one cluster-aligned chunk starting at cluster c0."""
+        decoded, rsq = _decode_block(cc, bd_bf, cnorm_g, iota_k)
+        cen = jax.lax.dynamic_slice(cents_bf, (c0, 0), (cpc, d))
+        cr = jnp.einsum("csd,cd->cs",
+                        decoded.reshape(cpc, span, g * spgd), cen,
+                        preferred_element_type=jnp.float32)
+        csq_c = jax.lax.dynamic_slice(csq, (c0,), (cpc,))
+        xsq = (csq_c[:, None] + 2.0 * cr
+               + rsq.reshape(cpc, span)).reshape(chunk)
+        dt = decoded.T
+        qr = (jnp.matmul(q_hi, dt, preferred_element_type=jnp.float32)
+              + jnp.matmul(q_lo, dt, preferred_element_type=jnp.float32))
+        qc_c = jax.lax.dynamic_slice(qc, (0, c0), (q, cpc))
+        dots = qr + jnp.repeat(qc_c, span, axis=1)
+        if metric is DistanceMetric.DOT_PRODUCT:
+            scores = -dots
+        elif metric is DistanceMetric.EUCLIDEAN:
+            scores = xsq[None, :] - 2.0 * dots            # + |q|^2 dropped
+        else:                                             # cosine
+            xnorm = jnp.sqrt(jnp.maximum(xsq, 1e-30))
+            scores = -dots / xnorm[None, :]               # / |q| dropped
+        return jnp.where(vc[None, :], scores, inf)
+
+    pools_v, pools_i = [], []
+    if nfull:
+        def body(_, j):
+            r0 = j * chunk
+            cc = jax.lax.dynamic_slice(codes, (r0, 0), (chunk, m))
+            vc = jax.lax.dynamic_slice(valid, (r0,), (chunk,))
+            scores = chunk_scores(cc, vc, j * cpc)
+            cv, cl = jax.lax.approx_min_k(scores, r,
+                                          recall_target=recall_target)
+            return 0, (cv, (cl + r0).astype(jnp.int32))
+
+        _, (vals, idx) = jax.lax.scan(body, 0,
+                                      jnp.arange(nfull, dtype=jnp.int32))
+        pools_v.append(vals.transpose(1, 0, 2).reshape(q, nfull * r))
+        pools_i.append(idx.transpose(1, 0, 2).reshape(q, nfull * r))
+    if tail_cl:
+        t0 = nfull * chunk
+        trows = tail_cl * span
+        cc = jax.lax.dynamic_slice(codes, (t0, 0), (trows, m))
+        vc = jax.lax.dynamic_slice(valid, (t0,), (trows,))
+        cc = jnp.concatenate(
+            [cc, jnp.zeros((chunk - trows, m), cc.dtype)])
+        vc = jnp.concatenate(
+            [vc, jnp.zeros((chunk - trows,), vc.dtype)])
+        scores = chunk_scores(cc, vc, nfull * cpc)
+        r_t = min(r, trows)
+        cv, cl = jax.lax.approx_min_k(scores, r_t,
+                                      recall_target=recall_target)
+        pools_v.append(cv)
+        pools_i.append((cl + t0).astype(jnp.int32))
+    if s_rows:
+        cc = jax.lax.dynamic_slice(codes, (big_m, 0), (s_rows, m))
+        vc = jax.lax.dynamic_slice(valid, (big_m,), (s_rows,))
+        dec_sp, rsq_sp = _decode_block(cc, bd_bf, cnorm_g, iota_k)
+        cid = jnp.clip(cid_sp, 0, nlist - 1)
+        cen_sp = jnp.take(cents_bf, cid, axis=0)          # (S, d)
+        cr_sp = jnp.einsum("sd,sd->s", dec_sp, cen_sp,
+                           preferred_element_type=jnp.float32)
+        xsq = jnp.take(csq, cid) + 2.0 * cr_sp + rsq_sp
+        dots = (jnp.matmul(q_hi, dec_sp.T,
+                           preferred_element_type=jnp.float32)
+                + jnp.matmul(q_lo, dec_sp.T,
+                             preferred_element_type=jnp.float32)
+                + jnp.matmul(q_hi, cen_sp.T,
+                             preferred_element_type=jnp.float32)
+                + jnp.matmul(q_lo, cen_sp.T,
+                             preferred_element_type=jnp.float32))
+        if metric is DistanceMetric.DOT_PRODUCT:
+            scores = -dots
+        elif metric is DistanceMetric.EUCLIDEAN:
+            scores = xsq[None, :] - 2.0 * dots
+        else:
+            xnorm = jnp.sqrt(jnp.maximum(xsq, 1e-30))
+            scores = -dots / xnorm[None, :]
+        scores = jnp.where(vc[None, :], scores, inf)
+        r_sp = min(r, s_rows)
+        cv, cl = jax.lax.approx_min_k(scores, r_sp,
+                                      recall_target=recall_target)
+        pools_v.append(cv)
+        pools_i.append((cl + big_m).astype(jnp.int32))
+
+    vals = jnp.concatenate(pools_v, axis=1)
+    idx = jnp.concatenate(pools_i, axis=1)
+    # exact pooled pass (see pq_scan_topr note); a tiny index can pool
+    # fewer than r candidates — return what exists
+    r_out = min(r, vals.shape[1])
+    fv, pos = jax.lax.top_k(-vals, r_out)
     return -fv, jnp.take_along_axis(idx, pos, axis=1)
 
 

@@ -73,7 +73,7 @@ class EngineConfig:
     """
     checkpoint_interval: int = 1000
     metric: DistanceMetric = DistanceMetric.EUCLIDEAN
-    index_type: str = "flat"        # "flat" | "hnsw" | "ivf" | "pq"
+    index_type: str = "flat"   # "flat" | "hnsw" | "ivf" | "pq" | "ivfpq"
     hnsw_params: Optional[object] = None
     mesh: Optional[object] = None   # jax.sharding.Mesh for sharded storage
     search_mode: str = "exact"      # flat scan mode: "exact" | "fast"
@@ -109,6 +109,14 @@ class StorageEngine:
             from ..index.pq import PqFlatIndex
             self.store = VectorStore.with_index(
                 PqFlatIndex(self.config.metric))
+        elif self.config.index_type == "ivfpq":
+            if self.config.storage != "f32":
+                raise ValueError(
+                    "index_type='ivfpq' owns its device representation "
+                    "(codes); storage quantization modes do not compose")
+            from ..index.ivfpq import IvfPqIndex
+            self.store = VectorStore.with_index(
+                IvfPqIndex(self.config.metric))
         elif self.config.index_type == "flat":
             from ..index.flat import FlatIndex
             self.store = VectorStore.with_index(FlatIndex(
@@ -145,7 +153,8 @@ class StorageEngine:
             snap = self.snapshots.load()
             if snap is not None:
                 if not (self._try_import_graph(snap)
-                        or self._try_import_ivf(snap)):
+                        or self._try_import_ivf(snap)
+                        or self._try_import_ivfpq(snap)):
                     self._apply_snapshot(snap)
         # batch consecutive WAL inserts through the store's vectorized
         # bulk path (per-entry apply costs ~0.3 ms/row in slot writes —
@@ -169,6 +178,7 @@ class StorageEngine:
     GRAPH_FILE = "hnsw_graph.npz"
     IVF_FILE = "ivf_state.npz"
     PQ_FILE = "pq_state.npz"
+    IVFPQ_FILE = "ivfpq_state.npz"
 
     def _graph_path(self) -> Path:
         return self.data_dir / self.GRAPH_FILE
@@ -178,6 +188,9 @@ class StorageEngine:
 
     def _pq_path(self) -> Path:
         return self.data_dir / self.PQ_FILE
+
+    def _ivfpq_path(self) -> Path:
+        return self.data_dir / self.IVFPQ_FILE
 
     def _try_import_pq(self) -> bool:
         """Restore a trained PQ codebook so reopen never retrains. Unlike
@@ -245,11 +258,21 @@ class StorageEngine:
         instead of retraining on first search — recovery must reproduce
         the EXACT pre-crash search behavior (reference parity:
         engine.rs:44-73 replays to identical state)."""
-        if self.config.index_type != "ivf" or not self._ivf_path().exists():
+        return self._try_import_layout(snap, "ivf", self._ivf_path())
+
+    def _try_import_ivfpq(self, snap: DatabaseSnapshot) -> bool:
+        """Same contract for IVF-PQ: layout tables + residual codebook +
+        spill nearest-centroid ids; codes re-encode deterministically
+        from the recovered rows."""
+        return self._try_import_layout(snap, "ivfpq", self._ivfpq_path())
+
+    def _try_import_layout(self, snap: DatabaseSnapshot, index_type: str,
+                           path: Path) -> bool:
+        if self.config.index_type != index_type or not path.exists():
             return False
         try:
             import numpy as np
-            with np.load(self._ivf_path()) as z:
+            with np.load(path) as z:
                 tables = {key: z[key] for key in z.files}
             if str(tables.get("metric", "")) != self.config.metric.value:
                 return False
@@ -530,14 +553,19 @@ class StorageEngine:
     def _save_ivf(self) -> None:
         """Serialize the trained IVF layout (centroids + slot assignment;
         tiny next to the vectors) beside the snapshot so reopen restores
-        it instead of retraining."""
-        if self.config.index_type != "ivf":
+        it instead of retraining. The same path serializes IVF-PQ state
+        (layout tables + residual codebook + spill cids)."""
+        if self.config.index_type == "ivf":
+            path = self._ivf_path()
+        elif self.config.index_type == "ivfpq":
+            path = self._ivfpq_path()
+        else:
             return
         state = self.store.index.export_trained_state()
         if state is None:
             # untrained: remove any stale file so recovery can't bind a
             # previous layout to a newer snapshot
-            self._ivf_path().unlink(missing_ok=True)
+            path.unlink(missing_ok=True)
             return
         import io
 
@@ -547,7 +575,7 @@ class StorageEngine:
         buf = io.BytesIO()
         np.savez(buf, metric=self.config.metric.value,
                  snapshot_digest=self._snapshot_digest(), **state)
-        _durable_write(self._ivf_path(), buf.getvalue())
+        _durable_write(path, buf.getvalue())
 
     def _save_pq(self) -> None:
         """Serialize the trained PQ codebook (a few hundred KB) beside the
