@@ -77,7 +77,31 @@ class Index(abc.ABC):
         this over-search implementation — candidates are bounded by
         their own k=limit search quality."""
         raw = self.search(query, int(limit))
-        return [(i, d) for i, d in raw if d <= radius]
+        return self.refine_radius(raw, query, radius)
+
+    def refine_radius(self, raw: List[Tuple[int, float]], query: Vector,
+                      radius: float) -> List[Tuple[int, float]]:
+        """Re-threshold radius candidates with direct-form host distances.
+
+        The batched scan scores rows via the norm-expansion form
+        ``|x|^2 + |q|^2 - 2 q.x``, which loses ~eps*(|x|^2 + |q|^2) to
+        cancellation when the true distance is tiny — enough to report
+        0.0 for a near-duplicate row and to flip inclusion at the radius
+        boundary (found by tests/test_properties.py's differential
+        radius property). Radius candidates are bounded by ``limit``, so
+        recomputing each in the scalar direct form (diff-then-dot,
+        distance.py) is O(limit*d) host work and makes both the reported
+        distance and the threshold decision exact at f32."""
+        out: List[Tuple[int, float]] = []
+        for internal_id, _ in raw:
+            stored = self.get_vector(internal_id)
+            if stored is None:   # raced a delete; drop it
+                continue
+            d = self.metric.distance(query, stored)
+            if d <= radius:
+                out.append((internal_id, d))
+        out.sort(key=lambda t: (t[1], t[0]))
+        return out
 
     def search_masked(self, query: Vector, k: int, slot_mask: np.ndarray,
                       mask_layout_version: Optional[int] = None

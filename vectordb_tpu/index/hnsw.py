@@ -161,7 +161,7 @@ class HnswIndex(Index):
         the default ef (50) would cap recall when limit exceeds it."""
         ef = max(self.params.ef_search, int(limit))
         raw = self.search_with_ef(query, int(limit), ef)
-        return [(i, d) for i, d in raw if d <= radius]
+        return self.refine_radius(raw, query, radius)
 
     def search_masked(self, query: Vector, k: int, slot_mask: np.ndarray,
                       mask_layout_version=None):

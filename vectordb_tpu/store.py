@@ -449,8 +449,20 @@ class VectorStore:
         self._check_query_dim(query)
         radius = float(radius)
         if filter is not None:
+            # Re-threshold with direct-form host distances (see
+            # Index.refine_radius): the scan's norm-expansion distances
+            # can flip inclusion at the radius boundary.
             results = self.search_with_filter(query, int(limit), filter)
-            return [r for r in results if r.distance <= radius]
+            out = []
+            for r in results:
+                stored = self.get(r.id)
+                if stored is None:
+                    continue
+                d = self.metric.distance(query, stored)
+                if d <= radius:
+                    out.append(SearchResult(id=r.id, distance=d))
+            out.sort(key=lambda s: (s.distance, s.id))
+            return out
         return self._map_results(
             self._index.search_radius(query, radius, int(limit)))
 
