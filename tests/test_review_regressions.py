@@ -510,3 +510,152 @@ def test_ivf_probed_path_honors_any_k_with_sparse_clusters(rng):
     # the 5 surviving blob-0 rows must lead the results
     lead = {rid for rid, _ in res[0][:5]}
     assert lead == set(range(35, 40)), lead
+
+
+# ---------------------------------------------------------------------------
+# round-2 review findings (PQ / host-backing / radius sweep)
+# ---------------------------------------------------------------------------
+
+
+def _intrinsic(rng, n, d, idim=8):
+    basis = rng.standard_normal((idim, d)).astype(np.float32)
+    return (rng.standard_normal((n, idim)).astype(np.float32) @ basis
+            / np.float32(idim ** 0.5))
+
+
+def test_host_backing_shared_dir_no_clobber(tmp_path, rng=None):
+    """Two indexes sharing a host_backing directory must not truncate
+    each other's row files (deterministic rows_{n}x{d}.f32 names +
+    mode='w+' did exactly that)."""
+    from vectordb_tpu.index import FlatIndex
+
+    rng = np.random.default_rng(0)
+    a = FlatIndex(DistanceMetric.EUCLIDEAN, host_backing=str(tmp_path))
+    b = FlatIndex(DistanceMetric.EUCLIDEAN, host_backing=str(tmp_path))
+    ra = rng.standard_normal((32, 8)).astype(np.float32)
+    rb = rng.standard_normal((32, 8)).astype(np.float32) + 100.0
+    for i in range(32):
+        a.add(i, Vector(ra[i]))
+        b.add(i, Vector(rb[i]))
+    # a's stored rows must still be a's values, not zeros or b's
+    got_a = a.search(Vector(ra[7]), 1)
+    got_b = b.search(Vector(rb[9]), 1)
+    assert got_a[0][0] == 7 and got_a[0][1] < 1e-4
+    assert got_b[0][0] == 9 and got_b[0][1] < 1e-4
+
+
+def test_bulk_load_stream_dim_mismatch_typed_error():
+    """An emptied index keeps its dimension: bulk_load_stream with a
+    different dim must raise the typed error up front, not a numpy
+    broadcast error mid-ingest."""
+    from vectordb_tpu.index import FlatIndex
+
+    idx = FlatIndex(DistanceMetric.EUCLIDEAN)
+    idx.add(0, Vector([1.0, 2.0, 3.0, 4.0]))
+    idx.remove(0)
+    with pytest.raises(DimensionMismatchError):
+        idx.bulk_load_stream(2, 8, iter([np.zeros((2, 8), np.float32)]))
+
+
+def test_engine_stale_pq_state_with_empty_store_does_not_wedge(tmp_path):
+    """A leftover pq_state.npz beside an empty store must not be
+    imported: the store's dimension is fixed by the FIRST insert, and a
+    codebook of any other dimensionality would crash every later search
+    with the index permanently 'trained'."""
+    from vectordb_tpu.persistence import EngineConfig, StorageEngine
+
+    rng = np.random.default_rng(1)
+    cfg = EngineConfig(checkpoint_interval=10 ** 9,
+                       metric=DistanceMetric.EUCLIDEAN, index_type="pq")
+    db = rng.standard_normal((300, 8)).astype(np.float32)
+    with StorageEngine.open(tmp_path, cfg) as eng:
+        for i in range(300):
+            eng.insert(f"v{i}", Vector(db[i]))
+        eng.store.index.train()
+        eng.checkpoint()
+    assert (tmp_path / StorageEngine.PQ_FILE).exists()
+    # wipe the data but keep the trained state (stale-dir scenario)
+    (tmp_path / "snapshot.bin").unlink()
+    (tmp_path / "wal.log").unlink()
+    with StorageEngine.open(tmp_path, cfg) as eng:
+        assert len(eng) == 0
+        eng.insert("a", Vector([1.0, 2.0, 3.0, 4.0]))   # d=4 now
+        res = eng.search(Vector([1.0, 2.0, 3.0, 4.0]), 1)
+        assert res[0].id == "a"
+
+
+def test_pq_masked_selective_filter_exact_full_k():
+    """A filter whose eligible rows sit in contiguous slots used to
+    collide into one positional approx_min_k bucket and silently return
+    fewer than k results; small eligible sets now take an exact host
+    path — results must equal numpy brute force over the eligible rows."""
+    from vectordb_tpu.index import PqFlatIndex
+
+    rng = np.random.default_rng(2)
+    d, n, k = 16, 3000, 10
+    db = _intrinsic(rng, n, d)
+    idx = PqFlatIndex(DistanceMetric.EUCLIDEAN, m=4, ksub=16, refine=32)
+    for i in range(n):
+        idx.add(i, Vector(db[i]))
+    idx.train()
+    mask = np.zeros(idx.capacity, dtype=bool)
+    lo, hi = 1000, 1100                      # 100 contiguous eligible rows
+    mask[lo:hi] = True
+    qs = _intrinsic(rng, 8, d)
+    got = idx.search_batch(qs, k, slot_mask=mask)
+    elig = db[lo:hi]
+    for qi, row in enumerate(got):
+        assert len(row) == k, f"under-return: {len(row)} < {k}"
+        diff = elig - qs[qi]
+        want_d = np.sqrt(np.einsum("nd,nd->n", diff, diff))
+        order = np.argsort(want_d, kind="stable")[:k]
+        want = [(int(lo + j), float(want_d[j])) for j in order]
+        got_ids = [i for i, _ in row]
+        assert got_ids == [i for i, _ in want]
+        for (gi, gd), (wi, wd) in zip(row, want):
+            assert abs(gd - wd) < 1e-5
+
+
+def test_pq_masked_large_filter_returns_full_k():
+    """Above the exact-path threshold the masked scan runs; any query
+    that still comes back short is re-answered exactly (safety net).
+    Every returned id must be eligible and every distance exact."""
+    from vectordb_tpu.index import PqFlatIndex
+
+    rng = np.random.default_rng(3)
+    d, n, k = 16, 6000, 10
+    db = _intrinsic(rng, n, d)
+    idx = PqFlatIndex(DistanceMetric.EUCLIDEAN, m=4, ksub=16, refine=16)
+    for i in range(n):
+        idx.add(i, Vector(db[i]))
+    idx.train()
+    mask = np.zeros(idx.capacity, dtype=bool)
+    lo, hi = 500, 3100                       # 2600 eligible > threshold
+    mask[lo:hi] = True
+    qs = _intrinsic(rng, 8, d)
+    got = idx.search_batch(qs, k, slot_mask=mask)
+    for qi, row in enumerate(got):
+        assert len(row) == k, f"under-return: {len(row)} < {k}"
+        for iid, dist in row:
+            assert lo <= iid < hi
+            diff = db[iid] - qs[qi]
+            assert abs(dist - float(np.sqrt(diff @ diff))) < 1e-5
+
+
+def test_pq_encode_batch_size_invariant():
+    """Codes must not depend on write-batch history: encoding 3 rows
+    alone and the same rows inside a 1024-row batch (different chunk
+    shapes) must produce identical codes — the property the
+    bit-identical-reopen contract rests on."""
+    from vectordb_tpu.index import PqFlatIndex
+
+    rng = np.random.default_rng(4)
+    d = 16
+    db = _intrinsic(rng, 1024, d)
+    idx = PqFlatIndex(DistanceMetric.EUCLIDEAN, m=4, ksub=16)
+    for i in range(256):
+        idx.add(i, Vector(db[i]))
+    idx.train()
+    small = idx._encode_rows(db[:3])
+    big = idx._encode_rows(db)
+    assert np.array_equal(small, big[:3])

@@ -229,6 +229,7 @@ class FlatIndex(Index):
         # (32M x 768 = a 98 GB row file + 3 GB of device codes).
         self._host_backing = host_backing
         self._vectors_path: Optional[str] = None
+        self._backing_uid: Optional[str] = None
         self._metric = metric
         self._dim: Optional[int] = None
         self._capacity = 0
@@ -333,13 +334,22 @@ class FlatIndex(Index):
 
     def _alloc_rows(self, rows: int, dim: int) -> np.ndarray:
         """Packed row matrix: RAM by default; a zero-initialized
-        disk-backed memmap under ``host_backing`` when set."""
+        disk-backed memmap under ``host_backing`` when set.
+
+        The filename carries a per-instance token: a deterministic
+        ``rows_{rows}x{dim}.f32`` name would let two indexes sharing a
+        backing directory truncate (mode="w+") each other's live row
+        file. Files from crashed processes are NOT reaped automatically
+        — the directory may be shared by another live index."""
         if self._host_backing is None:
             return np.zeros((rows, dim), dtype=np.float32)
         import os
+        if self._backing_uid is None:
+            import uuid
+            self._backing_uid = f"{os.getpid()}_{uuid.uuid4().hex[:8]}"
         os.makedirs(self._host_backing, exist_ok=True)
         path = os.path.join(self._host_backing,
-                            f"rows_{rows}x{dim}.f32")
+                            f"rows_{self._backing_uid}_{rows}x{dim}.f32")
         mm = np.memmap(path, dtype=np.float32, mode="w+",
                        shape=(rows, dim))
         self._vectors_path = path
@@ -525,6 +535,11 @@ class FlatIndex(Index):
                 raise ValueError("bulk_load_stream requires an empty index")
             if n < 1:
                 raise ValueError("n must be >= 1")
+            if self._dim is not None and dim != self._dim:
+                # an emptied index keeps its dimension; fail with the
+                # typed error up front (bulk_load_matrix parity) instead
+                # of a mid-ingest numpy broadcast error
+                raise DimensionMismatchError(self._dim, dim)
             self._ensure_storage(dim, n)
             pos = 0
             for blk in chunks:

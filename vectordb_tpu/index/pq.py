@@ -21,7 +21,8 @@ Architecture (ops/pq.py holds the device programs):
 Mutations follow FlatIndex slot semantics unchanged — PQ never repacks
 slots (slot_layout_version never bumps), so store-compiled filter masks
 stay valid across training. Post-train writes re-encode on the next
-search sync (host for small deltas, device slabs for bulk). Searches
+search sync through the one device encode program (small deltas pad to
+a fixed chunk). Searches
 racing mutations reflect the snapshot point: candidate slots mutated
 mid-flight are dropped via a per-slot mutation stamp rather than mixing
 old candidacy with new row values.
@@ -62,13 +63,20 @@ _CAND_BYTES = 1 << 32       # (Q, nc*r) stacked-candidate budget -> Q
                             # database (decode cost is per-row per-CALL),
                             # so splitting Q multiplies the scan's decode
                             # share
-_NP_ENCODE_MAX = 512        # below this, encode on host (saves a ~25 ms
-                            # relay dispatch per small write batch)
+_ENC_CHUNK_MIN = 256        # floor pad size for small encode batches:
+                            # one fixed jit signature for write deltas
 _ENC_SLAB = 1 << 20         # rows per host->device encode transfer
 _SCORE_BYTES = 1 << 28      # budget for (m, chunk, ksub) score tensors
 _ONEHOT_BYTES = 1 << 30     # budget for (chunk, m, ksub) bf16 one-hots
 _SCATTER_MAX = 1 << 15      # beyond this many dirty codes, re-put wholesale
 _RERANK_QBLOCK = 512
+_MASKED_EXACT_MAX = 2048    # filters with at most max(r, this) eligible
+                            # rows answer via the exact host scan — the
+                            # masked device scan's positional candidate
+                            # buckets can under-return on that few rows
+_MASKED_STREAM_CHUNK = 8192  # eligible rows per chunk in the streaming
+                             # exact safety net
+_HOST_DIST_BYTES = 1 << 29   # working-set bound for host distance blocks
 
 
 def _pow2_floor(n: int) -> int:
@@ -78,8 +86,8 @@ def _pow2_floor(n: int) -> int:
 class _PqCodesCore:
     """Shared PQ-codes machinery (mixin over a FlatIndex-family base).
 
-    Holds: the uint8 code array + its device mirror, encode paths
-    (host for small deltas, device slabs for bulk), per-slot mutation
+    Holds: the uint8 code array + its device mirror, the (device-only)
+    encode path, per-slot mutation
     stamps, the scan dispatch loop with query sub-batching, and the
     exact host re-rank. Concrete indexes provide ``train`` (codebook
     fit), ``_encode_slots`` (rows vs residuals), and the scan state/call
@@ -181,26 +189,20 @@ class _PqCodesCore:
 
     # -- encoding --------------------------------------------------------------
 
-    def _np_encode_rows(self, rows: np.ndarray) -> np.ndarray:
-        cb = self._codebook
-        m, ksub, dsub = cb.shape
-        sub = np.ascontiguousarray(rows, np.float32).reshape(
-            len(rows), m, dsub)
-        out = np.empty((len(rows), m), np.uint8)
-        for j in range(m):
-            c = cb[j]
-            sc = sub[:, j] @ c.T * -2.0 + np.sum(c * c, axis=1)[None, :]
-            out[:, j] = np.argmin(sc, axis=1)
-        return out
-
     def _encode_rows(self, rows: np.ndarray) -> np.ndarray:
-        """(n, d) f32 -> (n, m) uint8 via the trained codebook. Host path
-        for small batches, device slabs for bulk."""
+        """(n, d) f32 -> (n, m) uint8 via the trained codebook, ALWAYS
+        through the device program. A batch-size-dependent host shortcut
+        would make codes depend on write-batch history: host BLAS and
+        the MXU einsum round near-tie subspace distances differently, so
+        a row host-encoded live could flip its code when recovery
+        re-encodes it in a device slab — breaking the bit-identical
+        reopen contract (export_trained_state). One path means codes are
+        a function of (codebook, row bytes, backend) only. Small batches
+        pad to one fixed chunk so incremental write syncs reuse a single
+        compiled signature instead of compiling per delta size."""
         n = len(rows)
         if n == 0:
             return np.empty((0, self._m), np.uint8)
-        if n <= _NP_ENCODE_MAX:
-            return self._np_encode_rows(rows)
         from ..ops.pq import pq_encode
         if self._codebook_dev is None:
             self._codebook_dev = jnp.asarray(self._codebook)
@@ -209,7 +211,7 @@ class _PqCodesCore:
         for a in range(0, n, _ENC_SLAB):
             blk = np.ascontiguousarray(rows[a:a + _ENC_SLAB], np.float32)
             bn = len(blk)
-            c = min(chunk, _pow2_floor(bn) if bn >= 256 else bn)
+            c = min(chunk, max(_ENC_CHUNK_MIN, _pow2_floor(bn)))
             pad = (-bn) % c
             if pad:
                 blk = np.concatenate(
@@ -462,6 +464,7 @@ class _PqCodesCore:
                 return self._pq_fallback_search(queries, k, **fb)
             state = self._scan_state()
             mk = None
+            exact_args = None
             if slot_mask is not None:
                 cap = int(state["valid"].shape[0])
                 mk = np.asarray(slot_mask, dtype=bool)
@@ -469,15 +472,36 @@ class _PqCodesCore:
                     mk = np.concatenate(
                         [mk, np.zeros(cap - mk.shape[0], bool)])
                 mk = mk[:cap]
-                state = dict(state)
-                state["valid"] = jnp.logical_and(state["valid"],
-                                                 jnp.asarray(mk))
+                ne = min(cap, self._capacity)
+                elig = np.nonzero(mk[:ne] & self._valid[:ne])[0]
+                if elig.size == 0:
+                    return [[] for _ in range(queries.shape[0])]
+                if elig.size <= max(r, _MASKED_EXACT_MAX):
+                    # selective filter: the masked scan's per-chunk
+                    # approx selection buckets by POSITION, so eligible
+                    # rows stored contiguously can collide into few
+                    # buckets and silently under-return; this small an
+                    # eligible set is exactly one host re-rank's worth
+                    # of work, so scan nothing and answer exactly.
+                    # Gather a consistent snapshot under the lock;
+                    # compute outside it.
+                    exact_args = (
+                        np.ascontiguousarray(self._vectors[elig],
+                                             np.float32),
+                        self._id_of_slot[elig].copy())
+                else:
+                    state = dict(state)
+                    state["valid"] = jnp.logical_and(state["valid"],
+                                                     jnp.asarray(mk))
             # bound the stacked per-query device footprint per dispatch
             max_q = max(256, _pow2_floor(
                 _CAND_BYTES // max(self._scan_bytes_per_query(r), 1)))
             tick0 = self._tick
             lv0 = self.slot_layout_version
-            self._searches_in_flight += 1
+            if exact_args is None:
+                self._searches_in_flight += 1
+        if exact_args is not None:
+            return self._masked_exact_host(queries, k_req, *exact_args)
         try:
             import jax
             q = queries.shape[0]
@@ -498,43 +522,56 @@ class _PqCodesCore:
                 self._searches_in_flight -= 1
         scan_scores = np.concatenate(svs)
         slots = np.concatenate(sls).astype(np.int64)
-        with self._lock:
-            if self.slot_layout_version == lv0:
-                return self._rerank(queries, scan_scores, slots, k_req,
-                                    tick0, slot_mask=mk)
-            # the layout repacked mid-flight (e.g. an IVF retrain): the
-            # candidate slots address the OLD packing — re-ranking would
-            # read the wrong rows. Masked callers get the stale-mask
-            # error the probed path raises (their mask was compiled
-            # against the old layout too).
-            if slot_mask is not None:
-                from ..errors import StaleSlotMaskError
-                raise StaleSlotMaskError(mask_layout_version,
-                                         self.slot_layout_version)
+        res = self._rerank(queries, scan_scores, slots, k_req, tick0,
+                           lv0, slot_mask=mk)
+        if res is not None and mk is not None:
+            res = self._fill_masked_short(res, queries, k_req, mk, lv0)
+        if res is not None:
+            return res
+        # the layout repacked mid-flight (e.g. an IVF retrain): the
+        # candidate slots address the OLD packing — re-ranking would
+        # read the wrong rows. Masked callers get the stale-mask
+        # error the probed path raises (their mask was compiled
+        # against the old layout too).
+        if slot_mask is not None:
+            from ..errors import StaleSlotMaskError
+            raise StaleSlotMaskError(mask_layout_version,
+                                     self.slot_layout_version)
         return self._pq_search(queries, k, refine, None, None)
 
     def _rerank(self, queries: np.ndarray, scan_scores: np.ndarray,
-                slots: np.ndarray, k_req: int, tick0: int,
+                slots: np.ndarray, k_req: int, tick0: int, lv0: int,
                 slot_mask: Optional[np.ndarray] = None
-                ) -> List[List[Tuple[int, float]]]:
+                ) -> Optional[List[List[Tuple[int, float]]]]:
         """Exact f32 re-rank of the candidate slots on the true stored
-        rows (lock held). Candidates whose slot mutated after the scan
-        snapshot (stamp > tick0) are dropped, so results never mix old
-        candidacy with new row values. ``slot_mask`` re-applies the
-        filter per slot (defense in depth — the scan already masked on
-        device; this keeps filter exactness independent of candidate
-        granularity)."""
+        rows. Candidates whose slot mutated after the scan snapshot
+        (stamp > tick0) are dropped, so results never mix old candidacy
+        with new row values. ``slot_mask`` re-applies the filter per
+        slot (defense in depth — the scan already masked on device; this
+        keeps filter exactness independent of candidate granularity).
+
+        The re-rank is the measured dominant cost of a PQ query (BLAS
+        over Q*r gathered rows), so the lock is held only per-block for
+        the snapshot gather — the einsum/sort run lock-free and
+        concurrent searches/writers interleave between blocks. Each
+        block re-checks the slot layout version under its lock; returns
+        None if the layout repacked mid-rerank (caller restarts or
+        raises the stale-mask error)."""
         out: List[List[Tuple[int, float]]] = []
         metric = self._metric
         for a in range(0, queries.shape[0], _RERANK_QBLOCK):
             qb = queries[a:a + _RERANK_QBLOCK]
             sl = slots[a:a + _RERANK_QBLOCK]
-            ok = np.isfinite(scan_scores[a:a + _RERANK_QBLOCK])
-            ok &= self._slot_tick[sl] <= tick0
-            ok &= self._valid[sl]
-            if slot_mask is not None:
-                ok &= slot_mask[sl]
-            rows = self._vectors[sl]                      # (qb, r, d)
+            with self._lock:
+                if self.slot_layout_version != lv0:
+                    return None
+                ok = np.isfinite(scan_scores[a:a + _RERANK_QBLOCK])
+                ok &= self._slot_tick[sl] <= tick0
+                ok &= self._valid[sl]
+                if slot_mask is not None:
+                    ok &= slot_mask[sl]
+                rows = self._vectors[sl]                  # (qb, r, d) copy
+                ids = self._id_of_slot[sl]
             # everything below derives from the gathered ROW VALUES only
             # (not the stored sq-norm caches): recovery re-inserts rows
             # through a different bulk path whose cached norms can differ
@@ -556,7 +593,6 @@ class _PqCodesCore:
                 dist = 1.0 - np.clip(dots / denom, -1.0, 1.0)
             dist = np.where(ok, dist, np.inf).astype(np.float32)
             order = np.argsort(dist, axis=1, kind="stable")[:, :k_req]
-            ids = self._id_of_slot[sl]
             for qi in range(len(qb)):
                 row: List[Tuple[int, float]] = []
                 for j in order[qi]:
@@ -565,6 +601,102 @@ class _PqCodesCore:
                         break
                     row.append((int(ids[qi, j]), dv))
                 out.append(row)
+        return out
+
+    def _host_dists(self, qb: np.ndarray, rows: np.ndarray) -> np.ndarray:
+        """(q, d) x (c, d) -> (q, c) exact f32 distances in the same
+        direct forms as the re-rank (metric parity, no |q|^2+|x|^2-2qx
+        cancellation). Callers bound q*c*d to _HOST_DIST_BYTES."""
+        metric = self._metric
+        if metric is DistanceMetric.EUCLIDEAN:
+            diff = rows[None, :, :] - qb[:, None, :]
+            return np.sqrt(np.einsum("qcd,qcd->qc", diff, diff,
+                                     optimize=True)).astype(np.float32)
+        if metric is DistanceMetric.DOT_PRODUCT:
+            return (-(qb @ rows.T)).astype(np.float32)
+        dots = qb @ rows.T
+        qn = np.sqrt(np.sum(qb * qb, axis=1))[:, None]
+        xn = np.sqrt(np.einsum("cd,cd->c", rows, rows))[None, :]
+        denom = np.maximum(qn * xn, 1e-30)
+        return (1.0 - np.clip(dots / denom, -1.0, 1.0)).astype(np.float32)
+
+    def _masked_exact_host(self, queries: np.ndarray, k_req: int,
+                           rows: np.ndarray, ids: np.ndarray
+                           ) -> List[List[Tuple[int, float]]]:
+        """Exact host k-NN over a SMALL eligible row set (selective
+        filters), gathered under the lock by the caller — correct by
+        construction where the masked device scan could under-return,
+        and cheaper than a device dispatch at this size."""
+        out: List[List[Tuple[int, float]]] = []
+        c, d = rows.shape
+        qblk = max(1, min(_RERANK_QBLOCK,
+                          _HOST_DIST_BYTES // max(c * d * 4, 1)))
+        kk = min(k_req, c)
+        for a in range(0, len(queries), qblk):
+            dist = self._host_dists(queries[a:a + qblk], rows)
+            order = np.argsort(dist, axis=1, kind="stable")[:, :kk]
+            for qi in range(dist.shape[0]):
+                out.append([(int(ids[j]), float(dist[qi, j]))
+                            for j in order[qi]])
+        return out
+
+    def _fill_masked_short(self, res: List[List[Tuple[int, float]]],
+                           queries: np.ndarray, k_req: int,
+                           mk: np.ndarray, lv0: int
+                           ) -> Optional[List[List[Tuple[int, float]]]]:
+        """Safety net for masked scans: any query that came back with
+        fewer than k results (positional bucket collisions in the
+        per-chunk approx selection can starve the candidate pool even
+        when plenty of eligible rows exist) is re-answered by an exact
+        host stream over the eligible slots. Returns None when the slot
+        layout repacked underneath (caller raises stale-mask)."""
+        short = [qi for qi, row in enumerate(res) if len(row) < k_req]
+        if not short:
+            return res
+        with self._lock:
+            if self.slot_layout_version != lv0:
+                return None
+            ne = min(mk.shape[0], self._capacity)
+            elig = np.nonzero(mk[:ne] & self._valid[:ne])[0]
+            if elig.size == 0:
+                return res
+            fixed = self._masked_exact_stream(
+                np.ascontiguousarray(queries[short]), k_req, elig)
+        for qi, row in zip(short, fixed):
+            if len(row) > len(res[qi]):
+                res[qi] = row
+        return res
+
+    def _masked_exact_stream(self, qs: np.ndarray, k_req: int,
+                             elig: np.ndarray
+                             ) -> List[List[Tuple[int, float]]]:
+        """Exact host k-NN streamed over a LARGE eligible slot set with
+        a running top-k (lock held by the caller — the gather and the
+        result must be one consistent snapshot)."""
+        q = len(qs)
+        best_d = np.full((q, k_req), np.inf, np.float32)
+        best_i = np.full((q, k_req), -1, np.int64)
+        for a in range(0, elig.size, _MASKED_STREAM_CHUNK):
+            sl = elig[a:a + _MASKED_STREAM_CHUNK]
+            rows = np.ascontiguousarray(self._vectors[sl], np.float32)
+            ids = self._id_of_slot[sl]
+            qblk = max(1, _HOST_DIST_BYTES // max(rows.size * 4, 1))
+            for b in range(0, q, qblk):
+                dist = self._host_dists(qs[b:b + qblk], rows)
+                cat_d = np.concatenate([best_d[b:b + qblk], dist], axis=1)
+                cat_i = np.concatenate(
+                    [best_i[b:b + qblk],
+                     np.broadcast_to(ids, dist.shape)], axis=1)
+                sel = np.argpartition(cat_d, k_req - 1, axis=1)[:, :k_req]
+                best_d[b:b + qblk] = np.take_along_axis(cat_d, sel, axis=1)
+                best_i[b:b + qblk] = np.take_along_axis(cat_i, sel, axis=1)
+        out: List[List[Tuple[int, float]]] = []
+        for qi in range(q):
+            pairs = sorted(
+                (float(dv), int(iv))
+                for dv, iv in zip(best_d[qi], best_i[qi])
+                if np.isfinite(dv))
+            out.append([(iv, dv) for dv, iv in pairs])
         return out
 
     def search_with_refine(self, query, k: int,
@@ -635,10 +767,12 @@ class PqFlatIndex(_PqCodesCore, FlatIndex):
 
     def export_trained_state(self) -> Optional[dict]:
         """The codebook is the whole trained state: codes are a
-        DETERMINISTIC function of (codebook, rows), so recovery re-encodes
-        instead of persisting gigabytes of codes — reopen never retrains
-        and search results are bit-identical (engine.rs:44-73 parity, same
-        contract as IVF's import)."""
+        DETERMINISTIC function of (codebook, rows, backend) — every
+        encode runs the one device program regardless of batch size (see
+        _encode_rows) — so recovery re-encodes instead of persisting
+        gigabytes of codes: reopen never retrains and search results are
+        bit-identical on the same jax backend (engine.rs:44-73 parity,
+        same contract as IVF's import)."""
         with self._lock:
             if not self._trained:
                 return None

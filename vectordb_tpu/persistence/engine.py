@@ -208,7 +208,14 @@ class StorageEngine:
                 return False
             cb = np.asarray(tables["codebook"], np.float32)
             dim = self.store.dimension
-            if dim is not None and cb.shape[0] * cb.shape[2] != dim:
+            # an empty store fixes its dimension on first insert, so a
+            # stale codebook of ANY other dimensionality would wedge
+            # every later search (the index is "trained" and never
+            # self-heals); with zero rows there is nothing to encode —
+            # skip the import and let auto-train refit
+            if dim is None:
+                return False
+            if cb.shape[0] * cb.shape[2] != dim:
                 return False
             self.store.index.import_trained_state(tables)
             return True

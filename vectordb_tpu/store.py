@@ -449,20 +449,14 @@ class VectorStore:
         self._check_query_dim(query)
         radius = float(radius)
         if filter is not None:
-            # Re-threshold with direct-form host distances (see
-            # Index.refine_radius): the scan's norm-expansion distances
-            # can flip inclusion at the radius boundary.
+            # Delegate the boundary-precision re-threshold to
+            # Index.refine_radius (one copy of the direct-form distance
+            # logic; ties break on internal id like the unfiltered path).
             results = self.search_with_filter(query, int(limit), filter)
-            out = []
-            for r in results:
-                stored = self.get(r.id)
-                if stored is None:
-                    continue
-                d = self.metric.distance(query, stored)
-                if d <= radius:
-                    out.append(SearchResult(id=r.id, distance=d))
-            out.sort(key=lambda s: (s.distance, s.id))
-            return out
+            raw = [(iid, r.distance) for r in results
+                   if (iid := self._id_to_internal.get(r.id)) is not None]
+            return self._map_results(
+                self._index.refine_radius(raw, query, radius))
         return self._map_results(
             self._index.search_radius(query, radius, int(limit)))
 
