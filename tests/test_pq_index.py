@@ -476,3 +476,64 @@ def test_bulk_load_stream(rng, tmp_path):
             10, d, iter([db[:4]]))
     with pytest.raises(ValueError):
         idx.bulk_load_stream(4, d, iter([db[:4]]))  # non-empty index
+
+
+# -- OPQ pre-rotation --------------------------------------------------------
+
+
+def test_fit_opq_rotation_is_orthogonal(rng):
+    from vectordb_tpu.ops.pq import fit_opq_rotation
+
+    x = rng.standard_normal((2048, 64)).astype(np.float32)
+    r = fit_opq_rotation(x, m=8)
+    assert r.shape == (64, 64)
+    assert np.allclose(r.T @ r, np.eye(64), atol=1e-4)
+
+
+def test_rotation_improves_recall_on_spread_signal(rng):
+    """Low-intrinsic-dimension data spread across all coordinates (the
+    north-star protocol) is PQ's hard case: every raw subspace sees
+    correlated noise-like slices. The OPQ rotation concentrates the
+    signal so each codebook quantizes an independent share — measured
+    0.80 -> 0.999 recall@10 at refine=16 on this config."""
+    n, d, idim, q, k = 8192, 256, 16, 64, 10
+    basis = rng.standard_normal((idim, d)).astype(np.float32) / \
+        np.float32(idim ** 0.5)
+    db = rng.standard_normal((n, idim)).astype(np.float32) @ basis
+    qs = rng.standard_normal((q, idim)).astype(np.float32) @ basis
+    d2 = (np.sum(qs * qs, 1)[:, None] + np.sum(db * db, 1)[None, :]
+          - 2.0 * qs @ db.T)
+    gt = [set(np.argsort(row)[:k].tolist()) for row in d2]
+
+    def recall(rotate):
+        idx = PqFlatIndex(DistanceMetric.EUCLIDEAN, m=32, ksub=64,
+                          seed=0, rotate=rotate)
+        idx.bulk_load_matrix(np.arange(n, dtype=np.int64), db)
+        idx.train()
+        got = idx.search_batch(qs, k, refine=16)
+        return float(np.mean([len({i for i, _ in row} & gt[qi]) / k
+                              for qi, row in enumerate(got)]))
+
+    plain, rotated = recall(False), recall(True)
+    assert rotated > plain + 0.05, (plain, rotated)
+    assert rotated > 0.97, rotated
+
+
+def test_rotation_state_roundtrip_bit_identical(rng):
+    """export/import must carry the rotation: an import without it would
+    scan un-rotated queries against rotated codes and return garbage."""
+    n, d, k = 2048, 64, 5
+    db = _clustered(rng, n, d)
+    qs = _clustered(rng, 32, d)
+    a = PqFlatIndex(DistanceMetric.EUCLIDEAN, m=8, ksub=32, seed=1,
+                    rotate=True)
+    a.bulk_load_matrix(np.arange(n, dtype=np.int64), db)
+    a.train()
+    state = a.export_trained_state()
+    assert "rotation" in state
+    b = PqFlatIndex(DistanceMetric.EUCLIDEAN, m=8, ksub=32, seed=1,
+                    rotate=False)        # import must override
+    b.bulk_load_matrix(np.arange(n, dtype=np.int64), db)
+    b.import_trained_state(state)
+    for ra, rb in zip(a.search_batch(qs, k), b.search_batch(qs, k)):
+        assert ra == rb

@@ -17,6 +17,14 @@ Architecture (ops/pq.py holds the device programs):
   re-ranks the R candidates per query, so RETURNED DISTANCES ARE EXACT
   f32 values over the true stored rows; recall is governed only by
   candidate coverage (``refine``), exactly like IVF's nprobe.
+* An OPQ pre-rotation (``rotate=True`` default; ops/pq.fit_opq_rotation)
+  is learned at train time and folded into the device encode/scan
+  programs. Better codes shrink the refine pool a target recall needs —
+  and the host re-rank, the measured dominant query cost
+  (benchmarks/exp_pq_profile.py), is linear in refine. Measured at
+  refine=16 on spread-signal intrinsic-dim-16 data: 0.80 -> 0.999
+  recall@10. Distances are rotation-invariant; the re-rank always uses
+  the true unrotated rows.
 
 Mutations follow FlatIndex slot semantics unchanged — PQ never repacks
 slots (slot_layout_version never bumps), so store-compiled filter masks
@@ -97,7 +105,7 @@ class _PqCodesCore:
 
     def _pq_init(self, m: Optional[int], ksub: int, refine: int,
                  train_iters: int, auto_train_min: int, seed: int,
-                 scan_recall: float) -> None:
+                 scan_recall: float, rotate: bool = False) -> None:
         self._want_mirrors = False
         if m is not None and m < 1:
             raise ValueError("m must be >= 1")
@@ -121,6 +129,12 @@ class _PqCodesCore:
             raise ValueError("scan_recall must be in (0, 1]")
         self.scan_recall = float(scan_recall)
         self._seed = int(seed)
+        # OPQ pre-rotation (ops/pq.fit_opq_rotation): learned at train
+        # time, applied inside the device encode/scan programs; the
+        # exact host re-rank always uses the true unrotated rows
+        self._rotate = bool(rotate)
+        self._rot: Optional[np.ndarray] = None        # (d, d) f32
+        self._rot_dev = None
         # trained state
         self._trained = False
         self._m = 0
@@ -171,9 +185,11 @@ class _PqCodesCore:
                                          // (self._m * self.ksub * 2))))
         return max(chunk, 1)
 
-    def _fit_codebook(self, sample: np.ndarray, m: int) -> np.ndarray:
+    def _fit_codebook(self, sample: np.ndarray, m: int,
+                      rot: Optional[np.ndarray] = None) -> np.ndarray:
         """Batched subspace k-means over ``sample`` rows (wrap-padded to
-        a chunk multiple)."""
+        a chunk multiple); with ``rot`` the fit runs in the rotated
+        space (the rotation matmul rides the device program)."""
         chunk = self._fit_chunk(m, self.ksub, len(sample))
         pad = (-len(sample)) % chunk
         if pad:
@@ -185,7 +201,8 @@ class _PqCodesCore:
         return np.asarray(pq_fit(
             jnp.asarray(np.ascontiguousarray(sample, np.float32)),
             jax.random.PRNGKey(self._seed), m=m, ksub=self.ksub,
-            iters=self.train_iters, chunk=chunk))
+            iters=self.train_iters, chunk=chunk,
+            rot=None if rot is None else jnp.asarray(rot)))
 
     # -- encoding --------------------------------------------------------------
 
@@ -217,9 +234,17 @@ class _PqCodesCore:
                 blk = np.concatenate(
                     [blk, np.zeros((pad, blk.shape[1]), np.float32)])
             codes = np.asarray(pq_encode(jnp.asarray(blk),
-                                         self._codebook_dev, chunk=c))
+                                         self._codebook_dev, chunk=c,
+                                         rot=self._rot_dev_arr()))
             out[a:a + bn] = codes[:bn]
         return out
+
+    def _rot_dev_arr(self):
+        if self._rot is None:
+            return None
+        if self._rot_dev is None:
+            self._rot_dev = jnp.asarray(self._rot)
+        return self._rot_dev
 
     def _encode_slots(self, slots: np.ndarray) -> np.ndarray:
         """Codes for the given slots. Hook: PqFlatIndex encodes the raw
@@ -374,7 +399,8 @@ class _PqCodesCore:
         return pq_scan_topr(qb, state["codes"], state["bd"],
                             state["cnorm"], state["valid"], self._metric,
                             r=r, chunk=self._scan_chunk(),
-                            recall_target=self.scan_recall)
+                            recall_target=self.scan_recall,
+                            rot=self._rot_dev_arr())
 
     def _scan_r_max(self) -> int:
         """Largest refine pool the scan program supports."""
@@ -717,15 +743,19 @@ class PqFlatIndex(_PqCodesCore, FlatIndex):
                  ksub: int = 256, refine: int = 64, train_iters: int = 15,
                  auto_train_min: int = 8192, seed: int = 0,
                  host_backing: Optional[str] = None,
-                 scan_recall: float = 0.85):
+                 scan_recall: float = 0.85, rotate: bool = True):
         # host_backing (FlatIndex option): keep the full-precision rows in
         # a disk-backed memmap — the natural pairing for PQ, whose device
         # footprint is m bytes/row while the re-rank touches only R rows
         # per query (OS page cache serves the hot set)
+        # rotate: learn an OPQ pre-rotation at train time
+        # (ops/pq.fit_opq_rotation) — better codes need a smaller refine
+        # pool for the same recall, and the host re-rank (the measured
+        # dominant query cost) is linear in refine
         super().__init__(metric, search_mode="exact", storage="f32",
                          host_backing=host_backing)
         self._pq_init(m, ksub, refine, train_iters, auto_train_min, seed,
-                      scan_recall)
+                      scan_recall, rotate=rotate)
 
     # -- training --------------------------------------------------------------
 
@@ -751,11 +781,17 @@ class PqFlatIndex(_PqCodesCore, FlatIndex):
                 sample = self._vectors[:n]      # contiguous prefix: a view
             else:
                 sample = self._vectors[live]
-            codebook = self._fit_codebook(sample, m)
+            rot = None
+            if self._rotate:
+                from ..ops.pq import fit_opq_rotation
+                rot = fit_opq_rotation(sample, m)
+            codebook = self._fit_codebook(sample, m, rot)
 
             self._m = m
             self._codebook = codebook
             self._codebook_dev = None
+            self._rot = rot
+            self._rot_dev = None
             self._codes = np.zeros((self._capacity, m), np.uint8)
             self._trained = True
             self._pq_dirty.clear()
@@ -776,8 +812,11 @@ class PqFlatIndex(_PqCodesCore, FlatIndex):
         with self._lock:
             if not self._trained:
                 return None
-            return {"codebook": self._codebook.copy(),
-                    "ksub": np.int64(self.ksub)}
+            state = {"codebook": self._codebook.copy(),
+                     "ksub": np.int64(self.ksub)}
+            if self._rot is not None:
+                state["rotation"] = self._rot.copy()
+            return state
 
     def import_trained_state(self, tables: dict) -> None:
         with self._lock:
@@ -793,10 +832,20 @@ class PqFlatIndex(_PqCodesCore, FlatIndex):
                 raise IndexOpError(
                     f"pq state: codebook covers {m * dsub} dims, index "
                     f"holds {self._dim}")
+            rot = tables.get("rotation")
+            if rot is not None:
+                rot = np.ascontiguousarray(rot, np.float32)
+                if rot.shape != (m * dsub, m * dsub):
+                    raise IndexOpError(
+                        f"pq state: rotation shape {rot.shape} does not "
+                        f"match dimension {m * dsub}")
             self._m = m
             self.ksub = ksub
             self._codebook = cb
             self._codebook_dev = None
+            self._rot = rot
+            self._rot_dev = None
+            self._rotate = rot is not None
             self._trained = True
             self._codes = np.zeros((self._capacity, m), np.uint8)
             self._pq_dirty.clear()

@@ -44,6 +44,73 @@ import jax.numpy as jnp
 from ..distance import DistanceMetric
 
 
+def fit_opq_rotation(sample, m: int) -> "np.ndarray":
+    """PCA + eigenvalue-balanced subspace allocation: the pre-rotation
+    approximation of Optimized Product Quantization (Ge et al., CVPR'13
+    — the 'OPQ parametric' initialization, also Faiss's OPQ prefix).
+
+    PQ quantizes each dsub-wide coordinate slice independently, so code
+    entropy spent on a subspace is wasted unless that slice carries
+    independent signal. Real embedding data concentrates its energy in a
+    low-dimensional subspace spread across ALL raw coordinates (the
+    north-star protocol's intrinsic-dim-32 data is exactly this); an
+    orthogonal rotation that (a) decorrelates coordinates (PCA) and
+    (b) deals the principal directions across subspaces so each gets an
+    equal share of the variance PRODUCT makes every codebook count.
+    Euclidean/dot/cosine are all rotation-invariant, so searching in the
+    rotated space returns the same neighbors; the exact host re-rank
+    uses the TRUE unrotated rows either way.
+
+    Returns R (d, d) f32 with columns = permuted eigenvectors; rows and
+    queries rotate as ``x @ R``. Host-only and deterministic (LAPACK
+    eigh on the uncentered second moment — centering would break
+    dot-product/cosine invariance)."""
+    import heapq
+
+    import numpy as np
+    x = np.asarray(sample, np.float32)
+    n, d = x.shape
+    dsub = d // m
+    # energy structure saturates on a modest subsample; keep the host
+    # covariance pass cheap at 262k-row training samples
+    if n > _OPQ_COV_ROWS:
+        x = x[:: n // _OPQ_COV_ROWS][:_OPQ_COV_ROWS]
+    cov = (x.T @ x) / np.float32(max(len(x), 1))
+    w, v = np.linalg.eigh(cov.astype(np.float64))
+    order = np.argsort(w)[::-1]
+    w, v = w[order], v[:, order]
+    # greedy balanced allocation: next (largest) eigenvalue goes to the
+    # non-full bucket with the smallest log-eigenvalue load
+    buckets: list[list[int]] = [[] for _ in range(m)]
+    heap = [(0.0, j) for j in range(m)]
+    heapq.heapify(heap)
+    for i in range(d):
+        while True:
+            load, j = heapq.heappop(heap)
+            if len(buckets[j]) < dsub:
+                break
+        buckets[j].append(i)
+        if len(buckets[j]) < dsub:
+            heapq.heappush(
+                heap, (load + float(np.log(max(w[i], 1e-12))), j))
+    cols = [i for j in range(m) for i in buckets[j]]
+    return np.ascontiguousarray(v[:, cols], np.float32)
+
+
+_OPQ_COV_ROWS = 65536
+
+
+def _maybe_rotate(x, rot):
+    """x @ R at full f32 precision (HIGHEST: bf16-pass rounding of the
+    rotation would perturb coordinates past the tiny neighbor gaps the
+    hi/lo query split exists to preserve)."""
+    if rot is None:
+        return x
+    return jnp.matmul(x.astype(jnp.float32), rot,
+                      precision=jax.lax.Precision.HIGHEST,
+                      preferred_element_type=jnp.float32)
+
+
 def _subspace_view(rows, m: int):
     """(S, d) -> (m, S, dsub): subspace-major view of row blocks."""
     s, d = rows.shape
@@ -79,8 +146,11 @@ def _kmeanspp_init(sub, key, ksub: int):
 
 
 @functools.partial(jax.jit, static_argnames=("m", "ksub", "iters", "chunk"))
-def pq_fit(sample, key, m: int, ksub: int, iters: int, chunk: int):
+def pq_fit(sample, key, m: int, ksub: int, iters: int, chunk: int,
+           rot=None):
     """Batched subspace k-means: (S, d) f32 -> codebook (m, ksub, dsub).
+    With ``rot`` (fit_opq_rotation output) the fit runs in the rotated
+    space — one MXU matmul folded into the program.
 
     All m fits advance in lockstep inside one compiled program. Init is
     batched k-means++ (each subspace D^2-samples its own seeds).
@@ -97,7 +167,7 @@ def pq_fit(sample, key, m: int, ksub: int, iters: int, chunk: int):
     if s % chunk:
         raise ValueError(f"sample rows {s} not a multiple of chunk {chunk}")
     dsub = d // m
-    sample = sample.astype(jnp.float32)
+    sample = _maybe_rotate(sample.astype(jnp.float32), rot)
     sub = _subspace_view(sample, m)                       # (m, S, dsub)
     kinit, key = jax.random.split(key)
     # seed from a strided subsample: the ksub-1-step D^2 scan touches its
@@ -147,12 +217,13 @@ def pq_fit(sample, key, m: int, ksub: int, iters: int, chunk: int):
 
 
 @functools.partial(jax.jit, static_argnames=("chunk",))
-def pq_encode(rows, codebook, chunk: int):
+def pq_encode(rows, codebook, chunk: int, rot=None):
     """(N, d) rows -> (N, m) uint8 codes (nearest codeword per subspace).
 
     Chunked over rows; N must be a multiple of ``chunk`` (callers pad and
     slice). Works on f32 rows; int8/bf16-stored indexes pass their
-    dequantized host values.
+    dequantized host values. With ``rot`` the rows are rotated into the
+    codebook's OPQ space first (fit_opq_rotation).
     """
     n, d = rows.shape
     if n % chunk:
@@ -160,7 +231,7 @@ def pq_encode(rows, codebook, chunk: int):
     m, ksub, dsub = codebook.shape
     cnorm = jnp.sum(codebook * codebook, axis=-1)
 
-    sub = _subspace_view(rows.astype(jnp.float32), m)
+    sub = _subspace_view(_maybe_rotate(rows.astype(jnp.float32), rot), m)
     sub_c = sub.reshape(m, n // chunk, chunk, dsub).transpose(1, 0, 2, 3)
 
     def enc_chunk(xc):
@@ -242,7 +313,8 @@ def _decode_block(cc, bd_bf, cnorm_g, iota_k):
 @functools.partial(jax.jit, static_argnames=("metric", "r", "chunk",
                                              "recall_target"))
 def pq_scan_topr(queries, codes, bd, cnorm, valid, metric: DistanceMetric,
-                 r: int, chunk: int, recall_target: float = 0.95):
+                 r: int, chunk: int, recall_target: float = 0.95,
+                 rot=None):
     """Streaming PQ scan -> top-r candidate ROWS per query, never decoding
     the database into HBM and never running an O(chunk*r) top-k inside
     the streaming loop.
@@ -286,7 +358,9 @@ def pq_scan_topr(queries, codes, bd, cnorm, valid, metric: DistanceMetric,
     # therefore the whole decode — is EXACT
     bd_bf = bd.astype(jnp.bfloat16)
     cnorm_g = cnorm.reshape(g, spg, ksub)
-    q_hi, q_lo = _split_query(queries)
+    # codes approximate ROTATED rows (OPQ), so the query moves into the
+    # same space; distances are rotation-invariant, candidates carry over
+    q_hi, q_lo = _split_query(_maybe_rotate(queries, rot))
     iota_k = jnp.arange(ksub, dtype=jnp.uint8)
 
     nc = n // chunk
