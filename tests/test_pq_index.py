@@ -537,3 +537,30 @@ def test_rotation_state_roundtrip_bit_identical(rng):
     b.import_trained_state(state)
     for ra, rb in zip(a.search_batch(qs, k), b.search_batch(qs, k)):
         assert ra == rb
+
+
+def test_calibrate_refine_meets_target(rng):
+    """calibrate_refine installs the smallest refine pool meeting the
+    recall target (PQ analogue of IVF's calibrate_nprobe), ground-truthed
+    by the exact host stream."""
+    n, d = 4096, 64
+    db = _clustered(rng, n, d)
+    idx = PqFlatIndex(DistanceMetric.EUCLIDEAN, m=8, ksub=32, seed=0,
+                      refine=1)
+    idx.bulk_load_matrix(np.arange(n, dtype=np.int64), db)
+    idx.train()
+    out = idx.calibrate_refine(0.9, k=10, sample=64,
+                               candidates=(4, 16, 64, 256))
+    assert set(out) == {"refine", "recall", "curve"}
+    assert idx.refine == out["refine"]
+    assert out["recall"] >= 0.9 or out["refine"] == max(out["curve"])
+    # the installed default must actually serve at that quality
+    qs = db[:32]
+    got = idx.search_batch(qs, 1)
+    assert sum(int(row[0][0] == i) for i, row in enumerate(got)) >= 31
+
+
+def test_calibrate_refine_rejects_bad_target():
+    idx = PqFlatIndex(DistanceMetric.EUCLIDEAN, m=4, ksub=16)
+    with pytest.raises(Exception):
+        idx.calibrate_refine(0.0)

@@ -725,6 +725,68 @@ class _PqCodesCore:
             out.append([(iv, dv) for dv, iv in pairs])
         return out
 
+    def calibrate_refine(self, target_recall: float, *, k: int = 10,
+                         sample: int = 256,
+                         candidates=(16, 32, 64, 128, 256, 512),
+                         queries: Optional[np.ndarray] = None,
+                         set_default: bool = True, seed: int = 0) -> dict:
+        """Pick the smallest refine pool whose measured recall@k meets
+        ``target_recall`` — the PQ analogue of IvfFlatIndex's
+        calibrate_nprobe (a production knob: "give me >=0.95 recall"
+        instead of hand-tuning refine, which directly prices the host
+        re-rank, the dominant query cost).
+
+        Ground truth is an exact host stream over the live stored rows
+        (ivf.py uses the device exact scan, but PQ exists precisely at
+        scales where no full-precision device copy fits — host_backing
+        memmaps stream fine). Probe queries default to a random sample
+        of stored rows (slightly optimistic — a stored row's own code
+        matches itself exactly; pass real ``queries`` for an unbiased
+        estimate). Returns ``{"refine", "recall", "curve"}``; when no
+        candidate reaches the target the largest is returned with its
+        recall. ``set_default`` installs the winner."""
+        if not 0.0 < float(target_recall) <= 1.0:
+            raise IndexOpError("target_recall must be in (0, 1]")
+        with self._lock:
+            if not self._trained:
+                if self._len < self.ksub:
+                    raise IndexOpError(
+                        "calibrate_refine needs a trained index "
+                        f"(or >= ksub={self.ksub} rows to train one)")
+                self.train()
+        rng = np.random.default_rng(seed)
+        with self._lock:
+            live = np.flatnonzero(self._valid[:self._capacity])
+            if queries is None:
+                take = min(int(sample), live.size)
+                sel = np.sort(rng.choice(live.size, size=take,
+                                         replace=False))
+                queries = np.ascontiguousarray(
+                    self._vectors[live[sel]], np.float32)
+            else:
+                queries = np.ascontiguousarray(queries, np.float32)
+            k_eff = min(int(k), self._len)
+            truth = self._masked_exact_stream(queries, k_eff, live)
+        truth_sets = [set(i for i, _ in row) for row in truth]
+        curve: dict = {}
+        chosen = None
+        rmax = self._scan_r_max()
+        for cand in sorted({max(1, min(int(c), rmax))
+                            for c in candidates}):
+            got = self.search_batch(queries, k_eff, refine=cand)
+            hits = sum(len(ts & {i for i, _ in row}) / max(len(ts), 1)
+                       for ts, row in zip(truth_sets, got))
+            curve[cand] = recall = hits / max(len(truth_sets), 1)
+            if recall >= float(target_recall):
+                chosen = cand
+                break
+        if chosen is None:
+            chosen = max(curve)
+        if set_default:
+            self.refine = int(chosen)
+        return {"refine": int(chosen), "recall": curve[chosen],
+                "curve": curve}
+
     def search_with_refine(self, query, k: int,
                            refine: int) -> List[Tuple[int, float]]:
         """Per-call recall/latency knob (the PQ analogue of HNSW's
