@@ -47,6 +47,9 @@ def main():
                          "RESIDUALS vs the IVF centroid (the clustered-"
                          "data lane); both run over the same data and "
                          "ground truth for a direct A/B")
+    ap.add_argument("--opq", type=str, default="on",
+                    help="comma list of on|off — A/B the OPQ pre-rotation "
+                         "(pq family only; ivfpq ignores it)")
     args = ap.parse_args()
     n, d, q, k = 1 << args.logn, args.d, args.q, args.k
 
@@ -96,12 +99,23 @@ def main():
           flush=True)
 
     ids = np.arange(n, dtype=np.int64)
+    variants = []
     for family in args.family.split(","):
+        if family == "ivfpq":
+            variants.append((family, True))
+        else:
+            variants.extend((family, o == "on")
+                            for o in args.opq.split(","))
+    for family, rotate in variants:
+        tag = family if family == "ivfpq" else (
+            f"{family}/opq={'on' if rotate else 'off'}")
         if family == "ivfpq":
             from vectordb_tpu.index import IvfPqIndex
             idx = IvfPqIndex(DistanceMetric.EUCLIDEAN, m=args.m, seed=0)
         else:
-            idx = PqFlatIndex(DistanceMetric.EUCLIDEAN, m=args.m, seed=0)
+            idx = PqFlatIndex(DistanceMetric.EUCLIDEAN, m=args.m, seed=0,
+                              rotate=rotate)
+        family = tag
         t0 = time.perf_counter()
         idx.bulk_load_matrix(ids, data_np)
         t_add = time.perf_counter() - t0
