@@ -48,9 +48,38 @@ def bench_flat(n, d, k=10, q=1, iters=5):
     return min(times)
 
 
+def capture_trace(logdir: str, n=100_000, d=128, q=64, k=10):
+    """Capture a jax.profiler device trace of a few production searches
+    (utils/profiling.trace + the annotate() phases wired into
+    index/flat.py, index/ivf.py, index/pq.py and the HTTP handler show
+    up as named spans). View with TensorBoard/xprof pointed at
+    ``logdir``."""
+    from vectordb_tpu.utils.profiling import trace
+
+    rng = np.random.default_rng(0)
+    db = rng.standard_normal((n, d)).astype(np.float32)
+    idx = FlatIndex(DistanceMetric.EUCLIDEAN)
+    idx.add_batch([(i, db[i]) for i in range(n)])
+    queries = rng.standard_normal((q, d)).astype(np.float32)
+    idx.search_batch(queries, k)  # compile outside the trace
+    with trace(logdir):
+        for it in range(3):
+            idx.search_batch(queries + np.float32(it + 1), k)
+    print(f"device trace captured under {logdir}")
+
+
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--trace", default=None, metavar="DIR",
+                    help="capture a jax.profiler device trace of the "
+                         "100k x 128 search into DIR and exit")
+    args = ap.parse_args()
     dev = jax.devices()[0]
     print(f"device: {dev}")
+    if args.trace:
+        capture_trace(args.trace)
+        return
     print(f"{'n':>9} {'d':>5} {'Q':>4} {'k':>3} {'latency':>12} {'QPS':>12}")
     for n, d, q in [(100, 128, 1), (1_000, 128, 1), (10_000, 128, 1),
                     (100_000, 128, 1), (100_000, 128, 64),

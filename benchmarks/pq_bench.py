@@ -51,6 +51,10 @@ def main():
                     help="comma list of on|off — A/B the OPQ pre-rotation "
                          "(pq family only; ivfpq ignores it)")
     args = ap.parse_args()
+    for tok in args.opq.split(","):
+        if tok not in ("on", "off"):
+            # a typo ('On', 'true') must not silently run opq=off twice
+            ap.error(f"bad --opq value {tok!r}: expected on|off")
     n, d, q, k = 1 << args.logn, args.d, args.q, args.k
 
     enable_persistent_jit_cache()

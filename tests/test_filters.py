@@ -327,3 +327,115 @@ class TestExactFilteredHnswIvf:
         got = store.search_with_filter(Vector(data[0]), 5,
                                        MetadataFilter.eq("tag", "rare"))
         assert {r.id for r in got} == {f"v{i}" for i in rare}
+
+
+class TestKnobsComposeWithFilters:
+    """Round-3: per-request recall knobs (nprobe/refine/ef) compose with
+    metadata filters through the masked probed/scan index paths —
+    previously store/HTTP rejected the combination."""
+
+    def _ivf_store(self, rng, n=600, d=8):
+        from vectordb_tpu.index import IvfFlatIndex
+        idx = IvfFlatIndex(DistanceMetric.EUCLIDEAN, nlist=8, nprobe=2,
+                           seed=0, auto_train_min=10**9)
+        store = VectorStore.with_index(idx)
+        data = rng.standard_normal((n, d)).astype(np.float32)
+        for i in range(n):
+            store.insert_with_metadata(f"v{i}", Vector(data[i]),
+                                       meta(par=i % 2))
+        idx.train()
+        return store, idx, data
+
+    def test_nprobe_with_filter_exact_at_full_probe(self, rng):
+        store, idx, data = self._ivf_store(rng)
+        flt = MetadataFilter.eq("par", "0")
+        elig = [i for i in range(len(data)) if i % 2 == 0]
+        for qi in (3, 44, 101):
+            q = data[qi]
+            d2 = np.sum((data[elig] - q) ** 2, axis=1)
+            want = [f"v{elig[j]}" for j in np.argsort(d2)[:5]]
+            # nprobe=nlist probes everything: exact filtered results,
+            # overriding the index default (nprobe=2) per call
+            got = store.search_with_filter(Vector(q), 5, flt, nprobe=8)
+            assert [r.id for r in got] == want, qi
+
+    def test_nprobe_with_filter_eligible_only(self, rng):
+        store, idx, data = self._ivf_store(rng)
+        flt = MetadataFilter.eq("par", "1")
+        got = store.search_with_filter(Vector(data[10]), 7, flt, nprobe=1)
+        assert len(got) == 7
+        assert all(int(r.id[1:]) % 2 == 1 for r in got)
+        dd = [r.distance for r in got]
+        assert dd == sorted(dd)
+
+    def test_batch_nprobe_with_filter(self, rng):
+        store, idx, data = self._ivf_store(rng)
+        flt = MetadataFilter.eq("par", "0")
+        elig = [i for i in range(len(data)) if i % 2 == 0]
+        queries = [(Vector(data[3]), 4), (Vector(data[44]), 4)]
+        got = store.search_batch_with_filter(queries, flt, nprobe=8)
+        for (qv, k), rows in zip(queries, got):
+            q = np.asarray(qv.as_list(), np.float32)
+            d2 = np.sum((data[elig] - q) ** 2, axis=1)
+            want = [f"v{elig[j]}" for j in np.argsort(d2)[:k]]
+            assert [r.id for r in rows] == want
+
+    def test_refine_with_filter_on_pq(self, rng):
+        from vectordb_tpu.index import PqFlatIndex
+        idx = PqFlatIndex(DistanceMetric.EUCLIDEAN, m=4, ksub=16,
+                          refine=8, auto_train_min=10**9, seed=0)
+        store = VectorStore.with_index(idx)
+        data = rng.standard_normal((4096, 8)).astype(np.float32)
+        for i in range(len(data)):
+            store.insert_with_metadata(f"v{i}", Vector(data[i]),
+                                       meta(par=i % 2))
+        idx.train()
+        flt = MetadataFilter.eq("par", "0")
+        elig = [i for i in range(len(data)) if i % 2 == 0]
+        q = data[8]
+        d2 = np.sum((data[elig] - q) ** 2, axis=1)
+        want = {f"v{elig[j]}" for j in np.argsort(d2)[:5]}
+        # large refine pool: near-exact filtered results, knob honored
+        got = store.search_with_filter(Vector(q), 5, flt, refine=512)
+        assert all(int(r.id[1:]) % 2 == 0 for r in got)
+        assert len({r.id for r in got} & want) >= 4
+        # batch path
+        gotb = store.search_batch_with_filter([(Vector(q), 5)], flt,
+                                              refine=512)
+        assert [r.id for r in gotb[0]] == [r.id for r in got]
+
+    def test_ef_with_filter_on_hnsw(self, rng):
+        from vectordb_tpu.index.hnsw import HnswIndex, HnswParams
+        store = VectorStore(HnswIndex(DistanceMetric.EUCLIDEAN,
+                                      HnswParams(seed=7)))
+        data = rng.standard_normal((300, 8)).astype(np.float32)
+        for i in range(len(data)):
+            store.insert_with_metadata(f"v{i}", Vector(data[i]),
+                                       meta(par=i % 2))
+        flt = MetadataFilter.eq("par", "0")
+        got = store.search_with_filter(Vector(data[4]), 5, flt, ef=256)
+        assert got and all(int(r.id[1:]) % 2 == 0 for r in got)
+        assert got[0].id == "v4"
+
+    def test_knob_mismatch_with_filter_raises(self, rng):
+        from vectordb_tpu.errors import IndexOpError
+        store = VectorStore.with_flat_index(DistanceMetric.EUCLIDEAN)
+        store.insert_with_metadata("a", Vector([1.0, 2.0]), meta(x=1))
+        with pytest.raises(IndexOpError):
+            store.search_with_filter(Vector([1.0, 2.0]), 3,
+                                     MetadataFilter.eq("x", "1"), nprobe=2)
+        with pytest.raises(IndexOpError):
+            store.search(Vector([1.0, 2.0]), 3, refine=4,
+                         filter=MetadataFilter.eq("x", "1"))
+
+    def test_search_filter_kwarg_routes_to_filtered(self, rng):
+        store = VectorStore.with_flat_index(DistanceMetric.EUCLIDEAN)
+        data = rng.standard_normal((50, 4)).astype(np.float32)
+        for i in range(50):
+            store.insert_with_metadata(f"v{i}", Vector(data[i]),
+                                       meta(par=i % 2))
+        got = store.search(Vector(data[2]), 5,
+                           filter=MetadataFilter.eq("par", "0"))
+        want = store.search_with_filter(Vector(data[2]), 5,
+                                        MetadataFilter.eq("par", "0"))
+        assert [r.id for r in got] == [r.id for r in want]

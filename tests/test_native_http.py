@@ -325,10 +325,22 @@ def test_search_knobs_through_native_server():
         status, body = _req(srv, "POST", "/search",
                             {"vector": [7.0, 2.0], "nprobe": 2})
         assert status == 400 and "nprobe" in body["error"]
+        # ef COMPOSES with filter (round-3): tuned over-fetch + post-
+        # filter; no row carries metadata x -> 200 with an empty result
         status, body = _req(srv, "POST", "/search",
                             {"vector": [7.0, 2.0], "ef": 8,
                              "filter": {"op": "eq", "field": "x",
                                         "value": "1"}})
-        assert status == 400 and "filter" in body["error"]
+        assert status == 200 and body == []
+        # and with matching metadata the tuned filtered path serves hits
+        status, _ = _req(srv, "POST", "/vectors",
+                         {"id": "tagged", "vector": [7.0, 2.0],
+                          "metadata": {"x": "1"}})
+        assert status == 201
+        status, body = _req(srv, "POST", "/search",
+                            {"vector": [7.0, 2.0], "ef": 64,
+                             "filter": {"op": "eq", "field": "x",
+                                        "value": "1"}})
+        assert status == 200 and [h["id"] for h in body] == ["tagged"]
     finally:
         srv.shutdown()

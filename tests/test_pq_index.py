@@ -415,10 +415,12 @@ def test_http_refine_knob(rng):
     status, _ = api.handle("POST", "/search", {
         "vector": db[3].tolist(), "radius": 1.0, "refine": 64})
     assert status == 400
-    status, _ = api.handle("POST", "/search", {
+    # refine COMPOSES with filter (round-3): 200, filter honored exactly
+    # (no row carries metadata "x" -> empty result set)
+    status, body = api.handle("POST", "/search", {
         "vector": db[3].tolist(), "k": 3, "refine": 64,
         "filter": {"op": "exists", "field": "x"}})
-    assert status == 400
+    assert status == 200 and body == []
 
 
 def test_host_backing_memmap_rows(rng, tmp_path):

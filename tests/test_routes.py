@@ -322,15 +322,57 @@ class TestSearchKnobs:
             "POST", "/search", {"vector": [1.0, 2.0], "ef": 8, "nprobe": 2})
         assert status == 400
 
-    def test_knob_with_filter_400(self):
+    def test_ef_composes_with_filter(self):
+        """Knobs now COMPOSE with filters (round-3: the masked probed /
+        scan / tuned-over-fetch paths serve exact filtered+tuned
+        results instead of a 400)."""
         api = self._hnsw_api()
+        for i in range(30):
+            status, _ = api.handle("POST", "/vectors", {
+                "id": f"v{i}", "vector": [float(i), float(i % 3)],
+                "metadata": {"par": str(i % 2)}})
+            assert status == 201
+        status, payload = api.handle(
+            "POST", "/search",
+            {"vector": [4.0, 1.0], "k": 3, "ef": 200,
+             "filter": {"op": "eq", "field": "par", "value": "0"}})
+        assert status == 200
+        assert all(int(hit["id"][1:]) % 2 == 0 for hit in payload)
+        assert payload  # eligible rows exist
+
+    def test_nprobe_composes_with_filter_search_and_batch(self):
+        import numpy as np
+        api, items = self._ivf_api()
+        # tag even ids: re-insert with metadata
+        for i, item in enumerate(items):
+            status, _ = api.handle("POST", "/vectors", {
+                **item, "metadata": {"par": str(i % 2)}})
+            assert status == 201
+        flt = {"op": "eq", "field": "par", "value": "0"}
+        q = items[6]["vector"]
+        status, payload = api.handle(
+            "POST", "/search",
+            {"vector": q, "k": 3, "nprobe": 4, "filter": flt})
+        assert status == 200
+        assert payload[0]["id"] == "v6"
+        assert all(int(h["id"][1:]) % 2 == 0 for h in payload)
+        status, payload = api.handle(
+            "POST", "/search/batch",
+            {"queries": [{"vector": q, "k": 2}], "nprobe": 4,
+             "filter": flt})
+        assert status == 200
+        assert payload[0][0]["id"] == "v6"
+        assert all(int(h["id"][1:]) % 2 == 0 for h in payload[0])
+
+    def test_knob_index_mismatch_with_filter_still_400(self, api):
+        # a knob the index can't serve stays a 400 even when filtered
         insert(api, "a", [1.0, 2.0])
         status, payload = api.handle(
             "POST", "/search",
-            {"vector": [1.0, 2.0], "ef": 8,
+            {"vector": [1.0, 2.0], "nprobe": 2,
              "filter": {"op": "eq", "field": "x", "value": "1"}})
         assert status == 400
-        assert "filter" in payload["error"]
+        assert "nprobe" in payload["error"]
 
     def test_bad_knob_values_400(self):
         api = self._hnsw_api()

@@ -27,6 +27,7 @@ import numpy as np
 from ..distance import DistanceMetric, validate_cosine_operands
 from ..errors import DimensionMismatchError, InvalidVectorError
 from ..ops.topk import flat_search_batched_submit, next_pow2
+from ..utils.profiling import annotate
 from ..ops.update import (scatter_rows, scatter_rows_copy, scatter_values,
                           scatter_values_copy)
 from ..vector import Vector, as_f32_array
@@ -849,21 +850,25 @@ class FlatIndex(Index):
             if self._mesh is not None:
                 # the sharded path materializes synchronously; release the
                 # in-flight mark and hand back a ready handle
-                dists, idx = self._sharded_search(queries, dev, k_req)
+                with annotate("vdb/flat.sharded_search"):
+                    dists, idx = self._sharded_search(queries, dev, k_req)
                 out = _slots_to_ids(dists, idx, id_of_slot, k_req,
                                     queries.shape[0])
                 self._search_done()
                 return SearchBatchHandle.ready(out)
-            handle = flat_search_batched_submit(queries, dev, self._metric,
-                                                k_req, mode=self.search_mode)
+            with annotate("vdb/flat.submit"):
+                handle = flat_search_batched_submit(
+                    queries, dev, self._metric, k_req,
+                    mode=self.search_mode)
         except BaseException:
             self._search_done()
             raise
         nq = queries.shape[0]
 
         def _collect():
-            dists, idx = handle.collect()
-            return _slots_to_ids(dists, idx, id_of_slot, k_req, nq)
+            with annotate("vdb/flat.collect"):
+                dists, idx = handle.collect()
+                return _slots_to_ids(dists, idx, id_of_slot, k_req, nq)
 
         return SearchBatchHandle(_collect, on_done=self._search_done)
 

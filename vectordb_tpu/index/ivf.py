@@ -460,6 +460,7 @@ class IvfFlatIndex(FlatIndex):
         try:
             from ..ops.ivf import ivf_search
             from ..ops.topk import next_pow2
+            from ..utils.profiling import annotate
             q = queries.shape[0]
             q_pad = next_pow2(q, floor=1)
             qs = queries
@@ -467,7 +468,8 @@ class IvfFlatIndex(FlatIndex):
                 qs = np.concatenate(
                     [queries, np.zeros((q_pad - q, queries.shape[1]),
                                        np.float32)])
-            dists, idx = ivf_search(jnp.asarray(qs), dev["db"],
+            with annotate("vdb/ivf.probe"):
+                dists, idx = ivf_search(jnp.asarray(qs), dev["db"],
                                     dev["sq_norms"], dev["norms"],
                                     valid, cdev, self._metric,
                                     k_req, np_eff, t_c, s_t,

@@ -530,26 +530,30 @@ class _PqCodesCore:
             return self._masked_exact_host(queries, k_req, *exact_args)
         try:
             import jax
+
+            from ..utils.profiling import annotate
             q = queries.shape[0]
             svs, sls = [], []
-            for a in range(0, q, max_q):
-                qb = queries[a:a + max_q]
-                q_pad = next_pow2(len(qb), floor=1)
-                if q_pad != len(qb):
-                    qb = np.concatenate(
-                        [qb, np.zeros((q_pad - len(qb), qb.shape[1]),
-                                      np.float32)])
-                sv, sl = self._scan_call(state, jnp.asarray(qb), r)
-                got = min(max_q, q - a)
-                svs.append(np.asarray(jax.device_get(sv))[:got])
-                sls.append(np.asarray(jax.device_get(sl))[:got])
+            with annotate("vdb/pq.scan"):
+                for a in range(0, q, max_q):
+                    qb = queries[a:a + max_q]
+                    q_pad = next_pow2(len(qb), floor=1)
+                    if q_pad != len(qb):
+                        qb = np.concatenate(
+                            [qb, np.zeros((q_pad - len(qb), qb.shape[1]),
+                                          np.float32)])
+                    sv, sl = self._scan_call(state, jnp.asarray(qb), r)
+                    got = min(max_q, q - a)
+                    svs.append(np.asarray(jax.device_get(sv))[:got])
+                    sls.append(np.asarray(jax.device_get(sl))[:got])
         finally:
             with self._lock:
                 self._searches_in_flight -= 1
         scan_scores = np.concatenate(svs)
         slots = np.concatenate(sls).astype(np.int64)
-        res = self._rerank(queries, scan_scores, slots, k_req, tick0,
-                           lv0, slot_mask=mk)
+        with annotate("vdb/pq.rerank"):
+            res = self._rerank(queries, scan_scores, slots, k_req, tick0,
+                               lv0, slot_mask=mk)
         if res is not None and mk is not None:
             res = self._fill_masked_short(res, queries, k_req, mk, lv0)
         if res is not None:

@@ -223,13 +223,6 @@ class NativeHttpServer:
                     k = 10 if raw_k is None else int(raw_k)
                     flt = _parse_filter(parsed.get("filter"))
                     ef, nprobe, refine = _parse_knobs(parsed)
-                    if flt is not None and (ef is not None
-                                            or nprobe is not None
-                                            or refine is not None):
-                        self._respond(conn_id, 400, {
-                            "error": "'ef'/'nprobe'/'refine' cannot be "
-                                     "combined with 'filter'"})
-                        continue
             except Exception as e:
                 self._respond(conn_id, 400, {"error": str(e)})
                 continue
@@ -237,7 +230,10 @@ class NativeHttpServer:
                 groups.setdefault((k, ef, nprobe, refine), []).append(
                     (conn_id, query))
             else:
-                singles.append((conn_id, query, k, flt))
+                # filtered (optionally knobbed) searches: synchronous
+                # masked path during submit (rare on the hot path)
+                singles.append((conn_id, query, k, flt,
+                                ef, nprobe, refine))
 
         completions = []
         for (k, ef, nprobe, refine), members in groups.items():
@@ -254,11 +250,12 @@ class NativeHttpServer:
                 lambda h=handle, m=members, s=start: self._complete_group(
                     h, m, s))
 
-        for conn_id, query, k, flt in singles:
+        for conn_id, query, k, flt, ef, nprobe, refine in singles:
             start = time.perf_counter()
             try:
                 with state.lock.read():
-                    results = state.store.search_with_filter(query, k, flt)
+                    results = state.store.search_with_filter(
+                        query, k, flt, ef=ef, nprobe=nprobe, refine=refine)
             except Exception as e:
                 status = 400 if isinstance(e, (VectorDbError, ValueError,
                                                KeyError, TypeError)) else 500

@@ -32,6 +32,7 @@ from typing import Any, Optional, Tuple
 from ..errors import VectorDbError, VectorNotFoundError
 from ..metadata import Metadata, MetadataFilter
 from ..store import BatchInsertItem
+from ..utils.profiling import annotate
 from ..vector import Vector
 
 Json = Any
@@ -191,24 +192,21 @@ class Api:
             return 200, [{"id": r.id, "distance": r.distance}
                          for r in results]
         start = time.perf_counter()
-        if knobbed:
-            if flt is not None:
-                return _bad_request(
-                    "'ef'/'nprobe'/'refine' cannot be combined with "
-                    "'filter'")
-            with self.state.lock.read():
-                results = self.state.store.search(query, k, ef=ef,
-                                                  nprobe=nprobe,
-                                                  refine=refine)
-        elif self.batcher is not None:
-            results = self.batcher.search(query, k, flt)
-        else:
-            with self.state.lock.read():
-                if flt is not None:
-                    results = self.state.store.search_with_filter(query, k,
-                                                                  flt)
-                else:
-                    results = self.state.store.search(query, k)
+        with annotate("vdb/http.search"):
+            if knobbed:
+                with self.state.lock.read():
+                    results = self.state.store.search(
+                        query, k, ef=ef, nprobe=nprobe, refine=refine,
+                        filter=flt)
+            elif self.batcher is not None:
+                results = self.batcher.search(query, k, flt)
+            else:
+                with self.state.lock.read():
+                    if flt is not None:
+                        results = self.state.store.search_with_filter(
+                            query, k, flt)
+                    else:
+                        results = self.state.store.search(query, k)
         self.state.metrics.record_query(time.perf_counter() - start)
         return 200, [{"id": r.id, "distance": r.distance} for r in results]
 
@@ -247,15 +245,13 @@ class Api:
                             10 if raw_k is None else int(raw_k)))
         flt = _parse_filter(body.get("filter"))
         ef, nprobe, refine = _parse_knobs(body)
-        if flt is not None and (ef is not None or nprobe is not None
-                                or refine is not None):
-            return _bad_request(
-                "'ef'/'nprobe'/'refine' cannot be combined with 'filter'")
         start = time.perf_counter()
         with self.state.lock.read():
             if flt is not None:
+                # knobs compose with the filter through the masked
+                # probed/scan index paths (store.search_batch_with_filter)
                 all_results = self.state.store.search_batch_with_filter(
-                    queries, flt)
+                    queries, flt, ef=ef, nprobe=nprobe, refine=refine)
             else:
                 all_results = self.state.store.search_batch(
                     queries, ef=ef, nprobe=nprobe, refine=refine)

@@ -331,12 +331,19 @@ class VectorStore:
 
     def search(self, query: Vector, k: int, *, ef: Optional[int] = None,
                nprobe: Optional[int] = None,
-               refine: Optional[int] = None) -> List[SearchResult]:
+               refine: Optional[int] = None,
+               filter: Optional[MetadataFilter] = None
+               ) -> List[SearchResult]:
         """``ef``/``nprobe``/``refine`` are per-request recall knobs for
         HNSW/IVF/PQ indexes (reference exposes ef only at the library
         level, src/hnsw/mod.rs:45-53; here they reach the HTTP/CLI
         surfaces). Requesting a knob the index doesn't support raises
-        IndexOpError."""
+        IndexOpError. Knobs COMPOSE with ``filter``: the tuned search
+        runs through the index's masked path (exact filtered results),
+        so a filtered query on an ANN index stays tunable."""
+        if filter is not None:
+            return self.search_with_filter(query, k, filter, ef=ef,
+                                           nprobe=nprobe, refine=refine)
         if self.is_empty():
             return []
         self._check_query_dim(query)
@@ -390,23 +397,48 @@ class VectorStore:
         return fn(query, k, value)
 
     def search_with_filter(self, query: Vector, k: int,
-                           filter: MetadataFilter) -> List[SearchResult]:
+                           filter: MetadataFilter, *,
+                           ef: Optional[int] = None,
+                           nprobe: Optional[int] = None,
+                           refine: Optional[int] = None
+                           ) -> List[SearchResult]:
+        """Exact filtered search, optionally tuned by one recall knob.
+        ``nprobe``/``refine`` ride the index's masked probed/scan paths
+        (index/ivf.py:397-495, index/pq.py:454-566), so a filtered query
+        on an ANN index is tunable with exact results; ``ef`` takes the
+        over-fetch fallback through the tuned HNSW traversal (HNSW has
+        no masked traversal)."""
         if self.is_empty():
             return []
         self._check_query_dim(query)
+        knob = None
+        if ef is not None or nprobe is not None or refine is not None:
+            # validates the knob set against THIS index up front (the
+            # same IndexOpError surface as the unfiltered tuned path)
+            knob = self._tuned_knob(ef, nprobe, refine)
         # mask compilation races concurrent slot repacks (IVF train): the
         # index re-checks the layout version under its lock and raises
         # StaleSlotMaskError, and we recompile against the new layout.
-        for _ in range(_MASK_RETRIES):
+        # ef skips the masked loop: HNSW has no masked traversal.
+        for _ in range(_MASK_RETRIES if (knob is None or knob[0] != "ef")
+                       else 0):
             self._ensure_columnar_current()
             mask = self._columnar.compile_mask(filter) \
                 if self._columnar.capacity else None
             if mask is None:
                 break
             try:
-                masked = self._index.search_masked(
-                    query, k, mask,
-                    mask_layout_version=self._columnar_layout)
+                if knob is None:
+                    masked = self._index.search_masked(
+                        query, k, mask,
+                        mask_layout_version=self._columnar_layout)
+                else:
+                    raw = self._index.search_batch(
+                        as_f32_array(query).reshape(1, -1), k,
+                        slot_mask=mask,
+                        mask_layout_version=self._columnar_layout,
+                        **{knob[0]: knob[1]})
+                    masked = raw[0]
             except StaleSlotMaskError:
                 continue
             if masked is not None:
@@ -414,9 +446,13 @@ class VectorStore:
             break
         # fallback: reference-style 3x over-fetch + post-filter (also the
         # terminal path if repacks keep winning the race — it reads the
-        # internal-id-keyed metadata dict, which is layout-independent)
+        # internal-id-keyed metadata dict, which is layout-independent);
+        # with a knob the over-fetch itself runs the tuned search
         fetch_k = min(max(k * 3, k), len(self))
-        raw = self._index.search(query, fetch_k)
+        if knob is not None:
+            raw = knob[2](query, fetch_k, knob[1])
+        else:
+            raw = self._index.search(query, fetch_k)
         out: List[SearchResult] = []
         for internal_id, dist in raw:
             if len(out) == k:
@@ -533,15 +569,25 @@ class VectorStore:
         return StoreSearchHandle(_collect, release=_release)
 
     def search_batch_with_filter(self, queries: Sequence[Tuple[Vector, int]],
-                                 filter: MetadataFilter
+                                 filter: MetadataFilter, *,
+                                 ef: Optional[int] = None,
+                                 nprobe: Optional[int] = None,
+                                 refine: Optional[int] = None
                                  ) -> List[List[SearchResult]]:
+        """Batched exact filtered search; ``nprobe``/``refine`` compose
+        through the masked batched index paths, ``ef`` through the
+        per-query tuned over-fetch (see search_with_filter)."""
         if not queries:
             return []
         if self.is_empty():
             return [[] for _ in queries]
         for q, _ in queries:
             self._check_query_dim(q)
-        for _ in range(_MASK_RETRIES):
+        knob = None
+        if ef is not None or nprobe is not None or refine is not None:
+            knob = self._tuned_knob(ef, nprobe, refine)
+        for _ in range(_MASK_RETRIES if (knob is None or knob[0] != "ef")
+                       else 0):
             self._ensure_columnar_current()
             mask = self._columnar.compile_mask(filter) \
                 if self._columnar.capacity else None
@@ -550,15 +596,18 @@ class VectorStore:
             ks = [int(k) for _, k in queries]
             kmax = max(ks)
             qmat = np.stack([as_f32_array(q) for q, _ in queries])
+            kwargs = {} if knob is None else {knob[0]: knob[1]}
             try:
                 raw_batches = self._index.search_batch(
                     qmat, kmax, slot_mask=mask,
-                    mask_layout_version=self._columnar_layout)
+                    mask_layout_version=self._columnar_layout, **kwargs)
             except StaleSlotMaskError:
                 continue
             return [self._map_results(raw[:k])
                     for raw, k in zip(raw_batches, ks)]
-        return [self.search_with_filter(q, k, filter) for q, k in queries]
+        return [self.search_with_filter(q, k, filter, ef=ef, nprobe=nprobe,
+                                        refine=refine)
+                for q, k in queries]
 
     # -- misc ---------------------------------------------------------------
 
