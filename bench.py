@@ -66,8 +66,13 @@ def tpu_flat_search_qps(n, d, q, k, iters=6):
         b.block_until_ready()
         staged.append(b)
 
-    def measure(mode):
-        """Synchronous per-batch latency (one batch in flight)."""
+    spread: dict = {}
+
+    def measure(mode, record=None):
+        """Synchronous per-batch latency (one batch in flight). With
+        ``record``, the per-iteration times land in the JSON artifact so
+        the relay's weather band is machine-checked, not prose
+        (round-2 verdict item 9)."""
         fn = lambda x: flat_search_batched(x, state, DistanceMetric.EUCLIDEAN,
                                            k, mode=mode)
         fn(qbase)  # compile + warm (returns host numpy already)
@@ -76,6 +81,14 @@ def tpu_flat_search_qps(n, d, q, k, iters=6):
             start = time.perf_counter()
             fn(staged[i])
             times.append(time.perf_counter() - start)
+        if record is not None:
+            spread[record] = {
+                "iters": len(times),
+                "min_ms": round(min(times) * 1e3, 2),
+                "median_ms": round(sorted(times)[len(times) // 2] * 1e3,
+                                   2),
+                "max_ms": round(max(times) * 1e3, 2),
+            }
         return min(times)
 
     def measure_pipelined(mode, depth=2, batches=8):
@@ -99,7 +112,7 @@ def tpu_flat_search_qps(n, d, q, k, iters=6):
             h.collect()
         return (time.perf_counter() - start) / batches
 
-    lat_exact = measure("exact")
+    lat_exact = measure("exact", record="exact_sync")
     per_batch = min(lat_exact, measure_pipelined("exact"),
                     measure_pipelined("exact", depth=3))
     qps = q / per_batch
@@ -122,6 +135,90 @@ def tpu_flat_search_qps(n, d, q, k, iters=6):
                            measure_pipelined("fast", depth=3))
     except Exception as e:
         print(f"fast-mode measurement skipped: {e}", file=sys.stderr)
+
+    # -- measured scan-alone + small-Q rows (round-2 verdict item 5:
+    # the bandwidth/MXU north-star claims live in the driver artifact,
+    # not just exp_roofline prose) ------------------------------------
+    from vectordb_tpu.ops import coarse_kernel as ck
+
+    @jax.jit
+    def scan_only(qs):
+        """The bf16 minima kernel alone (coarse stage of the 1-pass
+        pipeline): one MXU pass over the hi mirror + tile/super minima
+        writes. Tiny outputs keep the measurement clean; the pallas call
+        itself materializes both minima arrays."""
+        qThi = qs.T.astype(jnp.bfloat16)
+        qsq = jnp.sum(qs * qs, axis=1)
+        inv_col = (1.0 - state["valid"].astype(jnp.float32)).reshape(1, n)
+        tile_tq, sup_tq = ck._minima_1p_sup(
+            qThi, qsq[None, :], state["hi"],
+            state["sq_norms"].reshape(1, n), inv_col, "euclidean", False,
+            "mirrors")
+        return tile_tq[0, :].sum() + sup_tq[0, :].sum()
+
+    scan_block = None
+    try:
+        jax.device_get(scan_only(staged[0]))      # compile + warm
+        times = []
+        for i in range(iters):
+            t0 = time.perf_counter()
+            jax.device_get(scan_only(staged[i]))
+            times.append(time.perf_counter() - t0)
+        t_scan = min(times)
+        qb_ = ck._query_block(q, d, ck._tile_cols(d))
+        passes = -(-q // qb_)
+        scan_flops = 2.0 * q * n * d
+        scan_bytes = (n * d * 2 * passes
+                      + q * (n // ck.SUB) * 4
+                      + q * (n // (ck.SUB * ck.SUPER)) * 4)
+        scan_block = {
+            "per_batch_ms": round(t_scan * 1e3, 2),
+            "mxu_pct_of_peak": round(scan_flops / t_scan / 197e12 * 100,
+                                     1),
+            "achieved_gb_s": round(scan_bytes / t_scan / 1e9, 1),
+            "note": "bf16 minima kernel alone (coarse stage), Q=%d" % q,
+        }
+    except Exception as e:
+        print(f"scan-alone measurement skipped: {e}", file=sys.stderr)
+
+    smallq_block = None
+    try:
+        q_small = 128
+        staged_s = []
+        for i in range(16):
+            b = qbase[:q_small] + np.float32(i + 1)
+            b.block_until_ready()
+            staged_s.append(b)
+        fn_s = lambda x: flat_search_batched_submit(
+            x, state, DistanceMetric.EUCLIDEAN, k, mode="exact")
+        fn_s(staged_s[0]).collect()               # compile + warm
+        # depth-3 pipelined: overlaps the fixed ~25 ms relay dispatch so
+        # the figure reflects device streaming, not the host link
+        inflight = []
+        t0 = time.perf_counter()
+        for i in range(16):
+            inflight.append(fn_s(staged_s[i]))
+            if len(inflight) >= 3:
+                inflight.pop(0).collect()
+        for h in inflight:
+            h.collect()
+        t_small = (time.perf_counter() - t0) / 16
+        # small-Q is the bandwidth-bound regime: one bf16 stream of the
+        # db per batch dominates every other term
+        sq_bytes = n * d * 2
+        smallq_block = {
+            "q": q_small,
+            "per_batch_ms": round(t_small * 1e3, 2),
+            "qps": round(q_small / t_small, 1),
+            "bf16_stream_gb": round(sq_bytes / 1e9, 2),
+            "achieved_gb_s": round(sq_bytes / t_small / 1e9, 1),
+            "hbm_pct_of_peak": round(sq_bytes / t_small / 819e9 * 100, 1),
+            "note": ("depth-3 pipelined; counts ONLY the db bf16 stream, "
+                     "so it UNDERSTATES the physical rate (minima writes "
+                     "+ refine excluded)"),
+        }
+    except Exception as e:
+        print(f"small-Q measurement skipped: {e}", file=sys.stderr)
 
     # -- roofline accounting for the exact 1-pass certified path --------
     # (stage decomposition measured in benchmarks/exp_roofline.py; these
@@ -154,13 +251,13 @@ def tpu_flat_search_qps(n, d, q, k, iters=6):
         "fixed_dispatch_ms": round(dispatch_s * 1e3, 2),
         "fixed_dispatch_pct_of_sync_batch": round(
             dispatch_s / lat_exact * 100, 1),
-        "note": ("coarse bf16 scan alone measures 85% MXU "
-                 "(benchmarks/exp_roofline.py); the f32-equivalent "
-                 "scan_bandwidth_GBps divides the f32 db size by the "
-                 "full pipeline latency, so it understates the physical "
-                 "stream rate by the bf16 factor and the refine/selection "
-                 "share"),
+        "note": ("full-pipeline figures; scan_alone carries the "
+                 "measured coarse-stage MXU%, small_q the "
+                 "bandwidth-bound regime"),
     }
+    roofline["scan_alone"] = scan_block
+    roofline["small_q"] = smallq_block
+    roofline["spread"] = spread
     return qps, scan_gbps, lat_exact, fast_qps, roofline
 
 

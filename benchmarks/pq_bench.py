@@ -49,7 +49,7 @@ def main():
                          "ground truth for a direct A/B")
     ap.add_argument("--opq", type=str, default="on",
                     help="comma list of on|off — A/B the OPQ pre-rotation "
-                         "(pq family only; ivfpq ignores it)")
+                         "(pq: raw-row space; ivfpq: residual space)")
     args = ap.parse_args()
     for tok in args.opq.split(","):
         if tok not in ("on", "off"):
@@ -105,17 +105,15 @@ def main():
     ids = np.arange(n, dtype=np.int64)
     variants = []
     for family in args.family.split(","):
-        if family == "ivfpq":
-            variants.append((family, True))
-        else:
-            variants.extend((family, o == "on")
-                            for o in args.opq.split(","))
+        # both families A/B the OPQ rotation (ivfpq fits it on the
+        # RESIDUAL sample and rotates the whole scan space)
+        variants.extend((family, o == "on") for o in args.opq.split(","))
     for family, rotate in variants:
-        tag = family if family == "ivfpq" else (
-            f"{family}/opq={'on' if rotate else 'off'}")
+        tag = f"{family}/opq={'on' if rotate else 'off'}"
         if family == "ivfpq":
             from vectordb_tpu.index import IvfPqIndex
-            idx = IvfPqIndex(DistanceMetric.EUCLIDEAN, m=args.m, seed=0)
+            idx = IvfPqIndex(DistanceMetric.EUCLIDEAN, m=args.m, seed=0,
+                             rotate=rotate)
         else:
             idx = PqFlatIndex(DistanceMetric.EUCLIDEAN, m=args.m, seed=0,
                               rotate=rotate)

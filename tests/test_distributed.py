@@ -414,3 +414,302 @@ class TestShardedStoreCoarse:
         for qi in range(q):
             want = np.argsort(oracle[qi], kind="stable")[:k]
             assert [r[0] for r in results[qi]] == [int(w) for w in want]
+
+
+class TestShardedInt8:
+    """int8 storage composed with the mesh (round-3: the capacity lane
+    and the multi-chip lane finally compose — 8 x 16M = 128M rows of
+    768-d on a v5e-8). Exactness contract: certified-exact over the
+    STORED pow2-quantized values, per shard, with the distributed merge."""
+
+    @pytest.fixture(autouse=True)
+    def _interpret(self, monkeypatch):
+        monkeypatch.setenv("VDB_TPU_PALLAS_INTERPRET", "1")
+
+    @staticmethod
+    def _stored(db):
+        from vectordb_tpu.index.flat import _quantize_int8
+        return _quantize_int8(db)
+
+    def test_distributed_int8_storage_matches_oracle(self, mesh8, rng):
+        n, d, q, k = 2000, 16, 6, 10
+        db = rng.standard_normal((n, d)).astype(np.float32)
+        queries = rng.standard_normal((q, d)).astype(np.float32)
+        idx = DistributedFlatIndex(mesh8, DistanceMetric.EUCLIDEAN,
+                                   storage="int8")
+        idx.load(db)
+        assert idx._device[0].dtype == jnp.int8
+        assert idx._scales is not None
+        stored = self._stored(db)
+        results = idx.search_batch(queries, k)
+        oracle = pairwise_distances(np, queries, stored,
+                                    DistanceMetric.EUCLIDEAN)
+        for qi in range(q):
+            want = np.argsort(oracle[qi], kind="stable")[:k]
+            assert [r[0] for r in results[qi]] == [int(w) for w in want]
+            np.testing.assert_allclose(
+                [r[1] for r in results[qi]],
+                np.sort(oracle[qi], kind="stable")[:k], rtol=1e-5,
+                atol=1e-5)
+
+    def test_distributed_int8_xla_fallback_exact(self, mesh8, rng):
+        n, d, q, k = 2048, 16, 4, 5
+        db = rng.standard_normal((n, d)).astype(np.float32)
+        queries = rng.standard_normal((q, d)).astype(np.float32)
+        idx = DistributedFlatIndex(mesh8, DistanceMetric.EUCLIDEAN,
+                                   storage="int8")
+        idx.load(db)
+        idx._elo_max = jnp.float32(1e9)   # nothing certifies -> XLA scan
+        stored = self._stored(db)
+        results = idx.search_batch(queries, k)
+        oracle = pairwise_distances(np, queries, stored,
+                                    DistanceMetric.EUCLIDEAN)
+        for qi in range(q):
+            want = np.argsort(oracle[qi], kind="stable")[:k]
+            assert [r[0] for r in results[qi]] == [int(w) for w in want]
+
+    @pytest.mark.parametrize("metric", list(DistanceMetric))
+    def test_store_sharded_int8_exact_over_stored(self, mesh8, metric,
+                                                  rng, monkeypatch):
+        from vectordb_tpu import VectorStore
+        from vectordb_tpu.index.flat import FlatIndex
+        from vectordb_tpu.parallel import distributed as dist_mod
+
+        calls = []
+        real = dist_mod.make_sharded_search_coarse
+
+        def spy(*a, **kw):
+            calls.append(kw.get("src", "f32"))
+            return real(*a, **kw)
+
+        monkeypatch.setattr(dist_mod, "make_sharded_search_coarse", spy)
+        n, d, k = 400, 16, 5
+        data = rng.standard_normal((n, d)).astype(np.float32) + 1.0
+        store = VectorStore.with_sharded_flat_index(
+            metric, mesh8, storage="int8")
+        assert isinstance(store.index, FlatIndex)
+        for i in range(n):
+            store.insert(f"v{i}", Vector(data[i]))
+        dev = store.index._sync_device()
+        assert dev["db"].dtype == jnp.int8
+        assert bool(dev.get("int8_storage"))
+        stored = self._stored(data)
+        q = rng.standard_normal((3, d)).astype(np.float32) + 1.0
+        res = store.search_batch([(Vector(q[i]), k) for i in range(3)])
+        assert "int8" in calls, calls
+        oracle = pairwise_distances(np, q, stored, metric)
+        for qi in range(3):
+            want = [f"v{int(w)}"
+                    for w in np.argsort(oracle[qi], kind="stable")[:k]]
+            assert [h.id for h in res[qi]] == want
+            np.testing.assert_allclose(
+                [h.distance for h in res[qi]],
+                np.sort(oracle[qi], kind="stable")[:k], rtol=1e-4,
+                atol=1e-4)
+
+    def test_store_sharded_int8_crud_resync(self, mesh8, rng):
+        """Mutations after the first sync re-put codes+scales wholesale;
+        deletes never resurface; upserts see the fresh values."""
+        from vectordb_tpu import VectorStore
+
+        n, d, k = 300, 16, 5
+        data = rng.standard_normal((n, d)).astype(np.float32)
+        store = VectorStore.with_sharded_flat_index(
+            DistanceMetric.EUCLIDEAN, mesh8, storage="int8")
+        for i in range(n):
+            store.insert(f"v{i}", Vector(data[i]))
+        store.search_batch([(Vector(data[0]), k)])   # first sync
+        store.delete("v1")
+        new5 = data[5] + 2.5
+        store.insert("v5", Vector(new5))             # upsert
+        stored = self._stored(np.concatenate(
+            [data[:1], data[2:5], data[6:], self._stored(new5)[None]]))
+        ids = (["v0"] + [f"v{i}" for i in range(2, 5)]
+               + [f"v{i}" for i in range(6, n)] + ["v5"])
+        q = rng.standard_normal((2, d)).astype(np.float32)
+        res = store.search_batch([(Vector(q[i]), k) for i in range(2)])
+        oracle = pairwise_distances(np, q, stored,
+                                    DistanceMetric.EUCLIDEAN)
+        for qi in range(2):
+            want = [ids[int(w)]
+                    for w in np.argsort(oracle[qi], kind="stable")[:k]]
+            assert [h.id for h in res[qi]] == want
+            assert all(h.id != "v1" for h in res[qi])
+
+    def test_sharded_int8_filtered_search_exact(self, mesh8, rng):
+        """Filters compose with int8 x mesh: the mask ANDs into the
+        sharded validity and the masked distributed merge stays exact
+        over stored values."""
+        from vectordb_tpu import Metadata, MetadataFilter, VectorStore
+
+        n, d, k = 256, 16, 4
+        data = rng.standard_normal((n, d)).astype(np.float32)
+        store = VectorStore.with_sharded_flat_index(
+            DistanceMetric.EUCLIDEAN, mesh8, storage="int8")
+        for i in range(n):
+            store.insert_with_metadata(
+                f"v{i}", Vector(data[i]),
+                Metadata({"par": str(i % 2)}))
+        stored = self._stored(data)
+        elig = np.arange(0, n, 2)
+        flt = MetadataFilter.eq("par", "0")
+        q = data[10] + 0.01
+        d2 = np.sum((stored[elig] - q) ** 2, axis=1)
+        want = [f"v{elig[j]}" for j in np.argsort(d2, kind="stable")[:k]]
+        got = store.search_with_filter(Vector(q), k, flt)
+        assert [r.id for r in got] == want
+
+
+class TestShardedPq:
+    """PQ codes composed with the mesh (round-3): codes sharded over the
+    row axis, per-shard decode-in-VMEM scan, exact merged top-r, exact
+    host re-rank. v5e-8 capacity: 8x the one-chip PQ ceiling."""
+
+    def _store(self, rng, n=4000, d=16, refine=512, rotate=False,
+               mesh=None):
+        from vectordb_tpu import VectorStore
+        from vectordb_tpu.index import PqFlatIndex
+        idx = PqFlatIndex(DistanceMetric.EUCLIDEAN, m=4, ksub=16,
+                          refine=refine, auto_train_min=10 ** 9, seed=0,
+                          rotate=rotate, mesh=mesh)
+        store = VectorStore.with_index(idx)
+        data = rng.standard_normal((n, d)).astype(np.float32)
+        for i in range(n):
+            store.insert(f"v{i}", Vector(data[i]))
+        return store, idx, data
+
+    def test_sharded_pq_scan_engages_and_exact_at_full_pool(self, mesh8,
+                                                            rng,
+                                                            monkeypatch):
+        from vectordb_tpu.parallel import distributed as dist_mod
+        calls = []
+        real = dist_mod.make_sharded_pq_scan
+
+        def spy(*a, **kw):
+            calls.append(True)
+            return real(*a, **kw)
+
+        monkeypatch.setattr(dist_mod, "make_sharded_pq_scan", spy)
+        store, idx, data = self._store(rng, n=500, mesh=mesh8)
+        idx.train()
+        q = rng.standard_normal((5, 16)).astype(np.float32)
+        res = store.search_batch([(Vector(q[i]), 10) for i in range(5)])
+        assert calls, "sharded PQ scan must engage"
+        # refine=512 >= live rows: the merged pool covers every live row
+        # regardless of shard placement -> the exact host re-rank sees
+        # the full candidate set -> exact results
+        oracle = pairwise_distances(np, q, data[:500],
+                                    DistanceMetric.EUCLIDEAN)
+        for qi in range(5):
+            want = [f"v{int(w)}"
+                    for w in np.argsort(oracle[qi], kind="stable")[:10]]
+            assert [h.id for h in res[qi]] == want
+            np.testing.assert_allclose(
+                [h.distance for h in res[qi]],
+                np.sort(oracle[qi], kind="stable")[:10], rtol=1e-6)
+
+    def test_sharded_pq_large_recall_and_exact_distances(self, mesh8,
+                                                         rng):
+        """At n >> r the pool is approximate (recall governed by refine,
+        like single-chip PQ) but every RETURNED distance is the exact
+        f32 value over the true stored row."""
+        store, idx, data = self._store(rng, n=4000, refine=512,
+                                       mesh=mesh8)
+        idx.train()
+        q = rng.standard_normal((6, 16)).astype(np.float32)
+        res = store.search_batch([(Vector(q[i]), 10) for i in range(6)])
+        oracle = pairwise_distances(np, q, data, DistanceMetric.EUCLIDEAN)
+        hits = 0
+        for qi in range(6):
+            want = {f"v{int(w)}"
+                    for w in np.argsort(oracle[qi], kind="stable")[:10]}
+            got = {h.id for h in res[qi]}
+            hits += len(got & want)
+            for h in res[qi]:   # distances exact for whatever returned
+                np.testing.assert_allclose(
+                    h.distance, oracle[qi][int(h.id[1:])], rtol=1e-6)
+        assert hits >= 48  # >= 0.8 average recall@10 over 6 queries
+
+    def test_sharded_pq_matches_single_chip_pool(self, mesh8, rng):
+        """Same data, same seed: the sharded scan's candidate pool union
+        must serve results at least as good as the single-chip scan at
+        equal refine (here: both exact at covering refine)."""
+        store_s, idx_s, data = self._store(rng, refine=256, mesh=mesh8)
+        idx_s.train()
+        rng2 = np.random.default_rng(42)
+        store_1, idx_1, _ = self._store(rng2, refine=256)
+        idx_1.train()
+        q = rng.standard_normal((4, 16)).astype(np.float32)
+        res_s = store_s.search_batch([(Vector(q[i]), 5) for i in range(4)])
+        res_1 = store_1.search_batch([(Vector(q[i]), 5) for i in range(4)])
+        oracle = pairwise_distances(np, q, data, DistanceMetric.EUCLIDEAN)
+        for qi in range(4):
+            want = {f"v{int(w)}"
+                    for w in np.argsort(oracle[qi], kind="stable")[:5]}
+            hit_s = len({h.id for h in res_s[qi]} & want)
+            hit_1 = len({h.id for h in res_1[qi]} & want)
+            assert hit_s >= hit_1 - 1  # sharded pool is never much worse
+
+    def test_sharded_pq_with_rotation(self, mesh8, rng):
+        store, idx, data = self._store(rng, n=500, rotate=True,
+                                       mesh=mesh8)
+        idx.train()
+        assert idx._rot is not None
+        q = rng.standard_normal((3, 16)).astype(np.float32)
+        res = store.search_batch([(Vector(q[i]), 10) for i in range(3)])
+        oracle = pairwise_distances(np, q, data[:500],
+                                    DistanceMetric.EUCLIDEAN)
+        for qi in range(3):
+            want = [f"v{int(w)}"
+                    for w in np.argsort(oracle[qi], kind="stable")[:10]]
+            assert [h.id for h in res[qi]] == want
+
+    def test_sharded_pq_filter_composes(self, mesh8, rng):
+        from vectordb_tpu import Metadata, MetadataFilter, VectorStore
+        from vectordb_tpu.index import PqFlatIndex
+        idx = PqFlatIndex(DistanceMetric.EUCLIDEAN, m=4, ksub=16,
+                          refine=512, auto_train_min=10 ** 9, seed=0,
+                          rotate=False, mesh=mesh8)
+        store = VectorStore.with_index(idx)
+        n, d = 4000, 16
+        data = rng.standard_normal((n, d)).astype(np.float32)
+        for i in range(n):
+            store.insert_with_metadata(f"v{i}", Vector(data[i]),
+                                       Metadata({"par": str(i % 2)}))
+        idx.train()
+        flt = MetadataFilter.eq("par", "0")
+        elig = np.arange(0, n, 2)
+        q = data[12] + 0.01
+        d2 = np.sum((data[elig] - q) ** 2, axis=1)
+        want = [f"v{elig[j]}" for j in np.argsort(d2, kind="stable")[:5]]
+        got = store.search_with_filter(Vector(q), 5, flt)
+        assert [r.id for r in got] == want
+        # refine knob composes on the sharded masked path too
+        got2 = store.search_with_filter(Vector(q), 5, flt, refine=512)
+        assert [r.id for r in got2] == want
+
+    def test_sharded_pq_untrained_falls_back_sharded_exact(self, mesh8,
+                                                           rng,
+                                                           monkeypatch):
+        monkeypatch.setenv("VDB_TPU_PALLAS_INTERPRET", "1")
+        store, idx, data = self._store(rng, n=1500, mesh=mesh8)
+        assert not idx.is_trained
+        q = data[7] + 0.001
+        res = store.search_batch([(Vector(q), 5)])
+        oracle = pairwise_distances(np, q[None], data,
+                                    DistanceMetric.EUCLIDEAN)
+        want = [f"v{int(w)}"
+                for w in np.argsort(oracle[0], kind="stable")[:5]]
+        assert [h.id for h in res[0]] == want
+
+    def test_sharded_pq_mutation_resync(self, mesh8, rng):
+        store, idx, data = self._store(rng, n=3000, mesh=mesh8)
+        idx.train()
+        store.search_batch([(Vector(data[0]), 5)])   # first sharded sync
+        store.delete("v2")
+        moved = data[9] + 3.0
+        store.insert("v9", Vector(moved))            # upsert, re-encodes
+        q = moved + 0.001
+        res = store.search_batch([(Vector(q), 5)])
+        assert res[0][0].id == "v9"
+        assert all(h.id != "v2" for h in res[0])

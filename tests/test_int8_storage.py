@@ -95,12 +95,15 @@ def test_quarter_footprint():
     assert dev.get("int8_storage") is True
 
 
-def test_int8_rejected_where_unsupported():
+def test_int8_composes_with_mesh():
+    """Round-3: int8 x mesh is a supported composition (the sharded
+    coarse/XLA paths dequantize per shard — tests/test_distributed.py
+    TestShardedInt8 covers exactness; this guards the constructor)."""
     import jax
     from jax.sharding import Mesh
-    with pytest.raises(ValueError):
-        FlatIndex(DistanceMetric.EUCLIDEAN, storage="int8",
-                  mesh=Mesh(np.array(jax.devices()[:2]), ("shard",)))
+    idx = FlatIndex(DistanceMetric.EUCLIDEAN, storage="int8",
+                    mesh=Mesh(np.array(jax.devices()[:2]), ("shard",)))
+    assert idx.storage == "int8" and idx._mesh is not None
 
 
 def test_store_level_int8():

@@ -337,3 +337,61 @@ def test_store_knob_validation(rng):
         store.search(q, 3, nprobe=4)     # not a knob for this family
     with pytest.raises(IndexOpError):
         store.search(q, 3, ef=10)
+
+
+def test_opq_rotation_learned_on_residuals(rng):
+    """rotate=True (default) learns an orthogonal rotation from the
+    RESIDUAL sample; rotate=False leaves the scan unrotated. Search
+    quality with rotation never falls behind on spread-residual data
+    (the case OPQ exists for: within-cluster deviations that live in a
+    low-dim subspace smeared across all raw coordinates)."""
+    n, d, k = 4096, 32, 10
+    centers = (2.0 * rng.standard_normal((32, d))).astype(np.float32)
+    w = rng.standard_normal((4, d)).astype(np.float32)   # spread signal
+    z = rng.standard_normal((n, 4)).astype(np.float32)
+    which = rng.integers(0, 32, n)
+    db = (centers[which] + 0.25 * (z @ w)).astype(np.float32)
+    queries = db[rng.choice(n, 32, replace=False)] + 0.002
+    want = _flat_topk(queries, db, DistanceMetric.EUCLIDEAN, k)
+
+    recalls = {}
+    for rotate in (True, False):
+        idx = IvfPqIndex(DistanceMetric.EUCLIDEAN, nlist=32, m=8,
+                         ksub=32, refine=16, seed=1, rotate=rotate)
+        idx.add_batch([(i, db[i]) for i in range(n)])
+        idx.train()
+        if rotate:
+            assert idx._rot is not None
+            # orthogonality: R^T R = I (permuted eigenvectors)
+            rtr = idx._rot.T @ idx._rot
+            np.testing.assert_allclose(rtr, np.eye(d), atol=1e-4)
+        else:
+            assert idx._rot is None
+        recalls[rotate] = _recall(idx.search_batch(queries, k), want, k)
+    assert recalls[True] >= recalls[False] - 0.05, recalls
+    assert recalls[True] >= 0.6, recalls
+
+
+def test_opq_rotation_persists_bit_identical(rng, tmp_path):
+    """The rotation rides export_trained_state/import_trained_state:
+    a recovered index re-encodes in the SAME rotated space and returns
+    bit-identical results."""
+    n, d, k = 2048, 16, 5
+    db = _clustered(rng, n, d, n_centers=16)
+    idx = IvfPqIndex(DistanceMetric.EUCLIDEAN, nlist=16, m=4, ksub=32,
+                     refine=32, seed=3, rotate=True)
+    idx.add_batch([(i, db[i]) for i in range(n)])
+    idx.train()
+    assert idx._rot is not None
+    queries = db[:8] + 0.01
+    before = idx.search_batch(queries, k)
+
+    tables = idx.export_trained_state()
+    assert "rotation" in tables
+    rows_by_id = {i: db[i] for i in range(n)}
+    idx2 = IvfPqIndex(DistanceMetric.EUCLIDEAN, nlist=16, m=4, ksub=32,
+                      refine=32, seed=3)
+    idx2.import_trained_state(tables, rows_by_id, d)
+    np.testing.assert_array_equal(idx2._rot, idx._rot)
+    after = idx2.search_batch(queries, k)
+    assert before == after

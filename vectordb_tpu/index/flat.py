@@ -196,9 +196,6 @@ class FlatIndex(Index):
             raise ValueError(f"unknown search_mode: {search_mode!r}")
         if storage not in ("f32", "bf16", "int8"):
             raise ValueError(f"unknown storage: {storage!r}")
-        if storage == "int8" and mesh is not None:
-            raise ValueError("storage='int8' is single-chip (the sharded "
-                             "scan paths do not dequantize int8 yet)")
         # "exact": full-f32 MXU scan + exact top_k. "fast": same scan
         # reduced with approx_min_k into a candidate pool + exact re-rank
         # (~1.4x throughput, exact distances, ~99% top-k id agreement).
@@ -630,23 +627,37 @@ class FlatIndex(Index):
                 row2d = NamedSharding(self._mesh, P(self._row_axis, None))
                 row1d = NamedSharding(self._mesh, P(self._row_axis))
                 rows = self._vectors
+                scales = None
                 if self.storage == "bf16":
                     import ml_dtypes
                     # host-side cast: 2-byte transfer per element (values
                     # were already quantized at insert)
                     rows = self._vectors.astype(ml_dtypes.bfloat16)
+                elif self.storage == "int8":
+                    # host-side requantization (exact — values were pow2-
+                    # quantized at insert): 1-byte codes + a f32 scale per
+                    # row, both sharded over the mesh row axis — 8x16M =
+                    # 128M rows of 768-d on a v5e-8
+                    rows, scales = _int8_codes_scales(self._vectors)
                 self._device = {
                     "db": jax.device_put(rows, row2d),
                     "sq_norms": jax.device_put(self._sq_norms, row1d),
                     "norms": jax.device_put(self._norms, row1d),
                     "valid": jax.device_put(self._valid, row1d),
                 }
+                if scales is not None:
+                    self._device["scales"] = jax.device_put(scales, row1d)
+                    self._device["int8_storage"] = True
                 if _pallas_enabled(self._mesh):
                     # arm the per-shard certified coarse path: each shard
                     # runs its own 1-pass margin; the residual bound is
                     # global (stale-high-safe)
                     if self.storage == "bf16":
                         self._device["bf16_storage"] = True
+                        self._device["elo_max"] = jnp.float32(0.0)
+                    elif self.storage == "int8":
+                        # codes cast to bf16 exactly in VMEM per shard:
+                        # zero db-side residual
                         self._device["elo_max"] = jnp.float32(0.0)
                     else:
                         from ..ops.coarse_kernel import \
@@ -893,21 +904,23 @@ class FlatIndex(Index):
                 [queries, np.zeros((q_pad - q, queries.shape[1]),
                                    dtype=queries.dtype)], axis=0)
         block_rows = self._capacity // self._mesh.shape[self._row_axis]
+        src = ("int8" if dev.get("int8_storage")
+               else "bf16" if dev.get("bf16_storage") else "f32")
         if (dev.get("elo_max") is not None
-                and sharded_coarse_supported(block_rows, self._dim, k_req)):
-            key = ("coarse", k_req, self._capacity,
-                   bool(dev.get("bf16_storage")))
+                and sharded_coarse_supported(block_rows, self._dim, k_req,
+                                             src)):
+            key = ("coarse", k_req, self._capacity, src)
             fn = self._sharded_search_cache.get(key)
             if fn is None:
                 from ..ops.coarse_kernel import interpret_mode
                 fn = make_sharded_search_coarse(
                     self._mesh, self._metric, k_req, block_rows,
-                    self._row_axis, interpret_mode(),
-                    src="bf16" if dev.get("bf16_storage") else "f32")
+                    self._row_axis, interpret_mode(), src=src)
                 self._sharded_search_cache[key] = fn
+            extra = (dev["scales"],) if src == "int8" else ()
             dists, idx, cert = fn(jnp.asarray(queries), dev["db"],
                                   dev["sq_norms"], dev["norms"],
-                                  dev["valid"], dev["elo_max"])
+                                  dev["valid"], dev["elo_max"], *extra)
             dists = np.asarray(dists)[:q]
             idx = np.asarray(idx)[:q]
             bad = np.nonzero(~np.asarray(cert)[:q])[0]
@@ -923,15 +936,17 @@ class FlatIndex(Index):
 
     def _sharded_search_xla(self, queries: np.ndarray, dev: dict,
                             k_req: int):
-        """Sharded full-precision scan + top-k merge (fallback path)."""
+        """Sharded full-precision scan + top-k merge (fallback path);
+        int8 storage dequantizes per shard (exact pow2 scales)."""
         from ..parallel.distributed import make_sharded_search
         k_eff = min(next_pow2(k_req, floor=1), self._capacity)
-        key = (k_eff, self._capacity)
+        src = "int8" if dev.get("int8_storage") else "f32"
+        key = (k_eff, self._capacity, src)
         fn = self._sharded_search_cache.get(key)
         if fn is None:
             block_rows = self._capacity // self._mesh.shape[self._row_axis]
             fn = make_sharded_search(self._mesh, self._metric, k_eff,
-                                     block_rows, self._row_axis)
+                                     block_rows, self._row_axis, src=src)
             self._sharded_search_cache[key] = fn
         q = queries.shape[0]
         q_pad = next_pow2(q, floor=1)
@@ -939,8 +954,9 @@ class FlatIndex(Index):
             queries = np.concatenate(
                 [queries, np.zeros((q_pad - q, queries.shape[1]),
                                    dtype=queries.dtype)], axis=0)
+        extra = (dev["scales"],) if src == "int8" else ()
         dists, idx = fn(jnp.asarray(queries), dev["db"], dev["sq_norms"],
-                        dev["norms"], dev["valid"])
+                        dev["norms"], dev["valid"], *extra)
         return np.asarray(dists)[:q], np.asarray(idx)[:q]
 
     def search_masked(self, query: Vector, k: int, slot_mask: np.ndarray,

@@ -79,14 +79,23 @@ class IvfPqIndex(_PqCodesCore, IvfFlatIndex):
                  spill_frac: float = 0.02, auto_train_min: int = 8192,
                  seed: int = 0, scan_recall: float = 0.85,
                  assign_mode: str = "auto",
-                 balance_slack: float = 1.5):
+                 balance_slack: float = 1.5, rotate: bool = True):
+        # rotate: learn an OPQ pre-rotation on the RESIDUAL sample
+        # (ops/pq.fit_opq_rotation) and run the whole scan in the rotated
+        # space — codes approximate rotated residuals, the scan's
+        # centroid table is the rotated (bf16-rounded) one, queries
+        # rotate at scan entry. Distances are rotation-invariant, so
+        # candidates carry over; the exact host re-rank always uses the
+        # true unrotated rows. Residual deviations on clustered data are
+        # exactly where balanced subspace energy pays (round-2 verdict
+        # item 3); A/B via benchmarks/pq_bench.py --family ivfpq --opq.
         super().__init__(metric, nlist=nlist, train_iters=train_iters,
                          spill_frac=spill_frac,
                          auto_train_min=auto_train_min, seed=seed,
                          storage="f32", assign_mode=assign_mode,
                          balance_slack=balance_slack)
         self._pq_init(m, ksub, refine, train_iters, auto_train_min, seed,
-                      scan_recall)
+                      scan_recall, rotate=rotate)
         # nearest-centroid ids for SPILL slots (residuals there are taken
         # vs the row's nearest centroid — the assigned-cluster equivalent
         # does not exist); -1 = unresolved, filled lazily at encode time
@@ -185,11 +194,20 @@ class IvfPqIndex(_PqCodesCore, IvfFlatIndex):
             if sp.any():
                 cids[sp] = self._spill_cid[sel[sp] - sb]
             res = rows - self._centroids[cids]
-            codebook = self._fit_codebook(res, m)
+            rot = None
+            if self._rotate:
+                # OPQ on the residual distribution (NOT the raw rows —
+                # the codebook models residuals, so residual energy is
+                # what the subspaces must balance)
+                from ..ops.pq import fit_opq_rotation
+                rot = fit_opq_rotation(res, m)
+            codebook = self._fit_codebook(res, m, rot)
 
             self._m = m
             self._codebook = codebook
             self._codebook_dev = None
+            self._rot = rot
+            self._rot_dev = None
             self._codes = np.zeros((self._capacity, m), np.uint8)
             self._pq_dirty.clear()
             self._pq_full_reencode = True
@@ -236,10 +254,15 @@ class IvfPqIndex(_PqCodesCore, IvfFlatIndex):
     def _pq_sync(self):
         out = super()._pq_sync()
         if self._cents_scan_dev is None:
-            self._cents_scan_dev = jnp.asarray(self._centroids)
+            cents = self._centroids
+            if self._rot is not None:
+                # the scan runs in OPQ-rotated space: rotate the centroid
+                # table once and bf16-round it (the same exact-in-bf16
+                # invariant as the unrotated table)
+                cents = _round_bf16(cents @ self._rot)
+            self._cents_scan_dev = jnp.asarray(cents)
             self._csq_dev = jnp.asarray(np.sum(
-                self._centroids * self._centroids, axis=1,
-                dtype=np.float32))
+                cents * cents, axis=1, dtype=np.float32))
         if self._cid_sp_dirty or self._cid_sp_dev is None:
             self._cid_sp_dev = jnp.asarray(self._spill_cid)
             self._cid_sp_dirty = False
@@ -282,7 +305,8 @@ class IvfPqIndex(_PqCodesCore, IvfFlatIndex):
                                state["cid_sp"], self._metric, r=r,
                                cpc=state["cpc"], span=state["span"],
                                nlist=state["nlist"],
-                               recall_target=self.scan_recall)
+                               recall_target=self.scan_recall,
+                               rot=self._rot_dev_arr())
 
     def _pq_fallback_search(self, queries: np.ndarray, k: int, **fb):
         # bypass IvfFlatIndex's path entirely: its probed refine gathers
@@ -308,6 +332,8 @@ class IvfPqIndex(_PqCodesCore, IvfFlatIndex):
             tables["codebook"] = self._codebook.copy()
             tables["ksub"] = np.int64(self.ksub)
             tables["spill_cid"] = self._spill_cid.copy()
+            if self._rot is not None:
+                tables["rotation"] = self._rot.copy()
             return tables
 
     def import_trained_state(self, tables: dict,
@@ -336,6 +362,16 @@ class IvfPqIndex(_PqCodesCore, IvfFlatIndex):
             if spill_cid.shape[0] != self._capacity - self._spill_base:
                 raise IndexOpError(
                     "ivfpq state: spill_cid/layout size mismatch")
+            rot = tables.get("rotation")
+            if rot is not None:
+                rot = np.ascontiguousarray(rot, np.float32)
+                if rot.shape != (dim, dim):
+                    raise IndexOpError(
+                        f"ivfpq state: rotation shape {rot.shape} does "
+                        f"not match dimension {dim}")
+            self._rot = rot
+            self._rot_dev = None
+            self._rotate = rot is not None
             self._spill_cid = spill_cid
             self._cid_sp_dirty = True
             self._m = m

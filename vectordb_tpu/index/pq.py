@@ -180,7 +180,12 @@ class _PqCodesCore:
         return max(256, _pow2_floor(_SCORE_BYTES // (m * ksub * 4)))
 
     def _scan_chunk(self) -> int:
-        chunk = min(_SCAN_CHUNK, _pow2_floor(self._capacity),
+        cap = self._capacity
+        if self._mesh is not None:
+            # per-shard chunking: the sharded scan streams each shard's
+            # block (pow2 / pow2 keeps divisibility)
+            cap = cap // self._mesh.shape[self._row_axis]
+        chunk = min(_SCAN_CHUNK, _pow2_floor(cap),
                     max(256, _pow2_floor(_ONEHOT_BYTES
                                          // (self._m * self.ksub * 2))))
         return max(chunk, 1)
@@ -243,7 +248,7 @@ class _PqCodesCore:
         if self._rot is None:
             return None
         if self._rot_dev is None:
-            self._rot_dev = jnp.asarray(self._rot)
+            self._rot_dev = self._pq_replicated(self._rot)
         return self._rot_dev
 
     def _encode_slots(self, slots: np.ndarray) -> np.ndarray:
@@ -332,9 +337,24 @@ class _PqCodesCore:
 
     # -- device sync -------------------------------------------------------------
 
+    def _pq_replicated(self, arr):
+        """Small arrays (codebook tables, rotation) replicate across the
+        mesh; plain device arrays otherwise."""
+        if self._mesh is None:
+            return jnp.asarray(arr)
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        return jax.device_put(np.asarray(arr),
+                              NamedSharding(self._mesh, P()))
+
     def _pq_sync(self):
         """Bring codes/codebook/validity device copies current (lock
-        held). Returns (codes_dev, bd_dev, cnorm_dev, valid_dev)."""
+        held). Returns (codes_dev, bd_dev, cnorm_dev, valid_dev).
+        With a mesh, codes/validity live sharded over the row axis
+        (wholesale re-put on mutation — same policy as the sharded flat
+        sync) and the codebook tables replicate."""
+        if self._mesh is not None:
+            return self._pq_sync_sharded()
         if self._codebook_dev is None:
             from ..ops.pq import pack_codebook
             self._codebook_dev = jnp.asarray(self._codebook)
@@ -378,6 +398,43 @@ class _PqCodesCore:
         return (self._codes_dev, self._bd_dev, self._cnorm_dev,
                 self._pq_valid_dev)
 
+    def _pq_sync_sharded(self):
+        """Mesh variant of _pq_sync: host-side encode is unchanged; the
+        code matrix and validity are device_put sharded over the mesh row
+        axis. Dirty slots re-encode on host then re-put wholesale (a
+        scatter across a sharded buffer would reshard anyway)."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        if self._codebook_dev is None:
+            from ..ops.pq import pack_codebook
+            self._codebook_dev = self._pq_replicated(self._codebook)
+            bd, _ = pack_codebook(self._codebook)
+            self._bd_dev = self._pq_replicated(bd)
+            self._cnorm_dev = self._pq_replicated(
+                np.sum(self._codebook * self._codebook, axis=-1,
+                       dtype=np.float32))
+        if self._pq_full_reencode:
+            self._reencode_all()
+            self._pq_full_reencode = False
+            self._pq_dirty.clear()
+            self._codes_dev = None
+        if self._pq_dirty:
+            slots = np.fromiter(self._pq_dirty, np.int64,
+                                count=len(self._pq_dirty))
+            self._pq_dirty.clear()
+            self._codes[slots] = self._encode_slots(slots)
+            self._codes_dev = None
+        if self._codes_dev is None:
+            row2d = NamedSharding(self._mesh, P(self._row_axis, None))
+            self._codes_dev = jax.device_put(self._codes, row2d)
+            self._pq_valid_dirty = True
+        if self._pq_valid_dirty or self._pq_valid_dev is None:
+            row1d = NamedSharding(self._mesh, P(self._row_axis))
+            self._pq_valid_dev = jax.device_put(self._valid, row1d)
+            self._pq_valid_dirty = False
+        return (self._codes_dev, self._bd_dev, self._cnorm_dev,
+                self._pq_valid_dev)
+
     # -- scan dispatch hooks -----------------------------------------------------
 
     def _scan_state(self) -> dict:
@@ -394,13 +451,35 @@ class _PqCodesCore:
         return self._scan_pool_cols(r) * 8
 
     def _scan_call(self, state: dict, qb, r: int):
-        """One scan dispatch -> (scores (Qb, r) dev, slots (Qb, r) dev)."""
+        """One scan dispatch -> (scores (Qb, r) dev, slots (Qb, r) dev).
+        With a mesh: the sharded per-shard scan + exact merged top-r
+        (parallel/distributed.make_sharded_pq_scan)."""
+        rot = self._rot_dev_arr()
+        if self._mesh is not None:
+            fn = self._sharded_pq_scanner(r, rot is not None)
+            extra = (rot,) if rot is not None else ()
+            return fn(qb, state["codes"], state["bd"], state["cnorm"],
+                      state["valid"], *extra)
         from ..ops.pq import pq_scan_topr
         return pq_scan_topr(qb, state["codes"], state["bd"],
                             state["cnorm"], state["valid"], self._metric,
                             r=r, chunk=self._scan_chunk(),
                             recall_target=self.scan_recall,
-                            rot=self._rot_dev_arr())
+                            rot=rot)
+
+    def _sharded_pq_scanner(self, r: int, with_rot: bool):
+        key = ("pqscan", r, self._capacity, with_rot)
+        fn = self._sharded_search_cache.get(key)
+        if fn is None:
+            from ..parallel.distributed import make_sharded_pq_scan
+            block_rows = (self._capacity
+                          // self._mesh.shape[self._row_axis])
+            fn = make_sharded_pq_scan(
+                self._mesh, self._metric, r, self._scan_chunk(),
+                block_rows, self._row_axis,
+                recall_target=self.scan_recall, with_rot=with_rot)
+            self._sharded_search_cache[key] = fn
+        return fn
 
     def _scan_r_max(self) -> int:
         """Largest refine pool the scan program supports."""
@@ -809,7 +888,8 @@ class PqFlatIndex(_PqCodesCore, FlatIndex):
                  ksub: int = 256, refine: int = 64, train_iters: int = 15,
                  auto_train_min: int = 8192, seed: int = 0,
                  host_backing: Optional[str] = None,
-                 scan_recall: float = 0.85, rotate: bool = True):
+                 scan_recall: float = 0.85, rotate: bool = True,
+                 mesh=None, row_axis: str = "shard"):
         # host_backing (FlatIndex option): keep the full-precision rows in
         # a disk-backed memmap — the natural pairing for PQ, whose device
         # footprint is m bytes/row while the re-rank touches only R rows
@@ -818,8 +898,16 @@ class PqFlatIndex(_PqCodesCore, FlatIndex):
         # (ops/pq.fit_opq_rotation) — better codes need a smaller refine
         # pool for the same recall, and the host re-rank (the measured
         # dominant query cost) is linear in refine
+        # mesh: shard the CODE matrix over the mesh row axis — each shard
+        # streams its block through the same decode-in-VMEM scan and the
+        # merge is one exact top-r over the S*r pool; the exact host
+        # re-rank is unchanged. Device residency per shard is m bytes/row
+        # (v5e-8: 8x the one-chip PQ row ceiling — 268M rows at 768-d);
+        # the exact-scan fallback (untrained / huge r) runs the sharded
+        # f32 path.
         super().__init__(metric, search_mode="exact", storage="f32",
-                         host_backing=host_backing)
+                         host_backing=host_backing, mesh=mesh,
+                         row_axis=row_axis)
         self._pq_init(m, ksub, refine, train_iters, auto_train_min, seed,
                       scan_recall, rotate=rotate)
 

@@ -404,7 +404,7 @@ def pq_scan_topr(queries, codes, bd, cnorm, valid, metric: DistanceMetric,
                                              "nlist", "recall_target"))
 def ivfpq_scan_topr(queries, codes, bd, cnorm, valid, cents, csq, cid_sp,
                     metric: DistanceMetric, r: int, cpc: int, span: int,
-                    nlist: int, recall_target: float = 0.85):
+                    nlist: int, recall_target: float = 0.85, rot=None):
     """Residual-corrected streaming PQ scan over an IVF slot layout ->
     top-r candidate rows per query.
 
@@ -445,6 +445,13 @@ def ivfpq_scan_topr(queries, codes, bd, cnorm, valid, cents, csq, cid_sp,
     pq_scan_topr: stage-1 blocks arrive sorted, approx buckets collide
     their heads).
 
+    With ``rot`` (OPQ, fit on the residual sample) the WHOLE scan space
+    is rotated: codes approximate rotated residuals, ``cents``/``csq``
+    are the caller's rotated (bf16-rounded) centroid table, and the
+    query rotates here — every term below then lives consistently in
+    the rotated space, where all three metrics are invariant. The exact
+    host re-rank uses the true unrotated rows either way.
+
     Returns (scores (Q, r) ascending, slots (Q, r) int32 in SLOT space).
     Scores are rank-surrogates (per-query constants dropped); +inf marks
     dead/masked slots.
@@ -461,7 +468,7 @@ def ivfpq_scan_topr(queries, codes, bd, cnorm, valid, cents, csq, cid_sp,
     spg = spgk // ksub
     bd_bf = bd.astype(jnp.bfloat16)
     cnorm_g = cnorm.reshape(g, spg, ksub)
-    q_hi, q_lo = _split_query(queries)
+    q_hi, q_lo = _split_query(_maybe_rotate(queries, rot))
     iota_k = jnp.arange(ksub, dtype=jnp.uint8)
     inf = jnp.float32(jnp.inf)
 

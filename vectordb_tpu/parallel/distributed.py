@@ -58,19 +58,29 @@ def shard_rows(mesh: Mesh, row_axis: str, *arrays, block_multiple: int = 1):
 
 def make_sharded_search(mesh: Mesh, metric: DistanceMetric, k: int,
                         block_rows: int, row_axis: str = "shard",
-                        batch_axis: Optional[str] = None):
+                        batch_axis: Optional[str] = None,
+                        src: str = "f32"):
     """Build the jitted distributed search program for one mesh/shape.
 
     Returns fn(queries, db, sq_norms, norms, valid) -> (dists (Q,k), global
     row indices (Q,k)), ascending, +inf where fewer than k live rows.
     ``block_rows`` is the per-shard row count (padded_rows / n_row_shards).
+    ``src="int8"``: ``db`` is the int8 code matrix and fn takes a trailing
+    per-row pow2 ``scales`` vector (sharded like the rows); each shard
+    dequantizes its block exactly (code x pow2 scale) before the fused
+    scan, so distances stay exact over the stored values.
     """
     n_row_shards = mesh.shape[row_axis]
     k_local = min(k, block_rows)
 
-    def local_scan(queries_blk, db_blk, sq_blk, norms_blk, valid_blk):
+    def local_scan(queries_blk, db_blk, sq_blk, norms_blk, valid_blk,
+                   scales_blk=None):
         """Per-shard fused scan + local top-k. Shapes are per-block."""
-        if db_blk.dtype == jnp.bfloat16:
+        if scales_blk is not None:
+            # int8 storage: dequantize the shard block exactly (integer
+            # codes <= 127 times a pow2 scale carry no rounding)
+            db_blk = db_blk.astype(jnp.float32) * scales_blk[:, None]
+        elif db_blk.dtype == jnp.bfloat16:
             # bf16 storage: widen per shard (XLA fuses the convert into
             # the matmul); distances are exact over the stored values
             db_blk = db_blk.astype(jnp.float32)
@@ -88,6 +98,8 @@ def make_sharded_search(mesh: Mesh, metric: DistanceMetric, k: int,
     q_spec = P(batch_axis, None) if batch_axis else P(None, None)
     in_specs = (q_spec, P(row_axis, None), P(row_axis,), P(row_axis,),
                 P(row_axis,))
+    if src == "int8":
+        in_specs = in_specs + (P(row_axis,),)
     out_q = batch_axis if batch_axis else None
     out_specs = (P(row_axis, out_q, None), P(row_axis, out_q, None))
 
@@ -95,9 +107,10 @@ def make_sharded_search(mesh: Mesh, metric: DistanceMetric, k: int,
                            out_specs=out_specs)
 
     @jax.jit
-    def search(queries, db, sq_norms, norms, valid):
+    def search(queries, db, sq_norms, norms, valid, *rest):
         # (S, Q, k_local) stacked per-shard candidates
-        cand_vals, cand_idx = mapped(queries, db, sq_norms, norms, valid)
+        cand_vals, cand_idx = mapped(queries, db, sq_norms, norms, valid,
+                                     *rest)
         s, q, kl = cand_vals.shape
         flat_vals = jnp.transpose(cand_vals, (1, 0, 2)).reshape(q, s * kl)
         flat_idx = jnp.transpose(cand_idx, (1, 0, 2)).reshape(q, s * kl)
@@ -137,15 +150,17 @@ def make_sharded_search_coarse(mesh: Mesh, metric: DistanceMetric, k: int,
     m2, m = ck._exact1p_pool(k_local, block_rows // ck.SUB)
 
     def local_coarse(queries_blk, db_blk, sq_blk, norms_blk, valid_blk,
-                     elo_max):
-        if src == "bf16":
-            # placeholder hi arg; the src="bf16" trace never touches it
+                     elo_max, scales_blk=None):
+        if src in ("bf16", "int8"):
+            # placeholder hi arg; these src traces never touch it (bf16:
+            # the db is its own hi mirror; int8: codes ARE the source)
             hi_blk = jnp.zeros((1, 1), jnp.bfloat16)
         else:
             hi_blk = db_blk
         d_, i_, c_ = ck._coarse_search_1p_jit(
             queries_blk, db_blk, sq_blk, norms_blk, valid_blk, hi_blk,
-            elo_max, metric.value, k_local, m2, m, interpret, src)
+            elo_max, metric.value, k_local, m2, m, interpret, src,
+            scales=scales_blk)
         my_shard = jax.lax.axis_index(row_axis)
         return d_[None], (i_ + my_shard * block_rows)[None], c_[None]
 
@@ -153,6 +168,8 @@ def make_sharded_search_coarse(mesh: Mesh, metric: DistanceMetric, k: int,
     out_q = batch_axis if batch_axis else None
     in_specs = (q_spec, P(row_axis, None), P(row_axis,),
                 P(row_axis,), P(row_axis,), P())
+    if src == "int8":
+        in_specs = in_specs + (P(row_axis,),)
     out_specs = (P(row_axis, out_q, None), P(row_axis, out_q, None),
                  P(row_axis, out_q))
     # check_vma=False: pallas_call's out_shape carries no varying-mesh-axes
@@ -161,9 +178,10 @@ def make_sharded_search_coarse(mesh: Mesh, metric: DistanceMetric, k: int,
                            out_specs=out_specs, check_vma=False)
 
     @jax.jit
-    def search(queries, db, sq_norms, norms, valid, elo_max):
+    def search(queries, db, sq_norms, norms, valid, elo_max, *rest):
         cand_vals, cand_idx, cand_cert = mapped(queries, db, sq_norms,
-                                                norms, valid, elo_max)
+                                                norms, valid, elo_max,
+                                                *rest)
         s, q, kl = cand_vals.shape
         flat_vals = jnp.transpose(cand_vals, (1, 0, 2)).reshape(q, s * kl)
         flat_idx = jnp.transpose(cand_idx, (1, 0, 2)).reshape(q, s * kl)
@@ -176,8 +194,70 @@ def make_sharded_search_coarse(mesh: Mesh, metric: DistanceMetric, k: int,
     return search
 
 
-def sharded_coarse_supported(block_rows: int, d: int, k: int) -> bool:
+def make_sharded_pq_scan(mesh: Mesh, metric: DistanceMetric, r: int,
+                         chunk: int, block_rows: int,
+                         row_axis: str = "shard",
+                         recall_target: float = 0.85,
+                         with_rot: bool = False):
+    """Sharded streaming PQ scan: codes sharded over the mesh row axis,
+    each shard runs the same decode-in-VMEM scan as the single-chip path
+    (ops/pq.pq_scan_topr) over its block and emits its local top-r
+    candidate rows; the merge is one exact top-r over the stacked S*r
+    pool. Scores are rank-surrogates whose dropped per-query constants
+    are IDENTICAL across shards (|q|^2 / |q| terms), so cross-shard
+    comparison is sound; the index's exact host re-rank then fixes
+    ordering and distances as usual.
+
+    This is the capacity x multi-chip composition for the PQ family:
+    device residency is m bytes/row per shard (v5e-8: 8x the one-chip
+    row ceiling), communication is O(S * Q * r).
+
+    Returns fn(queries, codes, bd, cnorm, valid[, rot]) ->
+    (scores (Q, r) ascending, global slots (Q, r) int32).
+    """
+    from ..ops.pq import pq_scan_topr
+
+    if block_rows % chunk:
+        raise ValueError(f"block_rows {block_rows} not a multiple of "
+                         f"chunk {chunk}")
+    r_local = min(r, chunk)
+
+    def local_scan(queries_blk, codes_blk, bd, cnorm, valid_blk, *rot):
+        sv, sl = pq_scan_topr(queries_blk, codes_blk, bd, cnorm,
+                              valid_blk, metric, r=r_local, chunk=chunk,
+                              recall_target=recall_target,
+                              rot=rot[0] if rot else None)
+        my_shard = jax.lax.axis_index(row_axis)
+        return sv[None], (sl + my_shard * block_rows)[None]
+
+    in_specs = (P(None, None), P(row_axis, None), P(), P(), P(row_axis,))
+    if with_rot:
+        in_specs = in_specs + (P(),)
+    out_specs = (P(row_axis, None, None), P(row_axis, None, None))
+    mapped = jax.shard_map(local_scan, mesh=mesh, in_specs=in_specs,
+                           out_specs=out_specs, check_vma=False)
+
+    @jax.jit
+    def scan(queries, codes, bd, cnorm, valid, *rot):
+        sv, sl = mapped(queries, codes, bd, cnorm, valid, *rot)
+        s, q, rl = sv.shape
+        flat_v = jnp.transpose(sv, (1, 0, 2)).reshape(q, s * rl)
+        flat_i = jnp.transpose(sl, (1, 0, 2)).reshape(q, s * rl)
+        # exact pooled merge (same argument as pq_scan_topr's final
+        # pass: per-shard blocks arrive sorted, approximate selection
+        # would bucket-collide their heads)
+        r_final = min(r, s * rl)
+        neg, pos = jax.lax.top_k(-flat_v, r_final)
+        return -neg, jnp.take_along_axis(flat_i, pos, axis=1)
+
+    return scan
+
+
+def sharded_coarse_supported(block_rows: int, d: int, k: int,
+                             src: str = "f32") -> bool:
     from ..ops import coarse_kernel as ck
+    if src == "int8":
+        return ck.supports_1p_int8(block_rows, d, min(k, block_rows))
     return ck.supports_1p(block_rows, d, min(k, block_rows))
 
 
@@ -192,7 +272,7 @@ class DistributedFlatIndex:
     def __init__(self, mesh: Mesh, metric: DistanceMetric,
                  row_axis: str = "shard", batch_axis: Optional[str] = None,
                  storage: str = "f32"):
-        if storage not in ("f32", "bf16"):
+        if storage not in ("f32", "bf16", "int8"):
             raise ValueError(f"unknown storage: {storage!r}")
         self.mesh = mesh
         self.metric = metric
@@ -200,12 +280,17 @@ class DistributedFlatIndex:
         self.batch_axis = batch_axis
         # "bf16": rows are quantized to bfloat16 at load — half the HBM
         # per shard (double the rows per chip); search is certified-exact
-        # over the STORED values (the db is its own hi mirror, elo_max=0)
+        # over the STORED values (the db is its own hi mirror, elo_max=0).
+        # "int8": per-row pow2-scaled codes at load — 1 byte/element, 4x
+        # f32's rows per chip (8 x 16M = 128M rows of 768-d on a v5e-8);
+        # search is certified-exact over the stored values (codes cast to
+        # bf16 exactly in VMEM per shard, elo_max=0).
         self.storage = storage
         self._n = 0
         self._dim: Optional[int] = None
         self._block_rows = 0
         self._device = None
+        self._scales = None
         self._elo_max = None
         self._search_cache = {}
 
@@ -213,6 +298,7 @@ class DistributedFlatIndex:
         """Bulk-load N x d rows, sharding the row axis across the mesh."""
         vectors = np.asarray(vectors, dtype=np.float32)
         n, d = vectors.shape
+        scales = None
         if self.storage == "bf16":
             import ml_dtypes
             vectors16 = vectors.astype(ml_dtypes.bfloat16)
@@ -220,20 +306,32 @@ class DistributedFlatIndex:
             stored = vectors16.astype(np.float32)
             sq = np.einsum("ij,ij->i", stored, stored).astype(np.float32)
             rows = vectors16
+        elif self.storage == "int8":
+            from ..index.flat import _int8_codes_scales, _quantize_int8
+            stored = _quantize_int8(vectors)
+            sq = np.einsum("ij,ij->i", stored, stored).astype(np.float32)
+            rows, scales = _int8_codes_scales(stored)
         else:
             sq = np.einsum("ij,ij->i", vectors, vectors).astype(np.float32)
             rows = vectors
         norms = np.sqrt(sq)
         valid = np.ones(n, dtype=bool)
-        padded, db, sqs, nrm, vld = shard_rows(
-            self.mesh, self.row_axis, rows, sq, norms, valid,
+        arrays = (rows, sq, norms, valid)
+        if scales is not None:
+            arrays = arrays + (scales,)
+        padded, db, sqs, nrm, vld, *rest = shard_rows(
+            self.mesh, self.row_axis, *arrays,
             block_multiple=1024 if self._coarse_enabled() else 1)
         self._n, self._dim = n, d
         self._block_rows = padded // self.mesh.shape[self.row_axis]
         self._device = (db, sqs, nrm, vld)
+        # padding scales must be 1.0, not 0 — shard_rows zero-pads, and a
+        # 0 scale is fine for dead rows (valid=False masks them) but keep
+        # the invariant documented: dead-slot codes are all-zero anyway
+        self._scales = rest[0] if rest else None
         self._elo_max = None
         if self._coarse_enabled():
-            if self.storage == "bf16":
+            if self.storage in ("bf16", "int8"):
                 self._elo_max = jnp.float32(0.0)
             else:
                 from ..ops.coarse_kernel import residual_max_norm_f32
@@ -252,13 +350,17 @@ class DistributedFlatIndex:
     def num_rows(self) -> int:
         return self._n
 
+    def _src(self) -> str:
+        return self.storage if self.storage in ("bf16", "int8") else "f32"
+
     def _searcher(self, k: int):
         key = int(k)
         fn = self._search_cache.get(key)
         if fn is None:
             fn = make_sharded_search(
                 self.mesh, self.metric, k, self._block_rows,
-                self.row_axis, self.batch_axis)
+                self.row_axis, self.batch_axis,
+                src="int8" if self.storage == "int8" else "f32")
             self._search_cache[key] = fn
         return fn
 
@@ -270,8 +372,7 @@ class DistributedFlatIndex:
             fn = make_sharded_search_coarse(
                 self.mesh, self.metric, int(k), self._block_rows,
                 self.row_axis, interpret_mode(),
-                batch_axis=self.batch_axis,
-                src="bf16" if self.storage == "bf16" else "f32")
+                batch_axis=self.batch_axis, src=self._src())
             self._search_cache[key] = fn
         return fn
 
@@ -299,7 +400,8 @@ class DistributedFlatIndex:
                       # evenly divisible over the batch axis
                       and (q_mult & (q_mult - 1)) == 0
                       and sharded_coarse_supported(self._block_rows,
-                                                   self._dim, k_true))
+                                                   self._dim, k_true,
+                                                   self._src()))
         if use_coarse:
             # pow2-pad Q: bounds the jit-signature count AND keeps the
             # refine chunking on even splits (same policy as the
@@ -312,8 +414,9 @@ class DistributedFlatIndex:
                 cq = np.concatenate(
                     [queries, np.zeros((qc_pad - qc, self._dim),
                                        np.float32)])
+            extra = (self._scales,) if self._scales is not None else ()
             dists, idx, cert = self._coarse_searcher(k_true)(
-                jnp.asarray(cq), *self._device, self._elo_max)
+                jnp.asarray(cq), *self._device, self._elo_max, *extra)
             dists, idx, cert = (np.asarray(dists)[:q], np.asarray(idx)[:q],
                                 np.asarray(cert)[:q])
             bad = np.nonzero(~cert)[0]
@@ -350,9 +453,11 @@ class DistributedFlatIndex:
         if q_pad != q:
             queries = np.concatenate(
                 [queries, np.zeros((q_pad - q, self._dim), np.float32)])
+        extra = (self._scales,) if self._scales is not None else ()
         dists, idx = self._searcher(k_eff)(jnp.asarray(queries),
-                                           *self._device)
+                                           *self._device, *extra)
         return np.asarray(dists)[:q], np.asarray(idx)[:q]
 
 
-__all__ = ["shard_rows", "make_sharded_search", "DistributedFlatIndex"]
+__all__ = ["shard_rows", "make_sharded_search", "make_sharded_search_coarse",
+           "make_sharded_pq_scan", "DistributedFlatIndex"]
