@@ -415,13 +415,18 @@ class StorageEngine:
 
     def search(self, query: Vector, k: int, *, ef: Optional[int] = None,
                nprobe: Optional[int] = None,
-               refine: Optional[int] = None) -> List[SearchResult]:
+               refine: Optional[int] = None,
+               filter=None) -> List[SearchResult]:
         return self.store.search(query, k, ef=ef, nprobe=nprobe,
-                                 refine=refine)
+                                 refine=refine, filter=filter)
 
-    def search_with_filter(self, query: Vector, k: int,
-                           filter) -> List[SearchResult]:
-        return self.store.search_with_filter(query, k, filter)
+    def search_with_filter(self, query: Vector, k: int, filter, *,
+                           ef: Optional[int] = None,
+                           nprobe: Optional[int] = None,
+                           refine: Optional[int] = None
+                           ) -> List[SearchResult]:
+        return self.store.search_with_filter(query, k, filter, ef=ef,
+                                             nprobe=nprobe, refine=refine)
 
     def search_radius(self, query: Vector, radius: float, *,
                       limit: int = 100, filter=None) -> List[SearchResult]:
@@ -440,8 +445,12 @@ class StorageEngine:
         return self.store.search_batch_submit(queries, ef=ef,
                                               nprobe=nprobe, refine=refine)
 
-    def search_batch_with_filter(self, queries, filter):
-        return self.store.search_batch_with_filter(queries, filter)
+    def search_batch_with_filter(self, queries, filter, *,
+                                 ef: Optional[int] = None,
+                                 nprobe: Optional[int] = None,
+                                 refine: Optional[int] = None):
+        return self.store.search_batch_with_filter(
+            queries, filter, ef=ef, nprobe=nprobe, refine=refine)
 
     @property
     def metric(self) -> DistanceMetric:
