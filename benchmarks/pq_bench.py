@@ -40,8 +40,17 @@ def main():
     ap.add_argument("--m", type=int, default=None,
                     help="subquantizers (default d/8)")
     ap.add_argument("--refines", type=str, default="32,64,128,256")
-    ap.add_argument("--data", choices=["intrinsic", "clustered"],
-                    default="intrinsic")
+    ap.add_argument("--data",
+                    choices=["intrinsic", "clustered",
+                             "clustered_intrinsic"],
+                    default="intrinsic",
+                    help="clustered_intrinsic: full-d centers + "
+                         "low-intrinsic-dim (32) within-cluster "
+                         "deviations — the realistic clustered model "
+                         "(real embedding residuals are low-dim); "
+                         "plain 'clustered' uses iid 768-d noise, the "
+                         "distance-concentration degenerate regime "
+                         "where NO code/graph method retains recall")
     ap.add_argument("--family", type=str, default="pq",
                     help="comma list of pq|ivfpq — ivfpq encodes "
                          "RESIDUALS vs the IVF centroid (the clustered-"
@@ -67,6 +76,22 @@ def main():
         qwhich = rng.integers(0, CENTERS, q)
         queries = centers[qwhich] + NOISE * rng.standard_normal(
             (q, d)).astype(np.float32)
+        del centers
+    elif args.data == "clustered_intrinsic":
+        # centers span full d; within-cluster deviations live in a
+        # shared 32-dim subspace smeared across all raw coordinates —
+        # OPQ's target structure, fit here on the RESIDUAL sample
+        centers = rng.standard_normal((CENTERS, d)).astype(np.float32)
+        basis = rng.standard_normal((32, d)).astype(np.float32) / \
+            np.float32(np.sqrt(32))
+        # E||z @ basis|| ~= sqrt(d), so NOISE alone matches the plain
+        # clustered protocol's residual norm (NOISE * sqrt(d))
+        which = rng.integers(0, CENTERS, n)
+        data_np = centers[which] + NOISE * (
+            rng.standard_normal((n, 32)).astype(np.float32) @ basis)
+        qwhich = rng.integers(0, CENTERS, q)
+        queries = centers[qwhich] + NOISE * (
+            rng.standard_normal((q, 32)).astype(np.float32) @ basis)
         del centers
     else:
         # intrinsic-dim-32 (the north-star protocol, hnsw_1m.py parity)
