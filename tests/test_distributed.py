@@ -713,3 +713,37 @@ class TestShardedPq:
         res = store.search_batch([(Vector(q), 5)])
         assert res[0][0].id == "v9"
         assert all(h.id != "v2" for h in res[0])
+
+    def test_sharded_pq_masked_device_scan(self, mesh8, rng):
+        """Eligible set ABOVE _MASKED_EXACT_MAX: the masked SHARDED
+        device scan itself runs (not the exact-host shortcut). Filter
+        exactness is unconditional; the k contract is served by the
+        masked-short safety net; recall stays governed by refine."""
+        from vectordb_tpu import Metadata, MetadataFilter, VectorStore
+        from vectordb_tpu.index import PqFlatIndex
+        from vectordb_tpu.index.pq import _MASKED_EXACT_MAX
+        idx = PqFlatIndex(DistanceMetric.EUCLIDEAN, m=4, ksub=16,
+                          refine=64, auto_train_min=10 ** 9, seed=0,
+                          rotate=False, mesh=mesh8)
+        store = VectorStore.with_index(idx)
+        n, d, k = 6000, 16, 5
+        assert n // 2 > _MASKED_EXACT_MAX
+        data = rng.standard_normal((n, d)).astype(np.float32)
+        for i in range(n):
+            store.insert_with_metadata(f"v{i}", Vector(data[i]),
+                                       Metadata({"par": str(i % 2)}))
+        idx.train()
+        flt = MetadataFilter.eq("par", "0")
+        elig = np.arange(0, n, 2)
+        queries = [data[8] + 0.005, data[100] + 0.005]
+        hits = 0
+        for q in queries:
+            d2 = np.sum((data[elig] - q) ** 2, axis=1)
+            want = {f"v{elig[j]}" for j in np.argsort(d2)[:k]}
+            got = store.search_with_filter(Vector(q), k, flt)
+            assert len(got) == k
+            assert all(int(r.id[1:]) % 2 == 0 for r in got)
+            dd = [r.distance for r in got]
+            assert dd == sorted(dd)
+            hits += len({r.id for r in got} & want)
+        assert hits >= 6  # >= 0.6 recall across the 2 queries

@@ -102,10 +102,32 @@ class IvfPqIndex(_PqCodesCore, IvfFlatIndex):
         self._spill_cid: Optional[np.ndarray] = None
         self._cid_sp_dev = None
         self._cid_sp_dirty = True
+        self._cents_scan_host: Optional[np.ndarray] = None
         self._cents_scan_dev = None
         self._csq_dev = None
 
     # -- geometry helpers ------------------------------------------------------
+
+    def _scan_cents(self) -> np.ndarray:
+        """The centroid table the SCAN reconstructs against: the
+        bf16-rounded ROTATED centroids under OPQ (the unrotated bf16
+        table otherwise). Residuals are computed vs THIS table so
+        ``x_hat = c_scan + decode(code)`` carries no per-cluster
+        c@R - bf16(c@R) bias (code-review finding, round 3). Derived
+        deterministically from (centroids, rotation), so recovery
+        rebuilds it bit-identically without persisting it."""
+        if self._cents_scan_host is None:
+            c = self._centroids
+            if self._rot is not None:
+                c = _round_bf16(
+                    c.astype(np.float32) @ self._rot)
+            self._cents_scan_host = np.ascontiguousarray(c, np.float32)
+        return self._cents_scan_host
+
+    def _encode_rot(self):
+        # residuals are pre-rotated on host vs the scan table — the
+        # device encode program must NOT rotate again
+        return None
 
     @property
     def _span(self) -> int:
@@ -165,6 +187,7 @@ class IvfPqIndex(_PqCodesCore, IvfFlatIndex):
             self._centroids = _round_bf16(self._centroids)
             self._centroids_dev = None
             self._cents_scan_dev = None
+            self._cents_scan_host = None
             # repack rewrote every slot: fresh stamps at a new tick so
             # in-flight searches drop all stale candidates
             self._tick += 1
@@ -201,13 +224,19 @@ class IvfPqIndex(_PqCodesCore, IvfFlatIndex):
                 # what the subspaces must balance)
                 from ..ops.pq import fit_opq_rotation
                 rot = fit_opq_rotation(res, m)
-            codebook = self._fit_codebook(res, m, rot)
+            self._rot = rot
+            self._rot_dev = None
+            self._cents_scan_host = None
+            if rot is not None:
+                # fit (and later encode) residuals in the SCAN's basis:
+                # rotated rows minus the bf16-rounded rotated centroid
+                # table — see _scan_cents
+                res = rows @ rot - self._scan_cents()[cids]
+            codebook = self._fit_codebook(res, m)
 
             self._m = m
             self._codebook = codebook
             self._codebook_dev = None
-            self._rot = rot
-            self._rot_dev = None
             self._codes = np.zeros((self._capacity, m), np.uint8)
             self._pq_dirty.clear()
             self._pq_full_reencode = True
@@ -230,8 +259,13 @@ class IvfPqIndex(_PqCodesCore, IvfFlatIndex):
                 self._spill_cid[spi[unknown]] = self._nearest_cids(rows_u)
                 self._cid_sp_dirty = True
             cids[sp] = self._spill_cid[spi]
-        res = (self._vectors[slots].astype(np.float32)
-               - self._centroids[cids])
+        rows = self._vectors[slots].astype(np.float32)
+        if self._rot is not None:
+            # the scan's basis (see _scan_cents): rotate, then subtract
+            # the table the scan adds back
+            res = rows @ self._rot - self._scan_cents()[cids]
+        else:
+            res = rows - self._centroids[cids]
         return self._encode_rows(res)
 
     # -- mutation hooks (spill-cid hygiene) --------------------------------------
@@ -254,12 +288,10 @@ class IvfPqIndex(_PqCodesCore, IvfFlatIndex):
     def _pq_sync(self):
         out = super()._pq_sync()
         if self._cents_scan_dev is None:
-            cents = self._centroids
-            if self._rot is not None:
-                # the scan runs in OPQ-rotated space: rotate the centroid
-                # table once and bf16-round it (the same exact-in-bf16
-                # invariant as the unrotated table)
-                cents = _round_bf16(cents @ self._rot)
+            # the scan runs in the OPQ-rotated space when a rotation is
+            # trained; _scan_cents is the one table both the encode-time
+            # residuals and the scan reconstruction share
+            cents = self._scan_cents()
             self._cents_scan_dev = jnp.asarray(cents)
             self._csq_dev = jnp.asarray(np.sum(
                 cents * cents, axis=1, dtype=np.float32))
@@ -369,9 +401,12 @@ class IvfPqIndex(_PqCodesCore, IvfFlatIndex):
                     raise IndexOpError(
                         f"ivfpq state: rotation shape {rot.shape} does "
                         f"not match dimension {dim}")
+            # _rotate (future-train preference) deliberately untouched —
+            # importing a rotation-less snapshot must not silently drop
+            # OPQ from later retrains (code-review finding, round 3)
             self._rot = rot
             self._rot_dev = None
-            self._rotate = rot is not None
+            self._cents_scan_host = None
             self._spill_cid = spill_cid
             self._cid_sp_dirty = True
             self._m = m

@@ -211,6 +211,15 @@ class _PqCodesCore:
 
     # -- encoding --------------------------------------------------------------
 
+    def _encode_rot(self):
+        """Rotation ``pq_encode`` applies to encode inputs. Hook:
+        IvfPqIndex returns None — it folds the rotation into its host
+        residual computation so residuals live in the scan's own basis
+        (encoding vs the bf16-rounded ROTATED centroid table; rotating
+        raw-space residuals instead would leave a per-cluster
+        c@R - bf16(c@R) reconstruction bias the codes cannot express)."""
+        return self._rot_dev_arr()
+
     def _encode_rows(self, rows: np.ndarray) -> np.ndarray:
         """(n, d) f32 -> (n, m) uint8 via the trained codebook, ALWAYS
         through the device program. A batch-size-dependent host shortcut
@@ -240,7 +249,7 @@ class _PqCodesCore:
                     [blk, np.zeros((pad, blk.shape[1]), np.float32)])
             codes = np.asarray(pq_encode(jnp.asarray(blk),
                                          self._codebook_dev, chunk=c,
-                                         rot=self._rot_dev_arr()))
+                                         rot=self._encode_rot()))
             out[a:a + bn] = codes[:bn]
         return out
 
@@ -350,61 +359,12 @@ class _PqCodesCore:
     def _pq_sync(self):
         """Bring codes/codebook/validity device copies current (lock
         held). Returns (codes_dev, bd_dev, cnorm_dev, valid_dev).
-        With a mesh, codes/validity live sharded over the row axis
-        (wholesale re-put on mutation — same policy as the sharded flat
-        sync) and the codebook tables replicate."""
-        if self._mesh is not None:
-            return self._pq_sync_sharded()
-        if self._codebook_dev is None:
-            from ..ops.pq import pack_codebook
-            self._codebook_dev = jnp.asarray(self._codebook)
-            bd, _ = pack_codebook(self._codebook)
-            self._bd_dev = jnp.asarray(bd)
-            self._cnorm_dev = jnp.asarray(
-                np.sum(self._codebook * self._codebook, axis=-1,
-                       dtype=np.float32))
-        if self._pq_full_reencode:
-            self._reencode_all()
-            self._pq_full_reencode = False
-            self._pq_dirty.clear()
-            self._codes_dev = None
-        if self._pq_dirty:
-            slots = np.fromiter(self._pq_dirty, np.int64,
-                                count=len(self._pq_dirty))
-            self._pq_dirty.clear()
-            self._codes[slots] = self._encode_slots(slots)
-            if (self._codes_dev is not None
-                    and len(slots) <= _SCATTER_MAX):
-                from ..ops.topk import next_pow2
-                from ..ops.update import scatter_rows, scatter_rows_copy
-                n = len(slots)
-                npad = next_pow2(n, floor=1)
-                if npad != n:   # idempotent duplicate writes pad the shape
-                    slots = np.concatenate(
-                        [slots, np.full(npad - n, slots[0], np.int64)])
-                rows = self._codes[slots]
-                op = (scatter_rows if self._searches_in_flight == 0
-                      else scatter_rows_copy)
-                self._codes_dev = op(self._codes_dev,
-                                     jnp.asarray(slots), jnp.asarray(rows))
-            else:
-                self._codes_dev = None
-        if self._codes_dev is None:
-            self._codes_dev = jnp.asarray(self._codes)
-            self._pq_valid_dirty = True
-        if self._pq_valid_dirty or self._pq_valid_dev is None:
-            self._pq_valid_dev = jnp.asarray(self._valid)
-            self._pq_valid_dirty = False
-        return (self._codes_dev, self._bd_dev, self._cnorm_dev,
-                self._pq_valid_dev)
-
-    def _pq_sync_sharded(self):
-        """Mesh variant of _pq_sync: host-side encode is unchanged; the
-        code matrix and validity are device_put sharded over the mesh row
-        axis. Dirty slots re-encode on host then re-put wholesale (a
-        scatter across a sharded buffer would reshard anyway)."""
-        import jax
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        One body for single-chip and mesh: with a mesh, codes/validity
+        device_put sharded over the row axis (wholesale re-put on
+        mutation — same policy as the sharded flat sync; a scatter
+        across a sharded buffer would reshard anyway) and the codebook
+        tables replicate."""
+        sharded = self._mesh is not None
         if self._codebook_dev is None:
             from ..ops.pq import pack_codebook
             self._codebook_dev = self._pq_replicated(self._codebook)
@@ -423,17 +383,46 @@ class _PqCodesCore:
                                 count=len(self._pq_dirty))
             self._pq_dirty.clear()
             self._codes[slots] = self._encode_slots(slots)
-            self._codes_dev = None
+            if (not sharded and self._codes_dev is not None
+                    and len(slots) <= _SCATTER_MAX):
+                from ..ops.topk import next_pow2
+                from ..ops.update import scatter_rows, scatter_rows_copy
+                n = len(slots)
+                npad = next_pow2(n, floor=1)
+                if npad != n:   # idempotent duplicate writes pad the shape
+                    slots = np.concatenate(
+                        [slots, np.full(npad - n, slots[0], np.int64)])
+                rows = self._codes[slots]
+                op = (scatter_rows if self._searches_in_flight == 0
+                      else scatter_rows_copy)
+                self._codes_dev = op(self._codes_dev,
+                                     jnp.asarray(slots), jnp.asarray(rows))
+            else:
+                self._codes_dev = None
         if self._codes_dev is None:
-            row2d = NamedSharding(self._mesh, P(self._row_axis, None))
-            self._codes_dev = jax.device_put(self._codes, row2d)
+            self._codes_dev = self._pq_put_rows(self._codes)
             self._pq_valid_dirty = True
         if self._pq_valid_dirty or self._pq_valid_dev is None:
-            row1d = NamedSharding(self._mesh, P(self._row_axis))
-            self._pq_valid_dev = jax.device_put(self._valid, row1d)
+            self._pq_valid_dev = self._pq_put_vec(self._valid)
             self._pq_valid_dirty = False
         return (self._codes_dev, self._bd_dev, self._cnorm_dev,
                 self._pq_valid_dev)
+
+    def _pq_put_rows(self, arr):
+        if self._mesh is None:
+            return jnp.asarray(arr)
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        return jax.device_put(
+            arr, NamedSharding(self._mesh, P(self._row_axis, None)))
+
+    def _pq_put_vec(self, arr):
+        if self._mesh is None:
+            return jnp.asarray(arr)
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        return jax.device_put(
+            arr, NamedSharding(self._mesh, P(self._row_axis)))
 
     # -- scan dispatch hooks -----------------------------------------------------
 
@@ -468,7 +457,9 @@ class _PqCodesCore:
                             rot=rot)
 
     def _sharded_pq_scanner(self, r: int, with_rot: bool):
-        key = ("pqscan", r, self._capacity, with_rot)
+        # scan_recall is baked into the compiled closure, so it belongs
+        # in the cache key (the single-chip path reads it per call)
+        key = ("pqscan", r, self._capacity, with_rot, self.scan_recall)
         fn = self._sharded_search_cache.get(key)
         if fn is None:
             from ..parallel.distributed import make_sharded_pq_scan
@@ -997,9 +988,12 @@ class PqFlatIndex(_PqCodesCore, FlatIndex):
             self.ksub = ksub
             self._codebook = cb
             self._codebook_dev = None
+            # self._rotate (the constructor's preference for FUTURE
+            # trains) is deliberately NOT overwritten: importing a
+            # rotation-less snapshot into a rotate=True index must not
+            # silently drop OPQ from later retrains
             self._rot = rot
             self._rot_dev = None
-            self._rotate = rot is not None
             self._trained = True
             self._codes = np.zeros((self._capacity, m), np.uint8)
             self._pq_dirty.clear()
