@@ -44,8 +44,15 @@ def main():
                     help="queries ground-truthed on host (expensive)")
     ap.add_argument("--refines", type=str, default="64,128")
     ap.add_argument("--backing", type=str, default="/tmp/pq_scale_rows")
+    ap.add_argument("--enc-slab-log", type=int, default=19,
+                    help="rows per encode slab = 2^this (default 2^19: "
+                         "1.5 GB H2D per slab — the relay has wedged on "
+                         "3 GB transfers)")
     args = ap.parse_args()
     n, d, q, k = 1 << args.logn, args.d, args.q, args.k
+
+    import vectordb_tpu.index.pq as pqmod
+    pqmod._ENC_SLAB = 1 << args.enc_slab_log
 
     enable_persistent_jit_cache()
     rng = np.random.default_rng(0)
@@ -77,6 +84,21 @@ def main():
     t_train = time.perf_counter() - t0
     print(f"TRAIN (codebook fit) {t_train:.0f}s — m={idx._m} "
           f"ksub={idx.ksub}", flush=True)
+
+    # visible per-slab encode progress (the full-db encode runs inside
+    # the first search's device sync; at 32 x 1M-row slabs over a bursty
+    # relay, silence is indistinguishable from a wedge)
+    orig_encode = idx._encode_slots
+    enc = {"rows": 0, "t": time.perf_counter()}
+
+    def counted_encode(slots):
+        out = orig_encode(slots)
+        enc["rows"] += len(slots)
+        print(f"  encode {enc['rows'] / n:.0%} "
+              f"({time.perf_counter() - enc['t']:.0f}s)", flush=True)
+        return out
+
+    idx._encode_slots = counted_encode
 
     # first search pays the full-db encode + scan compile
     t0 = time.perf_counter()
