@@ -69,7 +69,9 @@ class EngineConfig:
     assignment), so reopen restores the EXACT pre-crash index — no
     rebuild, no retrain, identical search results. ``mesh`` (a
     jax.sharding.Mesh) makes recovery hydrate the packed database directly
-    into row-sharded device storage — the multi-chip resume path.
+    into row-sharded device storage — the multi-chip resume path; it
+    composes with index_type="flat" (any storage mode incl. int8) and
+    "pq" (sharded codes).
     """
     checkpoint_interval: int = 1000
     metric: DistanceMetric = DistanceMetric.EUCLIDEAN
@@ -91,6 +93,13 @@ class StorageEngine:
         self.data_dir.mkdir(parents=True, exist_ok=True)
         self.snapshots = SnapshotManager(self.data_dir)
         self.wal = WriteAheadLog.open(self.data_dir / WAL_FILE)
+        if self.config.mesh is not None and self.config.index_type in (
+                "hnsw", "ivf", "ivfpq"):
+            # a silently ignored mesh would read as sharded durability
+            # without being one; only flat (f32/bf16/int8) and pq shard
+            raise ValueError(
+                f"index_type={self.config.index_type!r} does not "
+                "support mesh= (sharded lanes: 'flat' and 'pq')")
         if self.config.index_type == "hnsw":
             from ..index.hnsw import HnswIndex, HnswParams
             params = self.config.hnsw_params or HnswParams()
@@ -108,7 +117,7 @@ class StorageEngine:
                     "(codes); storage quantization modes do not compose")
             from ..index.pq import PqFlatIndex
             self.store = VectorStore.with_index(
-                PqFlatIndex(self.config.metric))
+                PqFlatIndex(self.config.metric, mesh=self.config.mesh))
         elif self.config.index_type == "ivfpq":
             if self.config.storage != "f32":
                 raise ValueError(
