@@ -480,6 +480,75 @@ def test_bulk_load_stream(rng, tmp_path):
         idx.bulk_load_stream(4, d, iter([db[:4]]))  # non-empty index
 
 
+def test_bulk_attach_memmap(rng, tmp_path):
+    """The beyond-RAM reopen path: a second index adopts the first's row
+    file in place (no re-stream) and behaves identically — with and
+    without the sq_norms cache, and through PQ train + search."""
+    n, d = 1536, 16
+    db = _clustered(rng, n, d, n_centers=8)
+    back = str(tmp_path / "rows")
+    src = PqFlatIndex(DistanceMetric.EUCLIDEAN, m=4, ksub=16, refine=64,
+                      host_backing=back)
+    src.bulk_load_stream(n, d, iter([db]))
+    src.train()
+    want = src.search_batch(db[:8] + 0.001, 3)
+    path = src._vectors_path
+    cap = src.capacity
+    sq_cache = src._sq_norms[:n].copy()
+
+    for sq in (None, sq_cache):
+        idx = PqFlatIndex(DistanceMetric.EUCLIDEAN, m=4, ksub=16,
+                          refine=64, host_backing=back)
+        idx.bulk_attach_memmap(path, n, d, sq_norms=sq)
+        assert len(idx) == n and idx.capacity == cap
+        assert np.allclose(idx._sq_norms[:n], sq_cache)
+        idx.import_trained_state(src.export_trained_state())
+        assert idx.search_batch(db[:8] + 0.001, 3) == want
+        # mutation after attach hits the memmap + PQ dirty machinery
+        idx.remove(2)
+        got = idx.search_batch(db[2:3] + 0.001, 1)[0]
+        assert got and got[0][0] != 2
+        idx.add(n + 1, db[2])
+        got = idx.search_batch(db[2:3], 1)[0]
+        assert got[0][0] == n + 1 and got[0][1] < 1e-4
+
+    # the first attach's remove wrote through to the shared file; attach
+    # state is otherwise derived, so a fresh attach still serves
+    fresh = PqFlatIndex(DistanceMetric.EUCLIDEAN, m=4, ksub=16,
+                        host_backing=back)
+    # guards: non-empty/no-backing/bad-size/bad-norms
+    with pytest.raises(ValueError):
+        PqFlatIndex(DistanceMetric.EUCLIDEAN, m=4, ksub=16) \
+            .bulk_attach_memmap(path, n, d)
+    with pytest.raises(ValueError):
+        fresh.bulk_attach_memmap(path, n // 2, d)  # capacity mismatch
+    with pytest.raises(ValueError):
+        fresh.bulk_attach_memmap(path, n, d,
+                                 sq_norms=np.zeros(3, np.float32))
+    fresh.add(0, db[0])
+    with pytest.raises(ValueError):
+        fresh.bulk_attach_memmap(path, n, d)       # non-empty
+
+
+def test_bulk_attach_memmap_flat(rng, tmp_path):
+    """FlatIndex-level attach serves the exact scan directly."""
+    from vectordb_tpu import FlatIndex
+
+    n, d = 1200, 8
+    db = rng.standard_normal((n, d)).astype(np.float32)
+    back = str(tmp_path / "rows")
+    src = FlatIndex(DistanceMetric.EUCLIDEAN, host_backing=back)
+    src.bulk_load_stream(n, d, iter([db]))
+    want = src.search_batch(db[:4] + 0.001, 5)
+    idx = FlatIndex(DistanceMetric.EUCLIDEAN, host_backing=back)
+    idx.bulk_attach_memmap(src._vectors_path, n, d)
+    assert idx.search_batch(db[:4] + 0.001, 5) == want
+    with pytest.raises(ValueError):
+        FlatIndex(DistanceMetric.EUCLIDEAN, storage="bf16",
+                  host_backing=back).bulk_attach_memmap(
+                      src._vectors_path, n, d)
+
+
 # -- OPQ pre-rotation --------------------------------------------------------
 
 

@@ -566,6 +566,79 @@ class FlatIndex(Index):
             self._device = None
             self._dirty_slots.clear()
 
+    def bulk_attach_memmap(self, path: str, n: int, dim: int,
+                           sq_norms: Optional[np.ndarray] = None) -> None:
+        """Adopt an EXISTING packed row file as this index's storage —
+        the beyond-RAM reopen path. A prior ``host_backing`` run's row
+        file (tens of GB) attaches in place instead of being re-streamed
+        through ``bulk_load_stream``; rows get ids 0..n-1 (same contract
+        as the stream load). Reference parity note: this is the
+        attach-don't-rebuild idea of persistence reopen
+        (src/persistence/engine.rs:44-73) applied one level down, at the
+        row-file layer, where rewriting the file would cost hours.
+
+        Requirements: an empty single-chip f32 index constructed with
+        ``host_backing``; the file must hold exactly the capacity
+        ``bulk_load_stream(n)`` would have allocated (``next_pow2(n)``
+        rows of ``dim`` f32s, row i at byte offset ``i*dim*4``).
+        ``sq_norms`` (shape ``(n,)``) skips the one streaming pass over
+        the file that otherwise recomputes the per-row norm caches —
+        callers at the 100 GB scale cache them beside the file."""
+        import os
+        with self._lock:
+            if self._len or self._slot_of_id:
+                raise ValueError("bulk_attach_memmap requires an empty "
+                                 "index")
+            if self._host_backing is None:
+                raise ValueError("bulk_attach_memmap requires "
+                                 "host_backing")
+            if self.storage != "f32":
+                raise ValueError("bulk_attach_memmap supports f32 "
+                                 "storage only")
+            if self._mesh is not None:
+                raise ValueError("bulk_attach_memmap is single-chip only")
+            if n < 1:
+                raise ValueError("n must be >= 1")
+            if self._dim is not None and dim != self._dim:
+                raise DimensionMismatchError(self._dim, dim)
+            cap = next_pow2(max(n, _MIN_CAPACITY), floor=_MIN_CAPACITY)
+            want = cap * dim * 4
+            have = os.path.getsize(path)
+            if have != want:
+                raise ValueError(
+                    f"row file holds {have} bytes; capacity {cap} x "
+                    f"{dim} f32 rows needs {want}")
+            mm = np.memmap(path, dtype=np.float32, mode="r+",
+                           shape=(cap, dim))
+            if sq_norms is not None:
+                sq = np.ascontiguousarray(sq_norms, np.float32)
+                if sq.shape != (n,):
+                    raise ValueError(f"sq_norms must have shape ({n},)")
+            else:
+                sq = np.empty(n, np.float32)
+                for lo in range(0, n, _QUANT_CHUNK):
+                    blk = mm[lo:min(lo + _QUANT_CHUNK, n)]
+                    sq[lo:lo + len(blk)] = np.einsum(
+                        "ij,ij->i", blk, blk).astype(np.float32)
+            self._dim = dim
+            self._capacity = cap
+            self._vectors = mm
+            self._vectors_path = path
+            self._sq_norms = np.zeros(cap, np.float32)
+            self._sq_norms[:n] = sq
+            self._norms = np.zeros(cap, np.float32)
+            self._norms[:n] = np.sqrt(sq)
+            self._valid = np.zeros(cap, dtype=bool)
+            self._valid[:n] = True
+            self._id_of_slot = np.full(cap, -1, np.int64)
+            self._id_of_slot[:n] = np.arange(n, dtype=np.int64)
+            self._slot_of_id = {j: j for j in range(n)}
+            self._free_slots = list(range(cap - 1, n - 1, -1))
+            self._len = n
+            self._zero_norm_live = int((sq == 0.0).sum())
+            self._device = None
+            self._dirty_slots.clear()
+
     def _write_slot(self, slot: int, internal_id: int, arr: np.ndarray) -> None:
         arr = self._quantize(arr)   # norms below see the stored values
         self._vectors[slot] = arr

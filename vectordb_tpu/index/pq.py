@@ -335,6 +335,16 @@ class _PqCodesCore:
         with self._lock:
             self._after_bulk_load()
 
+    def bulk_attach_memmap(self, *args, **kwargs) -> None:
+        super().bulk_attach_memmap(*args, **kwargs)
+        with self._lock:
+            # attach bypasses _ensure_storage, so the PQ-side per-slot
+            # arrays are sized here
+            if (self._slot_tick is None
+                    or len(self._slot_tick) != self._capacity):
+                self._slot_tick = np.zeros(self._capacity, np.int64)
+            self._after_bulk_load()
+
     def _after_bulk_load(self) -> None:
         self._tick += 1
         self._slot_tick[:self._len] = self._tick
@@ -365,7 +375,9 @@ class _PqCodesCore:
         across a sharded buffer would reshard anyway) and the codebook
         tables replicate."""
         sharded = self._mesh is not None
-        if self._codebook_dev is None:
+        # _bd_dev checked too: an encode (which installs _codebook_dev
+        # alone via _encode_rows) may run before the first search sync
+        if self._codebook_dev is None or self._bd_dev is None:
             from ..ops.pq import pack_codebook
             self._codebook_dev = self._pq_replicated(self._codebook)
             bd, _ = pack_codebook(self._codebook)
