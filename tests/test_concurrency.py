@@ -12,7 +12,7 @@ import time
 import numpy as np
 import pytest
 
-from vectordb_tpu.server import test_api
+from vectordb_tpu.server import test_api as make_test_api
 from vectordb_tpu.utils.locks import RwLock
 
 
@@ -78,7 +78,7 @@ class TestRwLock:
 def test_threaded_api_stress():
     """Concurrent inserts, searches, deletes and metrics reads through the
     router must neither crash nor corrupt the store."""
-    api, state = test_api()
+    api, state = make_test_api()
     dim = 8
     rng = np.random.default_rng(0)
     vectors = rng.standard_normal((200, dim)).astype(np.float32)

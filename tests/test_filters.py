@@ -417,6 +417,34 @@ class TestKnobsComposeWithFilters:
         assert got and all(int(r.id[1:]) % 2 == 0 for r in got)
         assert got[0].id == "v4"
 
+    def test_ef_with_selective_filter_returns_k(self, rng):
+        """ef + a SELECTIVE filter must still fill k results when k
+        matches exist: the user ef rides the masked traversal (widened
+        by selectivity), and the over-fetch fallback scales fetch_k by
+        the mask's selectivity instead of a fixed 3x."""
+        from vectordb_tpu.index.hnsw import HnswIndex, HnswParams
+        store = VectorStore(HnswIndex(DistanceMetric.EUCLIDEAN,
+                                      HnswParams(seed=7)))
+        data = rng.standard_normal((600, 8)).astype(np.float32)
+        # 1-in-30 selectivity: 20 eligible rows total
+        for i in range(len(data)):
+            store.insert_with_metadata(f"v{i}", Vector(data[i]),
+                                       meta(par=i % 30))
+        flt = MetadataFilter.eq("par", "0")
+        elig = [i for i in range(len(data)) if i % 30 == 0]
+        for ef in (16, 64):
+            got = store.search_with_filter(Vector(data[30]), 10, flt,
+                                           ef=ef)
+            assert len(got) == 10, (ef, len(got))
+            assert all(int(r.id[1:]) % 30 == 0 for r in got)
+            assert got[0].id == "v30"
+        # exactness of the set at a generous ef
+        q = data[30]
+        d2 = np.sum((data[elig] - q) ** 2, axis=1)
+        want = {f"v{elig[j]}" for j in np.argsort(d2)[:10]}
+        got = store.search_with_filter(Vector(q), 10, flt, ef=512)
+        assert len({r.id for r in got} & want) >= 9
+
     def test_knob_mismatch_with_filter_raises(self, rng):
         from vectordb_tpu.errors import IndexOpError
         store = VectorStore.with_flat_index(DistanceMetric.EUCLIDEAN)

@@ -6,12 +6,12 @@ import urllib.request
 
 import pytest
 
-from vectordb_tpu.server import test_api
+from vectordb_tpu.server import test_api as make_test_api
 
 
 @pytest.fixture
 def api():
-    return test_api()[0]
+    return make_test_api()[0]
 
 
 def insert(api, vid, vec, metadata=None):

@@ -164,15 +164,17 @@ class HnswIndex(Index):
         return self.refine_radius(raw, query, radius)
 
     def search_masked(self, query: Vector, k: int, slot_mask: np.ndarray,
-                      mask_layout_version=None):
+                      mask_layout_version=None, ef=None):
         """Exact filtered traversal (retires the reference's 3x over-fetch
         from the HNSW hot path, storage.rs:268-287): the layer-0 beam
         admits only mask-passing slots to the result set while navigation
-        stays unmasked (the standard filtered-HNSW shape). ef scales with
-        the mask's selectivity, and a visit budget bounds the expansion;
-        a shortfall (< k results) returns None so the store's over-fetch
-        fallback decides — exactness of the filter is unconditional, the
-        recall story is the same best-effort as unfiltered HNSW."""
+        stays unmasked (the standard filtered-HNSW shape). ef (the
+        caller's per-query beam width when given, else the index default)
+        scales with the mask's selectivity, and a visit budget bounds the
+        expansion; a shortfall (< k results) returns None so the store's
+        over-fetch fallback decides — exactness of the filter is
+        unconditional, the recall story is the same best-effort as
+        unfiltered HNSW."""
         if (mask_layout_version is not None
                 and mask_layout_version != self.slot_layout_version):
             from ..errors import StaleSlotMaskError
@@ -186,7 +188,7 @@ class HnswIndex(Index):
             mask = np.concatenate(
                 [mask, np.zeros(cap - mask.shape[0], bool)])
         sel = float(mask.mean())
-        ef = max(self.params.ef_search, k)
+        ef = max(int(ef) if ef is not None else self.params.ef_search, k)
         ef = min(int(ef / max(sel, 0.05)), max(4 * ef, 512))
         res = self._graph.search_knn(as_f32_array(query), k, ef=ef,
                                      mask=mask, visit_budget=64 * ef)

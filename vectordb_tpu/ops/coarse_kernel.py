@@ -551,7 +551,7 @@ def _refine_dots(tile_idx, queries, db, m: int, interpret: bool):
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((qbr, d), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((qbr, m * SUB), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),

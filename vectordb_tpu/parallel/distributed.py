@@ -78,7 +78,16 @@ def make_sharded_search(mesh: Mesh, metric: DistanceMetric, k: int,
         """Per-shard fused scan + local top-k. Shapes are per-block."""
         if scales_blk is not None:
             # int8 storage: dequantize the shard block exactly (integer
-            # codes <= 127 times a pow2 scale carry no rounding)
+            # codes <= 127 times a pow2 scale carry no rounding). NOTE:
+            # unless XLA fuses this into the matmul, the dequantize
+            # materializes a transient f32 copy of the shard block (4x
+            # the code footprint) — and the (Q, block_rows) distance
+            # matrix below has the same full-materialization shape. This
+            # XLA fallback therefore serves SMALL/odd shapes and CPU
+            # tests only; the advertised 16M rows/chip (128M on a v5e-8)
+            # capacity assumes the pow2 block shapes FlatIndex allocates,
+            # which supports_1p_int8 gates into the streaming coarse
+            # kernel (sharded_coarse_supported) instead of this path.
             db_blk = db_blk.astype(jnp.float32) * scales_blk[:, None]
         elif db_blk.dtype == jnp.bfloat16:
             # bf16 storage: widen per shard (XLA fuses the convert into
@@ -220,7 +229,13 @@ def make_sharded_pq_scan(mesh: Mesh, metric: DistanceMetric, r: int,
     if block_rows % chunk:
         raise ValueError(f"block_rows {block_rows} not a multiple of "
                          f"chunk {chunk}")
-    r_local = min(r, chunk)
+    if r > chunk:
+        # pq_scan_topr raises the same way; silently clamping here would
+        # shrink the merged refine pool below the requested size (a
+        # recall loss the caller never sees). _scan_r_max() keeps real
+        # callers inside this envelope.
+        raise ValueError(f"r={r} exceeds per-shard scan chunk {chunk}")
+    r_local = r
 
     def local_scan(queries_blk, codes_blk, bd, cnorm, valid_blk, *rot):
         sv, sl = pq_scan_topr(queries_blk, codes_blk, bd, cnorm,
@@ -325,9 +340,10 @@ class DistributedFlatIndex:
         self._n, self._dim = n, d
         self._block_rows = padded // self.mesh.shape[self.row_axis]
         self._device = (db, sqs, nrm, vld)
-        # padding scales must be 1.0, not 0 — shard_rows zero-pads, and a
-        # 0 scale is fine for dead rows (valid=False masks them) but keep
-        # the invariant documented: dead-slot codes are all-zero anyway
+        # shard_rows zero-pads the scales, and zero padding scales are
+        # SAFE: scales are only ever multiplied into code values (never
+        # divided — no NaN/inf), and padded slots carry valid=False plus
+        # all-zero codes, so their distances are masked to +inf anyway
         self._scales = rest[0] if rest else None
         self._elo_max = None
         if self._coarse_enabled():

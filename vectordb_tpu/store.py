@@ -420,9 +420,8 @@ class VectorStore:
         # mask compilation races concurrent slot repacks (IVF train): the
         # index re-checks the layout version under its lock and raises
         # StaleSlotMaskError, and we recompile against the new layout.
-        # ef skips the masked loop: HNSW has no masked traversal.
-        for _ in range(_MASK_RETRIES if (knob is None or knob[0] != "ef")
-                       else 0):
+        sel_fetch_k = 0
+        for _ in range(_MASK_RETRIES):
             self._ensure_columnar_current()
             mask = self._columnar.compile_mask(filter) \
                 if self._columnar.capacity else None
@@ -433,6 +432,14 @@ class VectorStore:
                     masked = self._index.search_masked(
                         query, k, mask,
                         mask_layout_version=self._columnar_layout)
+                elif knob[0] == "ef":
+                    # the user's ef rides the masked traversal (which
+                    # further widens it by the mask's selectivity) —
+                    # _tuned_knob already guaranteed an HNSW index
+                    masked = self._index.search_masked(
+                        query, k, mask,
+                        mask_layout_version=self._columnar_layout,
+                        ef=knob[1])
                 else:
                     raw = self._index.search_batch(
                         as_f32_array(query).reshape(1, -1), k,
@@ -444,12 +451,20 @@ class VectorStore:
                 continue
             if masked is not None:
                 return self._map_results(masked)
+            # masked traversal came up short: remember the mask's
+            # selectivity so the over-fetch below widens fetch_k to the
+            # expected depth of the k-th eligible row instead of the
+            # fixed 3x (a selective filter would otherwise silently
+            # return < k results even when k matches exist)
+            elig = int(np.asarray(mask, dtype=bool).sum())
+            if elig > 0:
+                sel_fetch_k = -(-k * len(self) // elig)  # ceil
             break
         # fallback: reference-style 3x over-fetch + post-filter (also the
         # terminal path if repacks keep winning the race — it reads the
         # internal-id-keyed metadata dict, which is layout-independent);
         # with a knob the over-fetch itself runs the tuned search
-        fetch_k = min(max(k * 3, k), len(self))
+        fetch_k = min(max(k * 3, k, sel_fetch_k), len(self))
         if knob is not None:
             raw = knob[2](query, fetch_k, knob[1])
         else:
