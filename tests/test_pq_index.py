@@ -549,6 +549,168 @@ def test_bulk_attach_memmap_flat(rng, tmp_path):
                       src._vectors_path, n, d)
 
 
+# -- device-side exact re-rank -----------------------------------------------
+
+
+class TestDeviceRerank:
+    """ops/pq.pq_rerank_topk + the rerank="device" index lane: exact f32
+    re-rank on chip instead of host NumPy (forced on the CPU backend
+    here; "auto" resolves to device only on TPU)."""
+
+    def _mk(self, rng, metric=DistanceMetric.EUCLIDEAN, n=3000, d=16,
+            **kw):
+        db = _clustered(rng, n, d, n_centers=8)
+        if metric is DistanceMetric.COSINE:
+            db = db + 2.0   # keep norms away from zero
+        host = PqFlatIndex(metric, m=4, ksub=16, refine=64,
+                           rerank="host", seed=0, **kw)
+        dev = PqFlatIndex(metric, m=4, ksub=16, refine=64,
+                          rerank="device", seed=0, **kw)
+        ids = np.arange(n, dtype=np.int64)
+        host.bulk_load_matrix(ids, db)
+        dev.bulk_load_matrix(ids, db)
+        host.train()
+        dev.train()
+        return db, host, dev
+
+    @pytest.mark.parametrize("metric", [DistanceMetric.EUCLIDEAN,
+                                        DistanceMetric.DOT_PRODUCT,
+                                        DistanceMetric.COSINE])
+    def test_matches_host_rerank(self, rng, metric):
+        db, host, dev = self._mk(rng, metric)
+        q = db[:32] + 0.001
+        want = host.search_batch(q, 5)
+        got = dev.search_batch(q, 5)
+        for w, g in zip(want, got):
+            assert [i for i, _ in w] == [i for i, _ in g]
+            assert np.allclose([d for _, d in w], [d for _, d in g],
+                               rtol=1e-5, atol=1e-5)
+
+    def test_exact_distances_vs_oracle(self, rng):
+        db, _, dev = self._mk(rng)
+        q = db[7:8] + 0.01
+        got = dev.search_batch(q, 3, refine=512)[0]
+        d2 = np.sqrt(np.sum((db - q) ** 2, axis=1))
+        order = np.argsort(d2)[:3]
+        assert [i for i, _ in got] == order.tolist()
+        assert np.allclose([d for _, d in got], d2[order], atol=1e-5)
+
+    def test_filtered_device_rerank(self, rng):
+        db, host, dev = self._mk(rng)
+        mask = np.zeros(dev.capacity, bool)
+        elig = np.arange(0, len(db), 3)
+        mask[elig] = True
+        q = np.ascontiguousarray(db[:8] + 0.001)
+        want = host.search_batch(q, 5, slot_mask=mask)
+        got = dev.search_batch(q, 5, slot_mask=mask)
+        for w, g in zip(want, got):
+            assert [i for i, _ in g] == [i for i, _ in w]
+            assert all(i % 3 == 0 for i, _ in g)
+
+    def test_mutations_resync_device_rows(self, rng):
+        db, _, dev = self._mk(rng)
+        q = np.ascontiguousarray(db[5:6])
+        assert dev.search_batch(q, 1)[0][0][0] == 5
+        # overwrite id 5 far away; a fresh row lands exactly on q
+        dev.add(5, db[5] + 100.0)
+        dev.add(4000, db[5])
+        got = dev.search_batch(q, 2)[0]
+        assert got[0][0] == 4000 and got[0][1] < 1e-4
+        assert all(i != 5 for i, _ in got)
+        dev.remove(4000)
+        got = dev.search_batch(q, 1)[0]
+        assert got[0][0] != 4000
+
+    def test_mutation_race_repair(self, rng):
+        """A slot mutated between scan snapshot and id-mapping must not
+        leak the old occupant's distance under a new id; the repair path
+        re-answers through the host re-rank over the kept pool."""
+        db, _, dev = self._mk(rng)
+        q = np.ascontiguousarray(db[5:6])
+        orig = dev._collect_device_rerank
+        fired = {}
+
+        def hooked(queries, dev_out, k_req, tick0, lv0, mask):
+            if not fired:
+                fired["x"] = True
+                dev.add(5, db[5] + 50.0)   # mutates id 5's slot mid-flight
+            return orig(queries, dev_out, k_req, tick0, lv0, mask)
+
+        dev._collect_device_rerank = hooked
+        try:
+            got = dev.search_batch(q, 5)[0]
+        finally:
+            dev._collect_device_rerank = orig
+        assert fired
+        assert len(got) == 5
+        # id 5 must not appear with the OLD row's near-zero distance
+        for i, dist in got:
+            assert not (i == 5 and dist < 1.0), got
+
+    def test_ivfpq_device_rerank_matches_host(self, rng):
+        from vectordb_tpu.index import IvfPqIndex
+
+        n, d = 4096, 16
+        db = _clustered(rng, n, d, n_centers=8)
+        ids = np.arange(n, dtype=np.int64)
+        host = IvfPqIndex(DistanceMetric.EUCLIDEAN, nlist=8, m=4, ksub=16,
+                          refine=64, seed=0, rerank="host")
+        dev = IvfPqIndex(DistanceMetric.EUCLIDEAN, nlist=8, m=4, ksub=16,
+                         refine=64, seed=0, rerank="device")
+        host.bulk_load_matrix(ids, db)
+        dev.bulk_load_matrix(ids, db)
+        host.train()
+        dev.train()
+        q = np.ascontiguousarray(db[:16] + 0.001)
+        want = host.search_batch(q, 5)
+        got = dev.search_batch(q, 5)
+        for w, g in zip(want, got):
+            assert [i for i, _ in w] == [i for i, _ in g]
+            assert np.allclose([d for _, d in w], [d for _, d in g],
+                               rtol=1e-5, atol=1e-5)
+
+    def test_device_rerank_requires_resident_rows(self, rng, tmp_path):
+        with pytest.raises(ValueError):
+            PqFlatIndex(DistanceMetric.EUCLIDEAN, rerank="bogus")
+        idx = PqFlatIndex(DistanceMetric.EUCLIDEAN, m=4, ksub=16,
+                          rerank="device",
+                          host_backing=str(tmp_path / "rows"))
+        db = _clustered(rng, 1500, 16, n_centers=8)
+        idx.bulk_load_matrix(np.arange(1500, dtype=np.int64), db)
+        idx.train()
+        with pytest.raises(IndexOpError):
+            idx.search_batch(db[:2], 3)
+
+    def test_rerank_topk_op_shapes(self, rng):
+        import jax.numpy as jnp
+
+        from vectordb_tpu.ops.pq import pq_rerank_topk
+
+        cap, d, q, r, k = 256, 8, 1024, 16, 4   # q spans two map blocks
+        rows = rng.standard_normal((cap, d)).astype(np.float32)
+        slots = rng.integers(0, cap, (q, r)).astype(np.int32)
+        scores = np.zeros((q, r), np.float32)
+        scores[:, -2:] = np.inf          # empty candidate columns
+        valid = np.ones(cap, bool)
+        valid[3] = False
+        dv, ds = pq_rerank_topk(jnp.asarray(rng.standard_normal(
+            (q, d)).astype(np.float32)), jnp.asarray(rows),
+            jnp.asarray(slots), jnp.asarray(scores), jnp.asarray(valid),
+            DistanceMetric.EUCLIDEAN, k)
+        dv, ds = np.asarray(dv), np.asarray(ds)
+        assert dv.shape == (q, k) and ds.shape == (q, k)
+        assert np.all(np.diff(dv, axis=1) >= 0)          # ascending
+        finite = np.isfinite(dv)
+        assert not np.any((ds == 3) & finite)            # invalid slot
+        # masked columns never surface
+        empty = np.isin(ds, slots[:, -2:]) & finite
+        for qi in range(q):
+            ok_slots = set(slots[qi, :-2].tolist()) - {3}
+            for j in range(k):
+                if finite[qi, j]:
+                    assert int(ds[qi, j]) in ok_slots
+
+
 # -- OPQ pre-rotation --------------------------------------------------------
 
 

@@ -79,7 +79,8 @@ class IvfPqIndex(_PqCodesCore, IvfFlatIndex):
                  spill_frac: float = 0.02, auto_train_min: int = 8192,
                  seed: int = 0, scan_recall: float = 0.85,
                  assign_mode: str = "auto",
-                 balance_slack: float = 1.5, rotate: bool = True):
+                 balance_slack: float = 1.5, rotate: bool = True,
+                 rerank: str = "auto"):
         # rotate: learn an OPQ pre-rotation on the RESIDUAL sample
         # (ops/pq.fit_opq_rotation) and run the whole scan in the rotated
         # space — codes approximate rotated residuals, the scan's
@@ -95,7 +96,7 @@ class IvfPqIndex(_PqCodesCore, IvfFlatIndex):
                          storage="f32", assign_mode=assign_mode,
                          balance_slack=balance_slack)
         self._pq_init(m, ksub, refine, train_iters, auto_train_min, seed,
-                      scan_recall, rotate=rotate)
+                      scan_recall, rotate=rotate, rerank=rerank)
         # nearest-centroid ids for SPILL slots (residuals there are taken
         # vs the row's nearest centroid — the assigned-cluster equivalent
         # does not exist); -1 = unresolved, filled lazily at encode time

@@ -78,6 +78,10 @@ _SCORE_BYTES = 1 << 28      # budget for (m, chunk, ksub) score tensors
 _ONEHOT_BYTES = 1 << 30     # budget for (chunk, m, ksub) bf16 one-hots
 _SCATTER_MAX = 1 << 15      # beyond this many dirty codes, re-put wholesale
 _RERANK_QBLOCK = 512
+_RERANK_DEV_ROW_BYTES = 12 << 30   # device re-rank row-mirror budget: the
+                                   # f32 rows live in HBM beside the codes
+                                   # (12 GB = the measured 4M x 768 f32
+                                   # single-chip ceiling)
 _MASKED_EXACT_MAX = 2048    # filters with at most max(r, this) eligible
                             # rows answer via the exact host scan — the
                             # masked device scan's positional candidate
@@ -105,8 +109,23 @@ class _PqCodesCore:
 
     def _pq_init(self, m: Optional[int], ksub: int, refine: int,
                  train_iters: int, auto_train_min: int, seed: int,
-                 scan_recall: float, rotate: bool = False) -> None:
+                 scan_recall: float, rotate: bool = False,
+                 rerank: str = "auto") -> None:
         self._want_mirrors = False
+        # where the exact re-rank runs. "device": gather the candidate
+        # rows from the HBM row mirror and compute exact f32 top-k on
+        # chip (ops/pq.pq_rerank_topk) — the host re-rank is the measured
+        # dominant PQ query cost and is linear in refine. "host": the
+        # original host-NumPy path (required for host_backing, where no
+        # device row copy exists, and for the mesh). "auto": device on
+        # the TPU backend when the rows fit _RERANK_DEV_ROW_BYTES and
+        # neither mesh nor host_backing is set, else host — a
+        # deterministic function of (config, capacity, backend), so
+        # reopen on the same backend reproduces the same path
+        # bit-identically.
+        if rerank not in ("auto", "device", "host"):
+            raise ValueError(f"unknown rerank mode: {rerank!r}")
+        self.rerank_mode = rerank
         if m is not None and m < 1:
             raise ValueError("m must be >= 1")
         if not 2 <= ksub <= 256:
@@ -488,6 +507,24 @@ class _PqCodesCore:
         """Largest refine pool the scan program supports."""
         return min(self._scan_chunk(), _MAX_REFINE)
 
+    def _device_rerank_active(self) -> bool:
+        """Resolve the re-rank venue (lock held). Deterministic in
+        (config, capacity, backend) — see _pq_init."""
+        if self.rerank_mode == "host":
+            return False
+        if self._mesh is not None or self._host_backing is not None:
+            if self.rerank_mode == "device":
+                raise IndexOpError(
+                    "rerank='device' needs device-resident rows (no "
+                    "mesh, no host_backing)")
+            return False
+        if self.rerank_mode == "device":
+            return True
+        import jax
+        return (jax.default_backend() == "tpu"
+                and self._capacity * (self._dim or 0) * 4
+                <= _RERANK_DEV_ROW_BYTES)
+
     def _pq_fallback_search(self, queries: np.ndarray, k: int, **fb):
         """Exact-scan fallback while untrained / for out-of-envelope r.
         Hook: IvfPqIndex bypasses IvfFlatIndex's probed path."""
@@ -606,7 +643,15 @@ class _PqCodesCore:
                 _CAND_BYTES // max(self._scan_bytes_per_query(r), 1)))
             tick0 = self._tick
             lv0 = self.slot_layout_version
+            rr_rows = None
             if exact_args is None:
+                if self._device_rerank_active():
+                    # sync the f32 row mirror under the SAME lock hold as
+                    # the codes sync above: rows and candidacy then form
+                    # one consistent snapshot, so the device re-rank
+                    # needs no per-slot mutation stamps — old candidacy
+                    # meets old values by construction
+                    rr_rows = self._sync_device()["db"]
                 self._searches_in_flight += 1
         if exact_args is not None:
             return self._masked_exact_host(queries, k_req, *exact_args)
@@ -616,6 +661,7 @@ class _PqCodesCore:
             from ..utils.profiling import annotate
             q = queries.shape[0]
             svs, sls = [], []
+            dev_out = []
             with annotate("vdb/pq.scan"):
                 for a in range(0, q, max_q):
                     qb = queries[a:a + max_q]
@@ -624,18 +670,36 @@ class _PqCodesCore:
                         qb = np.concatenate(
                             [qb, np.zeros((q_pad - len(qb), qb.shape[1]),
                                           np.float32)])
-                    sv, sl = self._scan_call(state, jnp.asarray(qb), r)
+                    qb_dev = jnp.asarray(qb)
+                    sv, sl = self._scan_call(state, qb_dev, r)
                     got = min(max_q, q - a)
-                    svs.append(np.asarray(jax.device_get(sv))[:got])
-                    sls.append(np.asarray(jax.device_get(sl))[:got])
+                    if rr_rows is not None:
+                        from ..ops.pq import pq_rerank_topk
+                        with annotate("vdb/pq.rerank_dev"):
+                            # state["valid"] already carries the filter
+                            # mask when one was given
+                            dv, ds = pq_rerank_topk(
+                                qb_dev, rr_rows, sl, sv, state["valid"],
+                                self._metric, k_req)
+                        dev_out.append(
+                            (np.asarray(jax.device_get(dv))[:got],
+                             np.asarray(jax.device_get(ds))[:got],
+                             sv, sl, got))
+                    else:
+                        svs.append(np.asarray(jax.device_get(sv))[:got])
+                        sls.append(np.asarray(jax.device_get(sl))[:got])
         finally:
             with self._lock:
                 self._searches_in_flight -= 1
-        scan_scores = np.concatenate(svs)
-        slots = np.concatenate(sls).astype(np.int64)
-        with annotate("vdb/pq.rerank"):
-            res = self._rerank(queries, scan_scores, slots, k_req, tick0,
-                               lv0, slot_mask=mk)
+        if rr_rows is not None:
+            res = self._collect_device_rerank(queries, dev_out, k_req,
+                                              tick0, lv0, mk)
+        else:
+            scan_scores = np.concatenate(svs)
+            slots = np.concatenate(sls).astype(np.int64)
+            with annotate("vdb/pq.rerank"):
+                res = self._rerank(queries, scan_scores, slots, k_req,
+                                   tick0, lv0, slot_mask=mk)
         if res is not None and mk is not None:
             res = self._fill_masked_short(res, queries, k_req, mk, lv0)
         if res is not None:
@@ -650,6 +714,62 @@ class _PqCodesCore:
             raise StaleSlotMaskError(mask_layout_version,
                                      self.slot_layout_version)
         return self._pq_search(queries, k, refine, None, None)
+
+    def _collect_device_rerank(self, queries: np.ndarray, dev_out,
+                               k_req: int, tick0: int, lv0: int,
+                               slot_mask: Optional[np.ndarray]
+                               ) -> Optional[List[List[Tuple[int, float]]]]:
+        """Map the device re-rank's (Q, k) results to ids. The device
+        computed exact distances over the SNAPSHOT rows (synced with the
+        codes under one lock hold), so values and candidacy are already
+        consistent; what remains is the id mapping, which must not
+        attribute a distance to a slot whose occupant changed after the
+        snapshot. Slots mutated after ``tick0`` are dropped, and any
+        query that lost results that way (rare: a concurrent write raced
+        this search) is re-answered through the host re-rank over its
+        full candidate pool, which the dispatch loop kept alive on
+        device for exactly this repair."""
+        import jax
+
+        out: List[List[Tuple[int, float]]] = []
+        a = 0
+        for dv, ds, sv_dev, sl_dev, got in dev_out:
+            sl = ds.astype(np.int64)
+            with self._lock:
+                if self.slot_layout_version != lv0:
+                    return None
+                ok = self._slot_tick[sl] <= tick0
+                ok &= self._valid[sl]
+                if slot_mask is not None:
+                    ok &= slot_mask[sl]
+                ids = self._id_of_slot[sl]
+            finite = np.isfinite(dv)
+            dropped = finite & ~ok
+            fixed: dict = {}
+            if dropped.any():
+                qidx = np.nonzero(dropped.any(axis=1))[0]
+                sv_h = np.asarray(jax.device_get(sv_dev))[:got]
+                sl_h = np.asarray(
+                    jax.device_get(sl_dev))[:got].astype(np.int64)
+                rows = self._rerank(
+                    np.ascontiguousarray(queries[a + qidx]),
+                    sv_h[qidx], sl_h[qidx], k_req, tick0, lv0,
+                    slot_mask=slot_mask)
+                if rows is None:
+                    return None
+                fixed = dict(zip(qidx.tolist(), rows))
+            for qi in range(got):
+                if qi in fixed:
+                    out.append(fixed[qi])
+                    continue
+                row: List[Tuple[int, float]] = []
+                for j in range(dv.shape[1]):
+                    if not finite[qi, j]:
+                        break
+                    row.append((int(ids[qi, j]), float(dv[qi, j])))
+                out.append(row)
+            a += got
+        return out
 
     def _rerank(self, queries: np.ndarray, scan_scores: np.ndarray,
                 slots: np.ndarray, k_req: int, tick0: int, lv0: int,
@@ -892,7 +1012,8 @@ class PqFlatIndex(_PqCodesCore, FlatIndex):
                  auto_train_min: int = 8192, seed: int = 0,
                  host_backing: Optional[str] = None,
                  scan_recall: float = 0.85, rotate: bool = True,
-                 mesh=None, row_axis: str = "shard"):
+                 mesh=None, row_axis: str = "shard",
+                 rerank: str = "auto"):
         # host_backing (FlatIndex option): keep the full-precision rows in
         # a disk-backed memmap — the natural pairing for PQ, whose device
         # footprint is m bytes/row while the re-rank touches only R rows
@@ -908,11 +1029,14 @@ class PqFlatIndex(_PqCodesCore, FlatIndex):
         # (v5e-8: 8x the one-chip PQ row ceiling — 268M rows at 768-d);
         # the exact-scan fallback (untrained / huge r) runs the sharded
         # f32 path.
+        # rerank: venue for the exact candidate re-rank — "auto" runs it
+        # on device (ops/pq.pq_rerank_topk) when the f32 rows are device-
+        # resident on the TPU backend, host-NumPy otherwise (see _pq_init)
         super().__init__(metric, search_mode="exact", storage="f32",
                          host_backing=host_backing, mesh=mesh,
                          row_axis=row_axis)
         self._pq_init(m, ksub, refine, train_iters, auto_train_min, seed,
-                      scan_recall, rotate=rotate)
+                      scan_recall, rotate=rotate, rerank=rerank)
 
     # -- training --------------------------------------------------------------
 

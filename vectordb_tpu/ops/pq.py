@@ -582,6 +582,71 @@ def ivfpq_scan_topr(queries, codes, bd, cnorm, valid, cents, csq, cid_sp,
     return -fv, jnp.take_along_axis(idx, pos, axis=1)
 
 
+_RERANK_DEV_QBLK = 512   # queries per gather block: bounds the (blk, r, d)
+                         # gathered-row transient to ~200 MB at r=128, d=768
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "k"))
+def pq_rerank_topk(queries, rows, slots, scan_scores, valid,
+                   metric: DistanceMetric, k: int):
+    """Exact f32 re-rank of PQ scan candidates ON DEVICE.
+
+    The host re-rank (index/pq._PqCodesCore._rerank) is the measured
+    dominant cost of a PQ query — a Q*r row gather plus BLAS on the one
+    shared host core, linear in refine (BASELINE.md: IVF-PQ falls 1.6k
+    -> 0.4k QPS as refine goes 16 -> 128). When the full-precision rows
+    are device-resident this program replaces it: gather the candidate
+    rows from HBM, compute exact f32 distances in the same direct forms
+    as the host path (difference form for euclidean — no |q|^2+|x|^2-2qx
+    cancellation; HIGHEST-precision dots for dot/cosine), mask dead
+    candidates, and return only the top-k (Q, k) pair — the D2H shrinks
+    from (Q, r) candidates to (Q, k) results.
+
+    Args: queries (Q, d) f32; rows (capacity, d) f32 — the index's
+    synced device row mirror, snapshot-consistent with the codes the
+    scan used; slots (Q, r) int32 candidate slots; scan_scores (Q, r)
+    (+inf marks empty candidate columns); valid (capacity,) bool (the
+    caller folds any filter mask in). Returns (dists (Q, k) f32
+    ascending with +inf tail, slots (Q, k) int32). Queries are processed
+    in _RERANK_DEV_QBLK blocks via lax.map so the gathered (blk, r, d)
+    transient stays bounded next to a multi-GB row mirror.
+    """
+    q, r = slots.shape
+    blk = min(_RERANK_DEV_QBLK, q)
+    if q % blk:
+        blk = q   # non-pow2 Q (callers pad; this is the safe fallback)
+    nb = q // blk
+
+    def body(args):
+        qb, sl, sc = args
+        g = rows[sl]                                    # (blk, r, d)
+        ok = jnp.isfinite(sc) & valid[sl]
+        if metric is DistanceMetric.EUCLIDEAN:
+            diff = g - qb[:, None, :]
+            dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
+        elif metric is DistanceMetric.DOT_PRODUCT:
+            dist = -jnp.einsum("qrd,qd->qr", g, qb,
+                               precision=jax.lax.Precision.HIGHEST)
+        else:
+            dots = jnp.einsum("qrd,qd->qr", g, qb,
+                              precision=jax.lax.Precision.HIGHEST)
+            qn = jnp.sqrt(jnp.sum(qb * qb, axis=1))[:, None]
+            xn = jnp.sqrt(jnp.sum(g * g, axis=-1))
+            denom = jnp.maximum(qn * xn, 1e-30)
+            dist = 1.0 - jnp.clip(dots / denom, -1.0, 1.0)
+        dist = jnp.where(ok, dist.astype(jnp.float32), jnp.inf)
+        neg, pos = jax.lax.top_k(-dist, k)
+        return -neg, jnp.take_along_axis(sl, pos, axis=1)
+
+    if nb == 1:
+        return body((queries, slots, scan_scores))
+    out_d, out_s = jax.lax.map(
+        body, (queries.reshape(nb, blk, queries.shape[1]),
+               slots.reshape(nb, blk, r),
+               scan_scores.reshape(nb, blk, r)))
+    return out_d.reshape(q, k), out_s.reshape(q, k)
+
+
 def pq_distortion(rows, codebook, codes):
     """Mean squared reconstruction error (host-side diagnostic)."""
     import numpy as np
