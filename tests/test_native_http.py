@@ -172,6 +172,41 @@ def test_concurrent_searches_drain_batch(server):
     assert all(results[qi] == f"v{qi}" for qi in range(64))
 
 
+def test_sustained_pipeline_depth(server):
+    """Closed-loop clients issuing repeated searches force multiple drain
+    cycles in flight at once (the collector thread overlaps cycle i's
+    collect with cycle i+1's submit); every response must still match
+    its request."""
+    rng = np.random.default_rng(3)
+    data = rng.standard_normal((256, 16)).astype(np.float32)
+    items = [{"id": f"p{i}", "vector": [float(x) for x in data[i]]}
+             for i in range(256)]
+    status, _ = _req(server, "POST", "/vectors/batch", {"vectors": items})
+    assert status == 201
+
+    errors = []
+
+    def worker(tid):
+        try:
+            for rep in range(10):
+                qi = (tid * 10 + rep) % 256
+                status, body = _req(
+                    server, "POST", "/search",
+                    {"vector": [float(x) for x in data[qi]], "k": 1})
+                assert status == 200, body
+                assert body[0]["id"] == f"p{qi}", (qi, body)
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(t,))
+               for t in range(16)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+
+
 def test_large_batch_insert_roundtrip(server):
     # a multi-MB body exercises incremental reads in the C++ parser
     rng = np.random.default_rng(1)

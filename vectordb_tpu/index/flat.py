@@ -424,22 +424,62 @@ class FlatIndex(Index):
                 break
             mat[j] = row
         if n:
-            slots = np.fromiter((self._take_slot() for _ in range(n)),
-                                dtype=np.int64, count=n)
-            mat = self._quantize(mat)
-            self._vectors[slots] = mat
-            sq = np.einsum("ij,ij->i", mat, mat).astype(np.float32)
-            self._sq_norms[slots] = sq
-            self._norms[slots] = np.sqrt(sq)
-            self._valid[slots] = True
-            self._id_of_slot[slots] = ids
-            self._slot_of_id.update(
-                zip(ids.tolist(), slots.tolist()))
-            self._len += n
-            self._zero_norm_live += int((sq == 0.0).sum())
-            self._dirty_slots.update(slots.tolist())
+            self._append_matrix_locked(ids, mat)
         if error is not None:
             raise error
+
+    def _append_matrix_locked(self, ids: np.ndarray, mat: np.ndarray
+                              ) -> None:
+        """Append a validated (n, d) f32 matrix of fresh distinct ids
+        (lock held, storage pre-sized). The one place append paths touch
+        packed storage — subclasses hook here to stamp their per-slot
+        state (e.g. PQ mutation ticks)."""
+        n = len(ids)
+        slots = np.fromiter((self._take_slot() for _ in range(n)),
+                            dtype=np.int64, count=n)
+        mat = self._quantize(mat)
+        self._vectors[slots] = mat
+        sq = np.einsum("ij,ij->i", mat, mat).astype(np.float32)
+        self._sq_norms[slots] = sq
+        self._norms[slots] = np.sqrt(sq)
+        self._valid[slots] = True
+        self._id_of_slot[slots] = ids
+        self._slot_of_id.update(
+            zip(ids.tolist(), slots.tolist()))
+        self._len += n
+        self._zero_norm_live += int((sq == 0.0).sum())
+        self._dirty_slots.update(slots.tolist())
+
+    def bulk_append_matrix(self, ids: np.ndarray, mat: np.ndarray) -> None:
+        """Vectorized append of fresh distinct int64 ids from a validated
+        (n, d) f32 matrix into a possibly NON-empty index — the recovery
+        fast path (bulk_load_matrix requires an empty index). No per-row
+        Python objects: snapshot replay through per-row
+        Vector/BatchInsertItem objects costs ~20-50 us/row of pure
+        Python, which is most of a 10M-row reopen on a single-core host
+        (reference recovery contract src/persistence/engine.rs:44-73 at
+        10,000x its scale)."""
+        with self._lock:
+            mat = np.ascontiguousarray(mat, dtype=np.float32)
+            ids = np.ascontiguousarray(ids, dtype=np.int64)
+            if mat.ndim != 2:
+                raise ValueError("mat must be a (n, d) matrix")
+            n, dim = mat.shape
+            if ids.shape[0] != n:
+                raise ValueError("ids/matrix length mismatch")
+            if n == 0:
+                return
+            if np.unique(ids).size != n:
+                raise ValueError("duplicate ids in bulk_append_matrix")
+            if self._dim is not None and dim != self._dim:
+                raise DimensionMismatchError(self._dim, dim)
+            if self._slot_of_id and any(
+                    map(self._slot_of_id.__contains__, ids.tolist())):
+                raise ValueError(
+                    "bulk_append_matrix ids must be fresh (use add_batch "
+                    "for upserts)")
+            self._ensure_storage(dim, self._len + n)
+            self._append_matrix_locked(ids, mat)
 
     def _bulk_load_fresh(self, ids: np.ndarray, items, dim: int) -> None:
         """Vectorized first-load: an empty index ingesting n distinct IDs
@@ -689,117 +729,144 @@ class FlatIndex(Index):
 
     # -- device mirror ------------------------------------------------------
 
+    def _build_device_full(self) -> dict:
+        """Build a complete device mirror from the host arrays and RETURN
+        it (no installation, no dirty-slot bookkeeping — callers own
+        both). Factored out of _sync_device so ``prehydrate`` can run the
+        multi-GB transfers outside the index lock."""
+        if self._mesh is not None:
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            row2d = NamedSharding(self._mesh, P(self._row_axis, None))
+            row1d = NamedSharding(self._mesh, P(self._row_axis))
+            rows = self._vectors
+            scales = None
+            if self.storage == "bf16":
+                import ml_dtypes
+                # host-side cast: 2-byte transfer per element (values
+                # were already quantized at insert)
+                rows = self._vectors.astype(ml_dtypes.bfloat16)
+            elif self.storage == "int8":
+                # host-side requantization (exact — values were pow2-
+                # quantized at insert): 1-byte codes + a f32 scale per
+                # row, both sharded over the mesh row axis — 8x16M =
+                # 128M rows of 768-d on a v5e-8
+                rows, scales = _int8_codes_scales(self._vectors)
+            dev = {
+                "db": jax.device_put(rows, row2d),
+                "sq_norms": jax.device_put(self._sq_norms, row1d),
+                "norms": jax.device_put(self._norms, row1d),
+                "valid": jax.device_put(self._valid, row1d),
+            }
+            if scales is not None:
+                dev["scales"] = jax.device_put(scales, row1d)
+                dev["int8_storage"] = True
+            if _pallas_enabled(self._mesh):
+                # arm the per-shard certified coarse path: each shard
+                # runs its own 1-pass margin; the residual bound is
+                # global (stale-high-safe)
+                if self.storage == "bf16":
+                    dev["bf16_storage"] = True
+                    dev["elo_max"] = jnp.float32(0.0)
+                elif self.storage == "int8":
+                    # codes cast to bf16 exactly in VMEM per shard:
+                    # zero db-side residual
+                    dev["elo_max"] = jnp.float32(0.0)
+                else:
+                    from ..ops.coarse_kernel import residual_max_norm_f32
+                    dev["elo_max"] = residual_max_norm_f32(dev["db"])
+            return dev
+        if self.storage == "int8":
+            # host-side requantization: a 1-byte transfer per element
+            # (values were already pow2-quantized at insert, so the
+            # codes are exact) plus a 4-byte/row scale vector
+            codes, scales = _int8_codes_scales(self._vectors)
+            dev = {
+                "db": jnp.asarray(codes),
+                "scales": jnp.asarray(scales),
+                "sq_norms": jnp.asarray(self._sq_norms),
+                "norms": jnp.asarray(self._norms),
+                "valid": jnp.asarray(self._valid),
+                "int8_storage": True,
+            }
+            if _pallas_enabled(self._mesh):
+                # arm the int8-source 1-pass certified tier: codes
+                # cast to bf16 exactly in VMEM, so the database-side
+                # residual bound is zero
+                dev["elo_max"] = jnp.float32(0.0)
+            return dev
+        if self.storage == "bf16":
+            import ml_dtypes
+            # host-side cast: a 2-byte transfer and no f32 device temp
+            db16 = jnp.asarray(self._vectors.astype(ml_dtypes.bfloat16))
+            dev = {
+                "db": db16,
+                "sq_norms": jnp.asarray(self._sq_norms),
+                "norms": jnp.asarray(self._norms),
+                "valid": jnp.asarray(self._valid),
+            }
+            if _pallas_enabled(self._mesh):
+                # the db IS its own hi mirror; certified-exact over
+                # the stored values with a zero residual bound
+                dev["hi"] = db16
+                dev["bf16_storage"] = True
+                dev["elo_max"] = jnp.float32(0.0)
+            return dev
+        dev = {
+            "db": jnp.asarray(self._vectors),
+            "sq_norms": jnp.asarray(self._sq_norms),
+            "norms": jnp.asarray(self._norms),
+            "valid": jnp.asarray(self._valid),
+        }
+        if not self._want_mirrors:
+            pass
+        elif _pallas_mirrors_enabled(self._capacity, self._dim,
+                                     self._mesh):
+            from ..ops.coarse_kernel import (residual_max_norm,
+                                             split_hi_lo)
+            hi, lo = split_hi_lo(dev["db"])
+            dev["hi"] = hi
+            dev["lo"] = lo
+            dev["elo_max"] = residual_max_norm(dev["db"], hi)
+        elif _pallas_enabled(self._mesh):
+            from ..ops.coarse_kernel import residual_max_norm_f32
+            dev["coarse_f32"] = True
+            dev["elo_max"] = residual_max_norm_f32(dev["db"])
+        return dev
+
+    def prehydrate(self) -> None:
+        """Build the device mirror OUTSIDE the index lock and install it
+        if no sync got there first — the recovery overlap: WAL-tail
+        replay mutates host arrays on one thread while the multi-GB H2D
+        transfers run on another. Rows written during the unlocked build
+        may be read torn into the mirror, but every such slot is in
+        ``_dirty_slots`` (never cleared here) and the next locked sync
+        re-scatters it. If storage GREW mid-build (the host arrays were
+        reallocated), the mirror is discarded — the identity check below
+        catches it — and the first search pays the normal full sync."""
+        with self._lock:
+            if self._device is not None or self._len == 0:
+                return
+            vec0 = self._vectors
+        try:
+            dev = self._build_device_full()
+        except Exception:
+            return  # first search will surface the real error
+        with self._lock:
+            if self._device is None and self._vectors is vec0:
+                self._device = dev
+
     def _sync_device(self) -> dict:
         """Bring the HBM mirror up to date. Called with the lock held."""
         if self._mesh is not None:
             # sharded mode: re-put wholesale when dirty (scatter across a
             # sharded buffer would reshard anyway); rows over the mesh axis
             if self._device is None or self._dirty_slots:
-                import jax
-                from jax.sharding import NamedSharding, PartitionSpec as P
-                row2d = NamedSharding(self._mesh, P(self._row_axis, None))
-                row1d = NamedSharding(self._mesh, P(self._row_axis))
-                rows = self._vectors
-                scales = None
-                if self.storage == "bf16":
-                    import ml_dtypes
-                    # host-side cast: 2-byte transfer per element (values
-                    # were already quantized at insert)
-                    rows = self._vectors.astype(ml_dtypes.bfloat16)
-                elif self.storage == "int8":
-                    # host-side requantization (exact — values were pow2-
-                    # quantized at insert): 1-byte codes + a f32 scale per
-                    # row, both sharded over the mesh row axis — 8x16M =
-                    # 128M rows of 768-d on a v5e-8
-                    rows, scales = _int8_codes_scales(self._vectors)
-                self._device = {
-                    "db": jax.device_put(rows, row2d),
-                    "sq_norms": jax.device_put(self._sq_norms, row1d),
-                    "norms": jax.device_put(self._norms, row1d),
-                    "valid": jax.device_put(self._valid, row1d),
-                }
-                if scales is not None:
-                    self._device["scales"] = jax.device_put(scales, row1d)
-                    self._device["int8_storage"] = True
-                if _pallas_enabled(self._mesh):
-                    # arm the per-shard certified coarse path: each shard
-                    # runs its own 1-pass margin; the residual bound is
-                    # global (stale-high-safe)
-                    if self.storage == "bf16":
-                        self._device["bf16_storage"] = True
-                        self._device["elo_max"] = jnp.float32(0.0)
-                    elif self.storage == "int8":
-                        # codes cast to bf16 exactly in VMEM per shard:
-                        # zero db-side residual
-                        self._device["elo_max"] = jnp.float32(0.0)
-                    else:
-                        from ..ops.coarse_kernel import \
-                            residual_max_norm_f32
-                        self._device["elo_max"] = residual_max_norm_f32(
-                            self._device["db"])
+                self._device = self._build_device_full()
                 self._dirty_slots.clear()
             return self._device
         if self._device is None:
-            if self.storage == "int8":
-                # host-side requantization: a 1-byte transfer per element
-                # (values were already pow2-quantized at insert, so the
-                # codes are exact) plus a 4-byte/row scale vector
-                codes, scales = _int8_codes_scales(self._vectors)
-                self._device = {
-                    "db": jnp.asarray(codes),
-                    "scales": jnp.asarray(scales),
-                    "sq_norms": jnp.asarray(self._sq_norms),
-                    "norms": jnp.asarray(self._norms),
-                    "valid": jnp.asarray(self._valid),
-                    "int8_storage": True,
-                }
-                if _pallas_enabled(self._mesh):
-                    # arm the int8-source 1-pass certified tier: codes
-                    # cast to bf16 exactly in VMEM, so the database-side
-                    # residual bound is zero
-                    self._device["elo_max"] = jnp.float32(0.0)
-                self._dirty_slots.clear()
-                return self._device
-            if self.storage == "bf16":
-                import ml_dtypes
-                # host-side cast: a 2-byte transfer and no f32 device temp
-                db16 = jnp.asarray(self._vectors.astype(ml_dtypes.bfloat16))
-                self._device = {
-                    "db": db16,
-                    "sq_norms": jnp.asarray(self._sq_norms),
-                    "norms": jnp.asarray(self._norms),
-                    "valid": jnp.asarray(self._valid),
-                }
-                if _pallas_enabled(self._mesh):
-                    # the db IS its own hi mirror; certified-exact over
-                    # the stored values with a zero residual bound
-                    self._device["hi"] = db16
-                    self._device["bf16_storage"] = True
-                    self._device["elo_max"] = jnp.float32(0.0)
-                self._dirty_slots.clear()
-                return self._device
-            self._device = {
-                "db": jnp.asarray(self._vectors),
-                "sq_norms": jnp.asarray(self._sq_norms),
-                "norms": jnp.asarray(self._norms),
-                "valid": jnp.asarray(self._valid),
-            }
-            if not self._want_mirrors:
-                pass
-            elif _pallas_mirrors_enabled(self._capacity, self._dim,
-                                         self._mesh):
-                from ..ops.coarse_kernel import (residual_max_norm,
-                                                 split_hi_lo)
-                hi, lo = split_hi_lo(self._device["db"])
-                self._device["hi"] = hi
-                self._device["lo"] = lo
-                self._device["elo_max"] = residual_max_norm(
-                    self._device["db"], hi)
-            elif _pallas_enabled(self._mesh):
-                from ..ops.coarse_kernel import residual_max_norm_f32
-                self._device["coarse_f32"] = True
-                self._device["elo_max"] = residual_max_norm_f32(
-                    self._device["db"])
+            self._device = self._build_device_full()
             self._dirty_slots.clear()
             return self._device
         if self._dirty_slots:

@@ -327,10 +327,14 @@ class _PqCodesCore:
         if self._trained:
             self._pq_valid_dirty = True
 
-    def _bulk_append_fresh(self, ids: np.ndarray, items, dim: int) -> None:
+    def _append_matrix_locked(self, ids: np.ndarray,
+                              mat: np.ndarray) -> None:
+        # the one seam every append path funnels through (per-item
+        # add_batch prefixes, bulk_append_matrix recovery chunks) — stamp
+        # ticks / PQ dirtiness for exactly the slots it touched
         pre = set(self._dirty_slots)
         try:
-            super()._bulk_append_fresh(ids, items, dim)
+            super()._append_matrix_locked(ids, mat)
         finally:
             new = self._dirty_slots - pre
             if new:

@@ -165,6 +165,19 @@ class StorageEngine:
                         or self._try_import_ivf(snap)
                         or self._try_import_ivfpq(snap)):
                     self._apply_snapshot(snap)
+        # overlap device hydration with the WAL tail: the snapshot rows
+        # (the bulk of the database) are final in host storage now, so
+        # the multi-GB H2D transfers run on a side thread while the tail
+        # replays host-side; rows the replay touches are re-scattered by
+        # the first locked sync (FlatIndex.prehydrate)
+        hydrator = None
+        index = self.store.index
+        if (self.config.index_type == "flat" and len(self.store)
+                and hasattr(index, "prehydrate")):
+            import threading
+            hydrator = threading.Thread(target=index.prehydrate,
+                                        daemon=True)
+            hydrator.start()
         # batch consecutive WAL inserts through the store's vectorized
         # bulk path (per-entry apply costs ~0.3 ms/row in slot writes —
         # almost an hour for a 10M-row log). Deletes flush the pending
@@ -182,6 +195,8 @@ class StorageEngine:
                 pending.flush()
                 self._apply_wal_entry(entry)
         pending.flush()
+        if hydrator is not None:
+            hydrator.join()
         self._try_import_pq()
 
     GRAPH_FILE = "hnsw_graph.npz"
@@ -315,18 +330,26 @@ class StorageEngine:
     _APPLY_CHUNK = 65536
 
     def _apply_snapshot_stream(self, reader) -> None:
-        """Chunked re-insert from a SnapshotStreamReader (flat index).
-        Bounded memory: one 64k-item chunk at a time; rows are copies out
-        of the snapshot mmap. insert_batch's fresh-id bulk path keeps this
-        vectorized."""
-        metadata = reader.read_metadata()
-        pending = _ChunkedInserter(self.store, self._APPLY_CHUNK)
-        for internal_id, string_id, data in reader.vectors():
-            pending.add(BatchInsertItem(
-                id=string_id,
-                vector=Vector(data),
-                metadata=Metadata(metadata.get(internal_id) or {})))
-        pending.flush()
+        """Vectorized chunked restore from a SnapshotStreamReader (flat/
+        pq lane): matrix chunks with their ORIGINAL internal ids go
+        through the store's no-per-row-object fast path
+        (restore_snapshot_chunk), and a pread readahead thread overlaps
+        the disk IO with the Python decode walk (mmap page faults hold
+        the GIL; pread does not). Bounded memory: one 64k-row chunk."""
+        import threading
+        stop = threading.Event()
+        ra = threading.Thread(target=reader.readahead, args=(stop,),
+                              daemon=True)
+        ra.start()
+        try:
+            metadata = reader.read_metadata()
+            for iids, sids, rows in reader.vector_chunks(
+                    self._APPLY_CHUNK):
+                self.store.restore_snapshot_chunk(iids, sids, rows,
+                                                  metadata)
+        finally:
+            stop.set()
+            ra.join()
         self.store.restore_next_internal_id(reader.next_id)
 
     def _apply_snapshot(self, snap: DatabaseSnapshot) -> None:

@@ -296,6 +296,80 @@ class SnapshotStreamReader:
         finally:
             del buf
 
+    def vector_chunks(self, chunk_rows: int = 65536):
+        """Vectorized decode: yields ``(internal_ids int64[n], string_ids
+        list[str], rows (n, dim) f32)`` chunks instead of per-row tuples.
+        The per-row cost drops to the struct walk plus one row memcpy into
+        a preallocated matrix — the object-per-row path costs ~20-50 us
+        of Python per row, which is most of a 10M-row recovery on a
+        single-core host. Rows are copies (safe after close). Requires a
+        fixed dimension (any row of another width raises — snapshots are
+        self-consistent by construction)."""
+        import numpy as np
+        if self.dimension is None:
+            # zero-row snapshot: nothing to chunk
+            if self.count:
+                raise SerializationError(
+                    "snapshot has rows but no dimension")
+            return
+        dim = int(self.dimension)
+        buf = memoryview(self._mm)
+        off = self._vec_off
+        remaining = self.count
+        try:
+            while remaining > 0:
+                n = min(chunk_rows, remaining)
+                iids = np.empty(n, np.int64)
+                sids: list = []
+                rows = np.empty((n, dim), np.float32)
+                for j in range(n):
+                    (internal_id,) = struct.unpack_from("<Q", buf, off)
+                    off += 8
+                    (sl,) = struct.unpack_from("<I", buf, off)
+                    off += 4
+                    sids.append(str(buf[off:off + sl], "utf-8"))
+                    off += sl
+                    (fl,) = struct.unpack_from("<I", buf, off)
+                    off += 4
+                    if fl != dim:
+                        raise SerializationError(
+                            f"snapshot row width {fl} != header "
+                            f"dimension {dim}")
+                    rows[j] = np.frombuffer(buf, np.float32, count=dim,
+                                            offset=off)
+                    off += 4 * dim
+                    iids[j] = internal_id
+                remaining -= n
+                yield iids, sids, rows
+        except struct.error as e:
+            raise SerializationError(
+                f"undecodable snapshot: {e}") from None
+        finally:
+            del buf
+
+    def readahead(self, stop_event=None, window: int = 256 << 20,
+                  block: int = 8 << 20) -> None:
+        """Sequentially pre-reads the snapshot file through pread so the
+        decode thread faults on warm page-cache pages. mmap page faults
+        hold the GIL (they are memory accesses, not syscalls); pread
+        releases it, so running this on a side thread overlaps disk IO
+        with the Python decode walk. Bounded by ``window`` bytes ahead of
+        nothing in particular — the OS page cache does the bookkeeping."""
+        import os
+        fd = self._f.fileno()
+        size = len(self._mm)
+        off = 0
+        while off < size:
+            if stop_event is not None and stop_event.is_set():
+                return
+            try:
+                data = os.pread(fd, min(block, size - off), off)
+            except OSError:
+                return
+            if not data:
+                return
+            off += len(data)
+
     def _metadata_offset(self) -> int:
         """Skip-walk the vector section (offset arithmetic only — no row
         materialization)."""

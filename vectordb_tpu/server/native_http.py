@@ -45,7 +45,8 @@ class NativeHttpServer:
     """Drives the C++ front-end with a single Python worker thread (the
     host is single-core; device dispatches release the GIL anyway)."""
 
-    def __init__(self, api: Api, host: str, port: int):
+    def __init__(self, api: Api, host: str, port: int,
+                 pipeline_depth: int = 3):
         self._lib = get_native()
         if self._lib is None:
             raise RuntimeError("native core unavailable")
@@ -56,6 +57,14 @@ class NativeHttpServer:
         self.port = int(self._lib.vdb_http_port(self._handle))
         self._buf = (ctypes.c_uint8 * _BUF_CAP)()
         self._running = True
+        # drain cycles allowed in flight before submits backpressure: the
+        # dedicated collector thread overlaps cycle i's collect RPC with
+        # cycle i+1's submit RPC (each is a serialized ~25 ms relay
+        # round-trip from one thread — the measured serve-cycle floor)
+        self._depth = max(1, int(pipeline_depth))
+        import queue
+        self._completions: "queue.Queue" = queue.Queue(maxsize=self._depth)
+        self._last_cycle = 0.0
 
     # -- job plumbing --------------------------------------------------------
 
@@ -126,9 +135,10 @@ class NativeHttpServer:
     def _submit_batch(self, jobs) -> list:
         """Answer non-search jobs inline, LAUNCH grouped /search device
         work, and return completion closures (collect + respond). The
-        drain loop keeps one cycle's completions pending while it parses
-        and submits the next — response formatting of cycle i then runs
-        under device compute of cycle i+1 (depth-2 pipeline)."""
+        drain loop hands completions to the collector thread and keeps
+        up to pipeline_depth cycles in flight — cycle i's collect RPC
+        and response formatting run under the submit RPC and device
+        compute of cycles i+1..i+depth-1."""
         searches = []
         for conn_id, method, path, body in jobs:
             if method == "SEARCH_FAST":
@@ -276,6 +286,7 @@ class NativeHttpServer:
             self._respond_group_error(members, e)
             return
         elapsed = time.perf_counter() - start
+        self._last_cycle = elapsed   # feeds the straggler-catch window
         for (conn_id, _), results in zip(members, all_results):
             state.metrics.record_query(elapsed)
             self._respond_search(conn_id, results)
@@ -288,13 +299,33 @@ class NativeHttpServer:
 
     # -- lifecycle -----------------------------------------------------------
 
+    def _collector_loop(self) -> None:
+        """Dedicated completion thread: collects in-flight search groups
+        and sends their responses. The collect is a blocking device RPC
+        (~25 ms on the relay) that releases the GIL, so it runs UNDER the
+        worker thread's next submit RPC instead of after it — the two
+        serialized round-trips that used to floor a serve cycle at
+        ~50 ms now overlap. The C++ respond path is resp_mu-protected
+        (httpcore.cpp), so both threads may answer connections."""
+        while True:
+            complete = self._completions.get()
+            if complete is None:
+                self._completions.task_done()
+                return
+            try:
+                complete()
+            except Exception:
+                pass  # per-group errors already answered inside
+            finally:
+                self._completions.task_done()
+
     def serve_forever(self) -> None:
-        # Depth-2 pipelined drain: each iteration drains whatever arrived,
-        # SUBMITS its device work, and only then completes (collects +
-        # responds) the PREVIOUS cycle's searches — so host parse/format of
-        # cycle i overlaps device compute of cycle i+1. With completions
-        # pending the drain is non-blocking; idle with nothing in flight it
-        # parks on the 500 ms wait.
+        # Depth-N pipelined drain (N = pipeline_depth, default 3): each
+        # iteration drains whatever arrived, SUBMITS its device work, and
+        # hands the completion to the collector thread. Submits
+        # backpressure once N cycles are in flight (bounded queue), so
+        # client latency stays bounded. Idle with nothing in flight the
+        # drain parks on the 500 ms wait.
         #
         # adaptive straggler-catch (unpipelined cycles only): when device
         # cycles are slow (tens of ms on relayed chips), clients answered
@@ -302,49 +333,41 @@ class NativeHttpServer:
         # miss this drain and wait a full extra cycle. A short post-drain
         # merge window (scaled to the last cycle time, capped at 3 ms)
         # folds them in; when cycles are fast (CPU-local stores) the
-        # window collapses to zero.
-        last_cycle = 0.0
-        pending: list = []
-
-        def _flush_pending() -> None:
-            # never abandon an in-flight search group: its clients are
-            # blocked on a response and the device work is already paid
-            for complete in pending:
+        # window collapses to zero. With cycles in flight the pipeline
+        # itself provides the batching and the window is skipped.
+        collector = threading.Thread(target=self._collector_loop,
+                                     daemon=True)
+        collector.start()
+        try:
+            while self._running:
+                busy = self._completions.unfinished_tasks > 0
+                wait_ms = 1 if busy else 500
+                n = self._lib.vdb_http_next_jobs(self._handle, self._buf,
+                                                 _BUF_CAP, wait_ms)
+                if n < 0:
+                    break
+                if n == 0:
+                    continue
+                raw = ctypes.string_at(self._buf, n)
+                if not busy:
+                    catch = min(self._last_cycle / 10.0, 0.003)
+                    if catch > 0.0005:
+                        time.sleep(catch)
+                        n2 = self._lib.vdb_http_next_jobs(
+                            self._handle, self._buf, _BUF_CAP, 0)
+                        if n2 > 0:
+                            raw += ctypes.string_at(self._buf, n2)
                 try:
-                    complete()
-                except Exception:
-                    pass  # per-group errors already answered inside
-            pending.clear()
-
-        while self._running:
-            wait_ms = 0 if pending else 500
-            n = self._lib.vdb_http_next_jobs(self._handle, self._buf,
-                                             _BUF_CAP, wait_ms)
-            if n < 0:
-                break
-            if n == 0 and not pending:
-                continue
-            raw = ctypes.string_at(self._buf, n) if n > 0 else b""
-            if raw and not pending:
-                catch = min(last_cycle / 10.0, 0.003)
-                if catch > 0.0005:
-                    time.sleep(catch)
-                    n2 = self._lib.vdb_http_next_jobs(
-                        self._handle, self._buf, _BUF_CAP, 0)
-                    if n2 > 0:
-                        raw += ctypes.string_at(self._buf, n2)
-            start = time.perf_counter()
-            new_pending: list = []
-            try:
-                if raw:
                     new_pending = self._submit_batch(self._parse_jobs(raw))
-            except Exception:
-                # a malformed frame must not kill the worker loop
-                new_pending = []
-            _flush_pending()
-            pending.extend(new_pending)
-            last_cycle = time.perf_counter() - start
-        _flush_pending()
+                except Exception:
+                    # a malformed frame must not kill the worker loop
+                    new_pending = []
+                for complete in new_pending:
+                    # blocks at pipeline_depth in flight: backpressure
+                    self._completions.put(complete)
+        finally:
+            self._completions.put(None)
+            collector.join()
 
     def start_background(self) -> threading.Thread:
         thread = threading.Thread(target=self.serve_forever, daemon=True)
