@@ -59,11 +59,18 @@ def main():
     ap.add_argument("--opq", type=str, default="on",
                     help="comma list of on|off — A/B the OPQ pre-rotation "
                          "(pq: raw-row space; ivfpq: residual space)")
+    ap.add_argument("--rerank", type=str, default="auto",
+                    help="comma list of auto|device|host — A/B the exact "
+                         "re-rank venue (round-4: device-side re-rank)")
     args = ap.parse_args()
     for tok in args.opq.split(","):
         if tok not in ("on", "off"):
             # a typo ('On', 'true') must not silently run opq=off twice
             ap.error(f"bad --opq value {tok!r}: expected on|off")
+    for tok in args.rerank.split(","):
+        if tok not in ("auto", "device", "host"):
+            ap.error(f"bad --rerank value {tok!r}: "
+                     "expected auto|device|host")
     n, d, q, k = 1 << args.logn, args.d, args.q, args.k
 
     enable_persistent_jit_cache()
@@ -132,16 +139,18 @@ def main():
     for family in args.family.split(","):
         # both families A/B the OPQ rotation (ivfpq fits it on the
         # RESIDUAL sample and rotates the whole scan space)
-        variants.extend((family, o == "on") for o in args.opq.split(","))
-    for family, rotate in variants:
-        tag = f"{family}/opq={'on' if rotate else 'off'}"
+        for o in args.opq.split(","):
+            variants.extend((family, o == "on", rr)
+                            for rr in args.rerank.split(","))
+    for family, rotate, rerank in variants:
+        tag = f"{family}/opq={'on' if rotate else 'off'}/rerank={rerank}"
         if family == "ivfpq":
             from vectordb_tpu.index import IvfPqIndex
             idx = IvfPqIndex(DistanceMetric.EUCLIDEAN, m=args.m, seed=0,
-                             rotate=rotate)
+                             rotate=rotate, rerank=rerank)
         else:
             idx = PqFlatIndex(DistanceMetric.EUCLIDEAN, m=args.m, seed=0,
-                              rotate=rotate)
+                              rotate=rotate, rerank=rerank)
         family = tag
         t0 = time.perf_counter()
         idx.bulk_load_matrix(ids, data_np)
