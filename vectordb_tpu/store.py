@@ -660,7 +660,8 @@ class VectorStore:
         self._check_or_fix_dimension(int(rows.shape[1]))
         iids_arr = np.ascontiguousarray(internal_ids, dtype=np.int64)
         self._index.bulk_append_matrix(iids_arr, rows)
-        self._cow_inflight_id_maps()
+        # no _cow_inflight_id_maps: this path only ADDS fresh ids, and
+        # new-id inserts never need the freeze (see its docstring)
         iids = [int(i) for i in iids_arr]
         self._id_to_internal.update(zip(string_ids, iids))
         self._internal_to_id.update(zip(iids, string_ids))
