@@ -106,6 +106,11 @@ def supervise(args) -> int:
         if rc == 0:
             print("[supervisor] child completed", flush=True)
             return 0
+        if rc == 3:
+            # planned restart (clean-address-space handoff after a heavy
+            # encode): no backoff
+            print("[supervisor] child requested restart", flush=True)
+            continue
         print(f"[supervisor] child exited rc={rc}; backing off",
               flush=True)
         time.sleep(min(30 * (attempt + 1), 180))
@@ -234,6 +239,7 @@ def phase_encode(args, idx, hb, state: Path):
     hwm = 0 if fresh or not hwm_path.exists() else \
         int(hwm_path.read_text().strip() or 0)
     slab = 1 << args.enc_slab_log
+    fresh_rows = n - hwm
     if hwm < n:
         print(f"encode: resuming at row {hwm:,} / {n:,}", flush=True)
         t0 = time.perf_counter()
@@ -252,6 +258,17 @@ def phase_encode(args, idx, hb, state: Path):
               f"device codes {n * m / 2**30:.1f} GiB)", flush=True)
     else:
         print(f"encode: cached ({codes_path})", flush=True)
+    if fresh_rows > (1 << 23):
+        # measured on this platform: each encode slab's H2D leaves its
+        # host staging copy ANONYMOUS-resident in the relay client (a
+        # ~100 GB leak after a full 2^25 encode) — that squeezes the
+        # page cache to nothing and turns every later re-rank gather
+        # into cold disk IO. The codes are safely on disk; exit with the
+        # restart code so the supervisor respawns a fresh process that
+        # loads them with a clean address space.
+        print("encode: heavy fresh encode done — restarting child for a "
+              "clean address space (relay H2D staging leak)", flush=True)
+        sys.exit(3)
     # install the codes without a re-encode
     for lo in range(0, n, GEN_CHUNK):
         idx._codes[lo:min(lo + GEN_CHUNK, n)] = \
