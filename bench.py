@@ -105,14 +105,18 @@ def tpu_flat_search_qps(n, d, q, k, iters=6):
 
     key = jax.random.PRNGKey(0)
     kdb, kq = jax.random.split(key)
+    _beat()
     db = jax.random.normal(kdb, (n, d), dtype=jnp.float32)
     sq = jnp.sum(db * db, axis=1)
+    _beat()
     hi, lo = split_hi_lo(db)
     state = {"db": db, "sq_norms": sq, "norms": jnp.sqrt(sq),
              "valid": jnp.ones((n,), dtype=bool), "hi": hi, "lo": lo,
              "elo_max": residual_max_norm(db, hi)}
     qbase = jax.random.normal(kq, (q, d), dtype=jnp.float32)
+    _beat()
     np.asarray(jnp.sum(db) + jnp.sum(hi.astype(jnp.float32)))  # materialize
+    _beat()
 
     # Pre-stage distinct query batches as CONCRETE device arrays before the
     # timed region — methodology parity with the reference's criterion
