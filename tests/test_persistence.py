@@ -525,9 +525,22 @@ class TestCorruptInputs:
             [SerializedVector(0, "a", np.array([1.0, 2.0], np.float32))],
             {}, 1, 2))
         raw = (tmp_path / "snapshot.bin").read_bytes()
-        (tmp_path / "snapshot.bin").write_bytes(raw[:-6])
+        # cut INTO the payload (the trailing 16 bytes are the r4
+        # metadata-offset footer — clipping only it leaves the payload
+        # intact and decodable, exercised below)
+        (tmp_path / "snapshot.bin").write_bytes(raw[:-22])
         with pytest.raises(SerializationError):
             mgr.load()
+        # a clipped FOOTER alone is not data loss: the materialized
+        # decoder ignores trailing bytes and the stream reader falls
+        # back to the skip-walk
+        (tmp_path / "snapshot.bin").write_bytes(raw[:-6])
+        snap = mgr.load()
+        assert [sv.string_id for sv in snap.vectors] == ["a"]
+        reader = mgr.open_stream()
+        with reader:
+            assert reader.read_metadata() == {}
+            assert [sid for _, sid, _ in reader.vectors()] == ["a"]
 
     def test_snapshot_torn_header_raises_serialization_error(
             self, backend, tmp_path):

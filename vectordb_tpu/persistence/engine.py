@@ -145,6 +145,19 @@ class StorageEngine:
     # -- recovery (reference: engine.rs:44-104) ------------------------------
 
     def _recover(self) -> None:
+        import os
+        import sys
+        import time as _time
+        timing = bool(os.environ.get("VDB_RECOVER_TIMING"))
+        t0 = _time.perf_counter()
+
+        def _mark(label: str) -> None:
+            if timing:
+                print(f"[recover] {label}: "
+                      f"{_time.perf_counter() - t0:.1f}s",
+                      file=sys.stderr, flush=True)
+
+        self._recover_mark = _mark
         if self.config.index_type in ("flat", "pq"):
             # streaming apply: the 10M x 768 lane — never materializes
             # the 30 GB payload or a 10M-element object list. PQ recovers
@@ -155,6 +168,7 @@ class StorageEngine:
             if reader is not None:
                 with reader:
                     self._apply_snapshot_stream(reader)
+            self._recover_mark("snapshot applied")
         else:
             # hnsw/ivf import needs the whole snapshot (graph/layout
             # tables bind to the full id set); these families checkpoint
@@ -195,8 +209,10 @@ class StorageEngine:
                 pending.flush()
                 self._apply_wal_entry(entry)
         pending.flush()
+        self._recover_mark("wal replayed")
         if hydrator is not None:
             hydrator.join()
+            self._recover_mark("hydration joined")
         self._try_import_pq()
 
     GRAPH_FILE = "hnsw_graph.npz"
@@ -343,6 +359,7 @@ class StorageEngine:
         ra.start()
         try:
             metadata = reader.read_metadata()
+            self._recover_mark("metadata walk")
             for iids, sids, rows in reader.vector_chunks(
                     self._APPLY_CHUNK):
                 self.store.restore_snapshot_chunk(iids, sids, rows,

@@ -41,6 +41,14 @@ import numpy as np
 from ..errors import SerializationError
 
 SNAPSHOT_MAGIC = b"VDBSNAP1"
+# trailing footer: <Q metadata_offset> + this magic. The offset points at
+# the metadata COUNT field, letting readers jump straight to the metadata
+# section instead of skip-walking the whole vector section (a pure-Python
+# walk that touches every page — measured 370 s on a cold 30 GB snapshot
+# at 10M rows). Readers fall back to the walk when the footer is absent
+# (pre-footer files) or fails validation; decode_snapshot ignores
+# trailing bytes by construction, so the footer is fully compatible.
+SNAPSHOT_FOOTER_MAGIC = b"VDBMOFF1"
 
 WAL_INSERT = 0
 WAL_DELETE = 1
@@ -194,10 +202,13 @@ def encode_snapshot(snap: DatabaseSnapshot) -> bytes:
         out += struct.pack("<Q", sv.internal_id)
         _pack_str(out, sv.string_id)
         _pack_f32s(out, sv.data)
+    meta_off = len(out)
     out += struct.pack("<Q", len(snap.metadata))
     for internal_id, fields in snap.metadata.items():
         out += struct.pack("<Q", internal_id)
         _pack_fields(out, fields)
+    out += struct.pack("<Q", meta_off)
+    out += SNAPSHOT_FOOTER_MAGIC
     return bytes(out)
 
 
@@ -222,25 +233,31 @@ def write_snapshot_stream(f, vectors, metadata, next_id: int,
     out += struct.pack("<Q", next_id)
     out += struct.pack("<Q", count)
     yielded = 0
+    flushed = 0
     for internal_id, string_id, data in vectors:
         out += struct.pack("<Q", internal_id)
         _pack_str(out, string_id)
         _pack_f32s(out, data)
         yielded += 1
         if len(out) >= _STREAM_BUF:
+            flushed += len(out)
             f.write(out)
             out = bytearray()
     if yielded != count:
         raise SerializationError(
             f"snapshot count mismatch: header says {count}, "
             f"iterator yielded {yielded}")
+    meta_off = flushed + len(out)
     out += struct.pack("<Q", len(metadata))
     for internal_id, fields in metadata.items():
         out += struct.pack("<Q", internal_id)
         _pack_fields(out, fields)
         if len(out) >= _STREAM_BUF:
+            flushed += len(out)
             f.write(out)
             out = bytearray()
+    out += struct.pack("<Q", meta_off)
+    out += SNAPSHOT_FOOTER_MAGIC
     f.write(out)
 
 
@@ -371,8 +388,25 @@ class SnapshotStreamReader:
             off += len(data)
 
     def _metadata_offset(self) -> int:
-        """Skip-walk the vector section (offset arithmetic only — no row
-        materialization)."""
+        """Where the metadata section starts. Fast path: the trailing
+        footer written since the r4 format carries the offset directly —
+        the skip-walk below touches EVERY page of the vector section
+        (measured 370 s cold at 10M x 768), the footer costs one page.
+        Pre-footer files take the walk."""
+        size = len(self._mm)
+        if size >= 16 + self._vec_off:
+            buf = memoryview(self._mm)
+            try:
+                if bytes(buf[size - 8:size]) == SNAPSHOT_FOOTER_MAGIC:
+                    (off,) = struct.unpack_from("<Q", buf, size - 16)
+                    if self._vec_off <= off <= size - 16:
+                        (mcount,) = struct.unpack_from("<Q", buf, off)
+                        if mcount <= self.count:
+                            return off
+            except struct.error:
+                pass
+            finally:
+                del buf
         buf = memoryview(self._mm)
         off = self._vec_off
         try:
