@@ -428,16 +428,21 @@ class FlatIndex(Index):
         if error is not None:
             raise error
 
-    def _append_matrix_locked(self, ids: np.ndarray, mat: np.ndarray
-                              ) -> None:
+    def _append_matrix_locked(self, ids: np.ndarray, mat: np.ndarray,
+                              quantized: bool = False) -> None:
         """Append a validated (n, d) f32 matrix of fresh distinct ids
         (lock held, storage pre-sized). The one place append paths touch
         packed storage — subclasses hook here to stamp their per-slot
-        state (e.g. PQ mutation ticks)."""
+        state (e.g. PQ mutation ticks). ``quantized``: the rows already
+        carry this index's storage quantization (snapshot replay feeds
+        back the STORED values), so the idempotent re-quantize — two
+        dtype conversions over the whole payload for bf16 — is
+        skipped."""
         n = len(ids)
         slots = np.fromiter((self._take_slot() for _ in range(n)),
                             dtype=np.int64, count=n)
-        mat = self._quantize(mat)
+        if not quantized:
+            mat = self._quantize(mat)
         self._vectors[slots] = mat
         sq = np.einsum("ij,ij->i", mat, mat).astype(np.float32)
         self._sq_norms[slots] = sq
@@ -450,7 +455,8 @@ class FlatIndex(Index):
         self._zero_norm_live += int((sq == 0.0).sum())
         self._dirty_slots.update(slots.tolist())
 
-    def bulk_append_matrix(self, ids: np.ndarray, mat: np.ndarray) -> None:
+    def bulk_append_matrix(self, ids: np.ndarray, mat: np.ndarray,
+                            quantized: bool = False) -> None:
         """Vectorized append of fresh distinct int64 ids from a validated
         (n, d) f32 matrix into a possibly NON-empty index — the recovery
         fast path (bulk_load_matrix requires an empty index). No per-row
@@ -458,7 +464,9 @@ class FlatIndex(Index):
         Vector/BatchInsertItem objects costs ~20-50 us/row of pure
         Python, which is most of a 10M-row reopen on a single-core host
         (reference recovery contract src/persistence/engine.rs:44-73 at
-        10,000x its scale)."""
+        10,000x its scale). ``quantized``: see _append_matrix_locked —
+        ONLY for rows that round-tripped through this index's storage
+        mode (snapshot replay); raw user rows must quantize."""
         with self._lock:
             mat = np.ascontiguousarray(mat, dtype=np.float32)
             ids = np.ascontiguousarray(ids, dtype=np.int64)

@@ -336,14 +336,16 @@ class IvfFlatIndex(FlatIndex):
             for internal_id, vector in items:
                 self.add(internal_id, vector)
 
-    def bulk_append_matrix(self, ids, mat) -> None:
+    def bulk_append_matrix(self, ids, mat,
+                           quantized: bool = False) -> None:
         """Untrained: the inherited packed fast path. Trained: every row
         must take cluster routing (same rationale as add_batch above), so
         fall back to per-row adds — correct, not fast; recovery for IVF
         goes through import_trained_state, not this path."""
         with self._lock:
             if not self._trained:
-                super().bulk_append_matrix(ids, mat)
+                super().bulk_append_matrix(ids, mat,
+                                           quantized=quantized)
                 return
             import numpy as np
             mat = np.ascontiguousarray(mat, dtype=np.float32)

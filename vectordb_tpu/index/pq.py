@@ -327,14 +327,15 @@ class _PqCodesCore:
         if self._trained:
             self._pq_valid_dirty = True
 
-    def _append_matrix_locked(self, ids: np.ndarray,
-                              mat: np.ndarray) -> None:
+    def _append_matrix_locked(self, ids: np.ndarray, mat: np.ndarray,
+                              quantized: bool = False) -> None:
         # the one seam every append path funnels through (per-item
         # add_batch prefixes, bulk_append_matrix recovery chunks) — stamp
         # ticks / PQ dirtiness for exactly the slots it touched
         pre = set(self._dirty_slots)
         try:
-            super()._append_matrix_locked(ids, mat)
+            super()._append_matrix_locked(ids, mat,
+                                          quantized=quantized)
         finally:
             new = self._dirty_slots - pre
             if new:

@@ -659,7 +659,9 @@ class VectorStore:
         rows = np.ascontiguousarray(rows, dtype=np.float32)
         self._check_or_fix_dimension(int(rows.shape[1]))
         iids_arr = np.ascontiguousarray(internal_ids, dtype=np.int64)
-        self._index.bulk_append_matrix(iids_arr, rows)
+        # quantized=True: snapshot rows ARE the stored (already
+        # quantized) values, so the idempotent re-quantize is skipped
+        self._index.bulk_append_matrix(iids_arr, rows, quantized=True)
         # no _cow_inflight_id_maps: this path only ADDS fresh ids, and
         # new-id inserts never need the freeze (see its docstring)
         iids = [int(i) for i in iids_arr]
