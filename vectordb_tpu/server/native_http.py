@@ -46,7 +46,11 @@ class NativeHttpServer:
     host is single-core; device dispatches release the GIL anyway)."""
 
     def __init__(self, api: Api, host: str, port: int,
-                 pipeline_depth: int = 3):
+                 pipeline_depth: Optional[int] = None):
+        if pipeline_depth is None:
+            # env override for same-window A/Bs (benchmarks)
+            import os
+            pipeline_depth = int(os.environ.get("VDB_HTTP_DEPTH", "3"))
         self._lib = get_native()
         if self._lib is None:
             raise RuntimeError("native core unavailable")
