@@ -11,6 +11,19 @@ a *stronger* baseline than the reference's scalar per-row Rust loop
 
 Prints ONE JSON line:
   {"metric": ..., "value": ..., "unit": "qps", "vs_baseline": ...}
+
+Supervision (vectordb_tpu.utils.supervised): the platform relay can wedge
+INSIDE a single device call or remote compile (measured: >90 min stalls
+with zero host CPU), so the bench runs in a child under a heartbeat
+watchdog. Round 4's lesson: one fixed watchdog kills healthy long phases
+(a ~430 s congested-relay compile died against the 420 s default, three
+times, and SIGKILL never populates the compile cache so each retry
+restarted from zero). Now (a) known-long phases declare their own budget
+in the heartbeat file, (b) retries escalate (longer watchdog, then a
+smaller shape), and (c) the child prints the headline JSON line AS SOON
+AS the exact/fast numbers exist, then re-prints the full line with the
+optional roofline blocks appended — the supervisor takes the LAST JSON
+line it captured, so a late wedge can no longer zero the artifact.
 """
 
 from __future__ import annotations
@@ -22,62 +35,65 @@ import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-def _beat() -> None:
-    """Touch the supervisor's heartbeat file (no-op when unsupervised).
-    The platform relay can wedge INSIDE a single device call or remote
-    compile (measured: >90 min stalls with zero host CPU); a heartbeat
-    that goes stale lets the supervisor kill this process by exact pid
-    and retry instead of hanging the whole bench run."""
-    hb = os.environ.get("VDB_BENCH_HB")
-    if hb:
-        try:
-            with open(hb, "w"):
-                pass
-        except OSError:
-            pass
+from vectordb_tpu.utils.supervised import Heartbeat, supervise
+
+_HB = Heartbeat.from_env()
+
+# Budgets for phases that legitimately run long through a congested relay
+# (cold compiles, GB-scale device materialization). The default watchdog
+# still applies between phases, so a true wedge in a cheap phase dies
+# fast.
+COMPILE_BUDGET = 900.0
+
+
+def _beat(budget=None) -> None:
+    _HB.beat(budget=budget)
 
 
 def _supervise() -> int:
-    """Run the bench in a child process under a heartbeat watchdog.
-    Retries on wedge/crash; forwards the child's one-line JSON result.
-    The relay has wedged mid-call twice at scale in past rounds — a
-    bench that can hang forever is worse than one that retries."""
-    import subprocess
+    """Run the bench in a child process under the shared heartbeat
+    supervisor. An attempt that produced a JSON result line counts as a
+    success even if it was killed later (partial artifact: the headline
+    is printed before the optional roofline blocks are measured)."""
     import tempfile
     hb = os.path.join(tempfile.mkdtemp(prefix="vdb_bench_"), "hb")
-    env = dict(os.environ, VDB_BENCH_HB=hb)
-    watchdog = int(os.environ.get("VDB_BENCH_WATCHDOG", "420"))
-    for attempt in range(3):
-        with open(hb, "w"):
+    base_watchdog = os.environ.get("VDB_BENCH_WATCHDOG", "420")
+
+    def escalate(attempt: int, env: dict) -> None:
+        if attempt == 0:
+            env["VDB_SUPERVISE_WATCHDOG"] = base_watchdog
+        elif attempt == 1:
+            env["VDB_SUPERVISE_WATCHDOG"] = str(
+                max(900, int(base_watchdog) * 2))
+        else:  # last resort: smaller shape, generous watchdog
+            env["VDB_SUPERVISE_WATCHDOG"] = "900"
+            env["VDB_BENCH_SMALL"] = "1"
+
+    def has_line(rc: int, out: str) -> bool:
+        return any(ln.startswith("{") for ln in out.splitlines())
+
+    res = supervise(
+        [sys.executable, os.path.abspath(__file__), "--child"],
+        hb_path=hb, watchdog=float(base_watchdog), attempts=3,
+        escalate=escalate, capture=True, success=has_line)
+    # last JSON line across all attempts (later attempts supersede;
+    # within an attempt the full line supersedes the early headline)
+    line = None
+    for out in res.all_stdout:
+        for ln in out.splitlines():
+            if ln.startswith("{"):
+                line = ln
+    if line:
+        try:
+            print(line)
+        except BrokenPipeError:
             pass
-        proc = subprocess.Popen(
-            [sys.executable, __file__, "--child"], env=env,
-            stdout=subprocess.PIPE, text=True)
-        rc = None
-        while rc is None:
-            try:
-                rc = proc.wait(timeout=15)
-            except subprocess.TimeoutExpired:
-                age = time.time() - os.path.getmtime(hb)
-                if age > watchdog:
-                    print(f"bench supervisor: heartbeat stale {age:.0f}s;"
-                          f" killing pid {proc.pid} (attempt "
-                          f"{attempt + 1}/3)", file=sys.stderr)
-                    proc.kill()
-                    rc = proc.wait()
-        out = proc.stdout.read() if proc.stdout else ""
-        line = next((ln for ln in out.splitlines()
-                     if ln.startswith("{")), None)
-        if rc == 0 and line:
-            try:
-                print(line)
-            except BrokenPipeError:
-                pass
-            return 0
-        print(f"bench supervisor: attempt {attempt + 1} failed (rc={rc});"
-              " retrying", file=sys.stderr)
-        time.sleep(10)
+        return 0
+    print("bench supervisor: no result line after "
+          f"{res.attempts} attempts ({res.killed_stale} stale kills)",
+          file=sys.stderr)
     return 1
 
 
@@ -89,14 +105,18 @@ import jax
 import jax.numpy as jnp
 
 
-def tpu_flat_search_qps(n, d, q, k, iters=6):
+def tpu_flat_search_core(n, d, q, k, iters=6):
     """Steady-state per-batch latency, measured honestly: every iteration
     gets distinct query values and the result is fetched to host, so lazy
     relays / async dispatch can't fake completion. Uses the production
     dispatcher (ops.topk.flat_search_batched) — on this chip that is the
     certified-exact Pallas coarse kernel (ops/coarse_kernel.py) with its
     uncertified-batch fallback included in the measurement — so the
-    persistent compile cache is shared with the framework."""
+    persistent compile cache is shared with the framework.
+
+    Returns the core numbers plus a context dict the optional roofline
+    measurements reuse — those run AFTER the headline line is printed.
+    """
     from vectordb_tpu.distance import DistanceMetric
     from vectordb_tpu.ops.coarse_kernel import (residual_max_norm,
                                                 split_hi_lo)
@@ -105,18 +125,15 @@ def tpu_flat_search_qps(n, d, q, k, iters=6):
 
     key = jax.random.PRNGKey(0)
     kdb, kq = jax.random.split(key)
-    _beat()
-    db = jax.random.normal(kdb, (n, d), dtype=jnp.float32)
-    sq = jnp.sum(db * db, axis=1)
-    _beat()
-    hi, lo = split_hi_lo(db)
-    state = {"db": db, "sq_norms": sq, "norms": jnp.sqrt(sq),
-             "valid": jnp.ones((n,), dtype=bool), "hi": hi, "lo": lo,
-             "elo_max": residual_max_norm(db, hi)}
-    qbase = jax.random.normal(kq, (q, d), dtype=jnp.float32)
-    _beat()
-    np.asarray(jnp.sum(db) + jnp.sum(hi.astype(jnp.float32)))  # materialize
-    _beat()
+    with _HB.phase(COMPILE_BUDGET):   # device materialization + compiles
+        db = jax.random.normal(kdb, (n, d), dtype=jnp.float32)
+        sq = jnp.sum(db * db, axis=1)
+        hi, lo = split_hi_lo(db)
+        state = {"db": db, "sq_norms": sq, "norms": jnp.sqrt(sq),
+                 "valid": jnp.ones((n,), dtype=bool), "hi": hi, "lo": lo,
+                 "elo_max": residual_max_norm(db, hi)}
+        qbase = jax.random.normal(kq, (q, d), dtype=jnp.float32)
+        np.asarray(jnp.sum(db) + jnp.sum(hi.astype(jnp.float32)))
 
     # Pre-stage distinct query batches as CONCRETE device arrays before the
     # timed region — methodology parity with the reference's criterion
@@ -143,8 +160,8 @@ def tpu_flat_search_qps(n, d, q, k, iters=6):
         (round-2 verdict item 9)."""
         fn = lambda x: flat_search_batched(x, state, DistanceMetric.EUCLIDEAN,
                                            k, mode=mode)
-        _beat()
-        fn(qbase)  # compile + warm (returns host numpy already)
+        with _HB.phase(COMPILE_BUDGET):
+            fn(qbase)  # compile + warm (returns host numpy already)
         times = []
         for i in range(iters):
             _beat()
@@ -169,9 +186,10 @@ def tpu_flat_search_qps(n, d, q, k, iters=6):
         with device compute, so this is an honest QPS figure."""
         inflight = []
         # warm (compiled already by measure())
-        _beat()
-        flat_search_batched_submit(qbase, state, DistanceMetric.EUCLIDEAN,
-                                   k, mode=mode).collect()
+        with _HB.phase(COMPILE_BUDGET):
+            flat_search_batched_submit(qbase, state,
+                                       DistanceMetric.EUCLIDEAN,
+                                       k, mode=mode).collect()
         start = time.perf_counter()
         for i in range(batches):
             _beat()
@@ -208,53 +226,106 @@ def tpu_flat_search_qps(n, d, q, k, iters=6):
     except Exception as e:
         print(f"fast-mode measurement skipped: {e}", file=sys.stderr)
 
-    # -- measured scan-alone + small-Q + marginal-bandwidth rows --------
-    # (round-2 verdict item 5 / round-3 item 2: the bandwidth/MXU
-    # north-star claims live in the driver artifact, retried through
-    # relay weather — a transient error must never leave a null row)
+    # -- static roofline accounting for the exact 1-pass certified path --
+    # (stage decomposition measured in benchmarks/exp_roofline.py; these
+    # are the static flop/byte counts for the headline batch)
+    from vectordb_tpu.ops.coarse_kernel import (SUB, SUPER, _exact1p_pool,
+                                                _query_block, _tile_cols)
+    m2, m = _exact1p_pool(k, n // SUB)
+    qb = _query_block(q, d, _tile_cols(d))
+    coarse_flops = 2.0 * q * n * d                       # 1 bf16 MXU pass
+    refine_flops = 6 * 2.0 * q * m * SUB * d             # HIGHEST = 6 pass
+    hbm_bytes = (
+        n * d * 2 * (q // qb)        # bf16 hi mirror stream(s)
+        + q * (n // SUB) * 4 * 2     # tile minima write + selection gather
+        + q * (n // (SUB * SUPER)) * 4 * 3   # super minima (8-pad) + T
+        + q * m * SUB * d * 4        # refine pool: crosses HBM once (DMA
+                                     # kernel; was 3x before r2)
+        + q * d * 4 * 2 + q * m * SUB * 4 * 2)
+    bf16_peak, hbm_peak = 197e12, 819e9                  # v5e
+    roofline = {
+        "per_batch_ms": round(per_batch * 1e3, 2),
+        "mxu_tflops_per_batch": round((coarse_flops + refine_flops) / 1e12,
+                                      2),
+        "achieved_tf_s": round((coarse_flops + refine_flops)
+                               / per_batch / 1e12, 1),
+        "mxu_pct_of_peak": round((coarse_flops + refine_flops)
+                                 / per_batch / bf16_peak * 100, 1),
+        "hbm_gb_per_batch": round(hbm_bytes / 1e9, 2),
+        "achieved_gb_s": round(hbm_bytes / per_batch / 1e9, 1),
+        "hbm_pct_of_peak": round(hbm_bytes / per_batch / hbm_peak * 100, 1),
+        "fixed_dispatch_ms": round(dispatch_s * 1e3, 2),
+        "fixed_dispatch_pct_of_sync_batch": round(
+            dispatch_s / lat_exact * 100, 1),
+        "note": ("full-pipeline figures; scan_alone carries the "
+                 "measured coarse-stage MXU%, small_q the "
+                 "bandwidth-bound regime"),
+        "spread": spread,
+    }
+    ctx = {"state": state, "staged": staged, "qbase": qbase,
+           "n": n, "d": d, "q": q, "iters": iters}
+    return qps, scan_gbps, lat_exact, fast_qps, roofline, ctx
+
+
+def _with_retries(fn, label, attempts=3):
+    """Transient relay errors (broken pipes, wedged round-trips) hit
+    individual measurements; retry with backoff and, if the weather
+    wins anyway, return an error block instead of null."""
+    last = None
+    for i in range(attempts):
+        try:
+            _beat()
+            return fn()
+        except Exception as e:
+            last = e
+            print(f"{label} attempt {i + 1} failed ({e})",
+                  file=sys.stderr)
+            time.sleep(5 * (i + 1))
+    return {"error": f"{type(last).__name__}: {last}",
+            "attempts": attempts}
+
+
+def _scan_only_fn(state, nn, d):
+    """The bf16 minima kernel alone (coarse stage of the 1-pass
+    pipeline) over the first ``nn`` rows: one MXU pass over the hi
+    mirror + tile/super minima writes. Tiny outputs keep the
+    measurement clean; the pallas call itself materializes both
+    minima arrays."""
     from vectordb_tpu.ops import coarse_kernel as ck
+    hi_n = state["hi"][:nn]
+    sq_n = state["sq_norms"][:nn].reshape(1, nn)
+    inv_n = jnp.zeros((1, nn), jnp.float32)
 
-    def _with_retries(fn, label, attempts=3):
-        """Transient relay errors (broken pipes, wedged round-trips) hit
-        individual measurements; retry with backoff and, if the weather
-        wins anyway, return an error block instead of null."""
-        last = None
-        for i in range(attempts):
-            try:
-                _beat()
-                return fn()
-            except Exception as e:
-                last = e
-                print(f"{label} attempt {i + 1} failed ({e})",
-                      file=sys.stderr)
-                time.sleep(5 * (i + 1))
-        return {"error": f"{type(last).__name__}: {last}",
-                "attempts": attempts}
+    @jax.jit
+    def scan_only(qs):
+        qThi = qs.T.astype(jnp.bfloat16)
+        qsq = jnp.sum(qs * qs, axis=1)
+        tile_tq, sup_tq = ck._minima_1p_sup(
+            qThi, qsq[None, :], hi_n, sq_n, inv_n, "euclidean",
+            False, "mirrors")
+        return tile_tq[0, :].sum() + sup_tq[0, :].sum()
 
-    def _scan_only_fn(nn):
-        """The bf16 minima kernel alone (coarse stage of the 1-pass
-        pipeline) over the first ``nn`` rows: one MXU pass over the hi
-        mirror + tile/super minima writes. Tiny outputs keep the
-        measurement clean; the pallas call itself materializes both
-        minima arrays."""
-        hi_n = state["hi"][:nn]
-        sq_n = state["sq_norms"][:nn].reshape(1, nn)
-        inv_n = jnp.zeros((1, nn), jnp.float32)
+    return scan_only
 
-        @jax.jit
-        def scan_only(qs):
-            qThi = qs.T.astype(jnp.bfloat16)
-            qsq = jnp.sum(qs * qs, axis=1)
-            tile_tq, sup_tq = ck._minima_1p_sup(
-                qThi, qsq[None, :], hi_n, sq_n, inv_n, "euclidean",
-                False, "mirrors")
-            return tile_tq[0, :].sum() + sup_tq[0, :].sum()
 
-        return scan_only
+def measure_roofline_extras(ctx):
+    """The measured scan-alone + small-Q + marginal-bandwidth rows
+    (round-2 verdict item 5 / round-3 item 2: the bandwidth/MXU
+    north-star claims live in the driver artifact, retried through
+    relay weather — a transient error must never leave a null row).
+    Runs AFTER the headline JSON line is printed so a wedge here can't
+    zero the artifact."""
+    from vectordb_tpu.distance import DistanceMetric
+    from vectordb_tpu.ops import coarse_kernel as ck
+    from vectordb_tpu.ops.topk import flat_search_batched_submit
+
+    state, staged, qbase = ctx["state"], ctx["staged"], ctx["qbase"]
+    n, d, q, iters = ctx["n"], ctx["d"], ctx["q"], ctx["iters"]
 
     def do_scan_alone():
-        scan_only = _scan_only_fn(n)
-        jax.device_get(scan_only(staged[0]))      # compile + warm
+        scan_only = _scan_only_fn(state, n, d)
+        with _HB.phase(COMPILE_BUDGET):
+            jax.device_get(scan_only(staged[0]))      # compile + warm
         times = []
         for i in range(iters):
             _beat()
@@ -286,8 +357,9 @@ def tpu_flat_search_qps(n, d, q, k, iters=6):
             b.block_until_ready()
             staged_s.append(b)
         fn_s = lambda x: flat_search_batched_submit(
-            x, state, DistanceMetric.EUCLIDEAN, k, mode="exact")
-        fn_s(staged_s[0]).collect()               # compile + warm
+            x, state, DistanceMetric.EUCLIDEAN, 10, mode="exact")
+        with _HB.phase(COMPILE_BUDGET):
+            fn_s(staged_s[0]).collect()               # compile + warm
         # depth-3 pipelined: overlaps the fixed ~25 ms relay dispatch so
         # the figure reflects device streaming, not the host link
         inflight = []
@@ -331,9 +403,9 @@ def tpu_flat_search_qps(n, d, q, k, iters=6):
             staged_s.append(b)
         points = []
         for nn in (n // 4, n // 2, n):
-            scan_only = _scan_only_fn(nn)
-            _beat()
-            jax.device_get(scan_only(staged_s[0]))   # compile + warm
+            scan_only = _scan_only_fn(state, nn, d)
+            with _HB.phase(COMPILE_BUDGET):
+                jax.device_get(scan_only(staged_s[0]))   # compile + warm
             times = []
             for i in range(max(iters, 6)):
                 _beat()
@@ -341,7 +413,6 @@ def tpu_flat_search_qps(n, d, q, k, iters=6):
                 jax.device_get(scan_only(staged_s[i % len(staged_s)]))
                 times.append(time.perf_counter() - t0)
             points.append((nn, min(times)))
-        (n0, t0_), (n1, t1_), (n2, t2_) = points
         # least-squares slope over the three points
         xs = np.array([p[0] for p in points], np.float64)
         ys = np.array([p[1] for p in points], np.float64)
@@ -365,47 +436,7 @@ def tpu_flat_search_qps(n, d, q, k, iters=6):
         }
 
     marginal_block = _with_retries(do_marginal_bw, "marginal-bw")
-
-    # -- roofline accounting for the exact 1-pass certified path --------
-    # (stage decomposition measured in benchmarks/exp_roofline.py; these
-    # are the static flop/byte counts for the headline batch)
-    from vectordb_tpu.ops.coarse_kernel import (SUB, SUPER, _exact1p_pool,
-                                                _query_block, _tile_cols)
-    m2, m = _exact1p_pool(k, n // SUB)
-    qb = _query_block(q, d, _tile_cols(d))
-    coarse_flops = 2.0 * q * n * d                       # 1 bf16 MXU pass
-    refine_flops = 6 * 2.0 * q * m * SUB * d             # HIGHEST = 6 pass
-    hbm_bytes = (
-        n * d * 2 * (q // qb)        # bf16 hi mirror stream(s)
-        + q * (n // SUB) * 4 * 2     # tile minima write + selection gather
-        + q * (n // (SUB * SUPER)) * 4 * 3   # super minima (8-pad) + T
-        + q * m * SUB * d * 4        # refine pool: crosses HBM once (DMA
-                                     # kernel; was 3x before r2)
-        + q * d * 4 * 2 + q * m * SUB * 4 * 2)
-    bf16_peak, hbm_peak = 197e12, 819e9                  # v5e
-    roofline = {
-        "per_batch_ms": round(per_batch * 1e3, 2),
-        "mxu_tflops_per_batch": round((coarse_flops + refine_flops) / 1e12,
-                                      2),
-        "achieved_tf_s": round((coarse_flops + refine_flops)
-                               / per_batch / 1e12, 1),
-        "mxu_pct_of_peak": round((coarse_flops + refine_flops)
-                                 / per_batch / bf16_peak * 100, 1),
-        "hbm_gb_per_batch": round(hbm_bytes / 1e9, 2),
-        "achieved_gb_s": round(hbm_bytes / per_batch / 1e9, 1),
-        "hbm_pct_of_peak": round(hbm_bytes / per_batch / hbm_peak * 100, 1),
-        "fixed_dispatch_ms": round(dispatch_s * 1e3, 2),
-        "fixed_dispatch_pct_of_sync_batch": round(
-            dispatch_s / lat_exact * 100, 1),
-        "note": ("full-pipeline figures; scan_alone carries the "
-                 "measured coarse-stage MXU%, small_q the "
-                 "bandwidth-bound regime"),
-    }
-    roofline["scan_alone"] = scan_block
-    roofline["small_q"] = smallq_block
-    roofline["marginal_bw"] = marginal_block
-    roofline["spread"] = spread
-    return qps, scan_gbps, lat_exact, fast_qps, roofline
+    return scan_block, smallq_block, marginal_block
 
 
 def cpu_numpy_qps(n, d, q, k, iters=3):
@@ -415,9 +446,11 @@ def cpu_numpy_qps(n, d, q, k, iters=3):
     shared host core)."""
     q = min(q, 64)
     rng = np.random.default_rng(0)
+    _beat(budget=600)  # 3 GB host rng materialization on one shared core
     db = rng.standard_normal((n, d)).astype(np.float32)
     sq = np.einsum("ij,ij->i", db, db)
     queries = rng.standard_normal((q, d)).astype(np.float32)
+    _beat()
 
     def step():
         dots = queries @ db.T
@@ -431,6 +464,7 @@ def cpu_numpy_qps(n, d, q, k, iters=3):
     step()  # warm the BLAS threads
     times = []
     for _ in range(iters):
+        _beat()
         start = time.perf_counter()
         step()
         times.append(time.perf_counter() - start)
@@ -453,8 +487,8 @@ def main():
     last_err = None
     for attempt in range(3):
         try:
-            (qps, scan_gbps, lat_exact, fast_qps,
-             roofline) = tpu_flat_search_qps(n, d, q, k)
+            (qps, scan_gbps, lat_exact, fast_qps, roofline,
+             ctx) = tpu_flat_search_core(n, d, q, k)
             break
         except Exception as e:  # transient device/relay errors, then shrink
             last_err = e
@@ -483,7 +517,19 @@ def main():
             "device": str(jax.devices()[0]),
         },
     }
-    print(json.dumps(result))
+    # Emit the headline IMMEDIATELY (optional blocks marked pending):
+    # the supervisor takes the LAST captured JSON line, so if the
+    # optional measurements below wedge, this line IS the artifact.
+    roofline["scan_alone"] = {"pending": True}
+    roofline["small_q"] = {"pending": True}
+    roofline["marginal_bw"] = {"pending": True}
+    print(json.dumps(result), flush=True)
+
+    scan_block, smallq_block, marginal_block = measure_roofline_extras(ctx)
+    roofline["scan_alone"] = scan_block
+    roofline["small_q"] = smallq_block
+    roofline["marginal_bw"] = marginal_block
+    print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":

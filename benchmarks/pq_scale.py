@@ -28,8 +28,6 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import signal
-import subprocess
 import sys
 import time
 from pathlib import Path
@@ -79,54 +77,35 @@ def parse_args(argv=None):
 
 
 # ---------------------------------------------------------------- supervisor
+# The heartbeat-watchdog + planned-restart machinery that this harness
+# proved against a real relay leak in round 4 now lives in the framework
+# (vectordb_tpu.utils.supervised, shared with bench.py); this is just
+# the wiring.
+
+from vectordb_tpu.utils.supervised import Heartbeat, supervise as _supervise
+
 
 def supervise(args) -> int:
     state = Path(args.state)
     state.mkdir(parents=True, exist_ok=True)
-    hb = state / "heartbeat"
     child_args = [a for a in sys.argv[1:] if a != "--child"] + ["--child"]
-    for attempt in range(args.max_restarts):
-        hb.touch()
-        print(f"[supervisor] attempt {attempt + 1}/{args.max_restarts}",
-              flush=True)
-        p = subprocess.Popen([sys.executable, __file__] + child_args)
-        rc = None
-        while rc is None:
-            try:
-                rc = p.wait(timeout=15)
-            except subprocess.TimeoutExpired:
-                age = time.time() - hb.stat().st_mtime
-                if age > args.watchdog:
-                    print(f"[supervisor] heartbeat stale {age:.0f}s "
-                          f"(> {args.watchdog}s): killing pid {p.pid}",
-                          flush=True)
-                    # exact-pid kill only (never by pattern)
-                    os.kill(p.pid, signal.SIGKILL)
-                    rc = p.wait()
-        if rc == 0:
-            print("[supervisor] child completed", flush=True)
-            return 0
-        if rc == 3:
-            # planned restart (clean-address-space handoff after a heavy
-            # encode): no backoff
-            print("[supervisor] child requested restart", flush=True)
-            continue
-        print(f"[supervisor] child exited rc={rc}; backing off",
-              flush=True)
-        time.sleep(min(30 * (attempt + 1), 180))
-    print("[supervisor] giving up after max restarts", flush=True)
-    return 1
+    res = _supervise(
+        [sys.executable, __file__] + child_args,
+        hb_path=str(state / "heartbeat"),
+        watchdog=float(args.watchdog),
+        attempts=args.max_restarts,
+        restart_rc=3,   # planned clean-address-space handoff after a
+                        # heavy encode: respawn without burning an attempt
+        log=lambda m: print(m.replace("[supervise]", "[supervisor]"),
+                            flush=True))
+    if res.rc == 0:
+        print("[supervisor] child completed", flush=True)
+    else:
+        print("[supervisor] giving up after max restarts", flush=True)
+    return res.rc
 
 
 # ---------------------------------------------------------------- phases
-
-class Heartbeat:
-    def __init__(self, path: Path):
-        self.path = path
-        self.path.parent.mkdir(parents=True, exist_ok=True)
-
-    def beat(self):
-        self.path.touch()
 
 
 def find_row_file(backing: str, cap: int, d: int):

@@ -1,0 +1,220 @@
+"""Tests for the shared heartbeat supervisor (utils/supervised.py) —
+the stale-kill / phase-budget / escalation / partial-artifact paths that
+round 4's bench failure showed must be exercised, not assumed.
+
+Children are tiny inline Python scripts so every case runs in seconds
+with sub-second watchdogs.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import textwrap
+
+import pytest
+
+from vectordb_tpu.utils.supervised import (HB_ENV, Heartbeat,
+                                           SuperviseResult, supervise)
+
+
+def _child(tmp_path, body: str) -> list:
+    p = tmp_path / "child.py"
+    p.write_text(textwrap.dedent(body))
+    return [sys.executable, str(p)]
+
+
+def _fast(**kw):
+    kw.setdefault("watchdog", 1.0)
+    kw.setdefault("poll", 0.2)
+    kw.setdefault("backoff", lambda a: 0.0)
+    return kw
+
+
+class TestHeartbeat:
+    def test_noop_when_unsupervised(self, monkeypatch):
+        monkeypatch.delenv(HB_ENV, raising=False)
+        hb = Heartbeat.from_env()
+        hb.beat()                      # must not raise
+        with hb.phase(100):
+            hb.beat(budget=5)
+
+    def test_beat_writes_budget_content(self, tmp_path):
+        p = tmp_path / "hb"
+        hb = Heartbeat(str(p))
+        hb.beat()
+        assert p.read_text() == ""
+        hb.beat(budget=900)
+        assert p.read_text() == "900"
+        hb.beat()
+        assert p.read_text() == ""
+
+    def test_phase_restores_default(self, tmp_path):
+        p = tmp_path / "hb"
+        hb = Heartbeat(str(p))
+        with hb.phase(300):
+            assert p.read_text() == "300"
+        assert p.read_text() == ""
+
+    def test_phase_restores_on_exception(self, tmp_path):
+        p = tmp_path / "hb"
+        hb = Heartbeat(str(p))
+        with pytest.raises(RuntimeError):
+            with hb.phase(300):
+                raise RuntimeError("boom")
+        assert p.read_text() == ""
+
+
+class TestSupervise:
+    def test_healthy_child_passes_through(self, tmp_path):
+        argv = _child(tmp_path, """
+            import os, sys
+            sys.path.insert(0, %r)
+            from vectordb_tpu.utils.supervised import Heartbeat
+            Heartbeat.from_env().beat()
+            print("hello")
+        """ % os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        res = supervise(argv, hb_path=str(tmp_path / "hb"),
+                        capture=True, **_fast())
+        assert res.rc == 0
+        assert res.attempts == 1
+        assert "hello" in res.stdout
+
+    def test_wedged_child_killed_and_retried(self, tmp_path):
+        # Child never beats -> every attempt dies to the watchdog.
+        argv = _child(tmp_path, """
+            import time
+            time.sleep(60)
+        """)
+        res = supervise(argv, hb_path=str(tmp_path / "hb"),
+                        attempts=2, **_fast())
+        assert res.rc == 1
+        assert res.attempts == 2
+        assert res.killed_stale == 2
+
+    def test_phase_budget_prevents_kill(self, tmp_path):
+        # Child declares a 30 s budget, then is silent for 3 s — far past
+        # the 1 s watchdog. Without the declared budget this dies
+        # (previous test); with it, it survives and completes.
+        argv = _child(tmp_path, """
+            import os, sys, time
+            sys.path.insert(0, %r)
+            from vectordb_tpu.utils.supervised import Heartbeat
+            hb = Heartbeat.from_env()
+            with hb.phase(30):
+                time.sleep(3)
+            print("done")
+        """ % os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        res = supervise(argv, hb_path=str(tmp_path / "hb"),
+                        capture=True, **_fast())
+        assert res.rc == 0
+        assert res.killed_stale == 0
+        assert "done" in res.stdout
+
+    def test_budget_cannot_lower_watchdog(self, tmp_path):
+        assert Heartbeat(str(tmp_path / "x")) is not None
+        from vectordb_tpu.utils.supervised import _declared_budget
+        p = tmp_path / "hb"
+        p.write_text("1")             # child declares 1 s
+        assert _declared_budget(str(p), 420.0) == 420.0
+        p.write_text("900")
+        assert _declared_budget(str(p), 420.0) == 900.0
+        p.write_text("garbage")
+        assert _declared_budget(str(p), 420.0) == 420.0
+
+    def test_escalation_env_reaches_child(self, tmp_path):
+        # Attempt 0 fails (env knob unset); escalate sets it; attempt 1
+        # succeeds — the round-4 fix: retries must change something.
+        argv = _child(tmp_path, """
+            import os, sys
+            sys.exit(0 if os.environ.get("KNOB") == "on" else 7)
+        """)
+        seen = []
+
+        def escalate(attempt, env):
+            seen.append(attempt)
+            if attempt >= 1:
+                env["KNOB"] = "on"
+
+        res = supervise(argv, hb_path=str(tmp_path / "hb"),
+                        attempts=3, escalate=escalate, **_fast())
+        assert res.rc == 0
+        assert res.attempts == 2
+        assert seen == [0, 1]
+
+    def test_escalated_watchdog_env(self, tmp_path):
+        # VDB_SUPERVISE_WATCHDOG in the escalated env raises the
+        # supervisor's own threshold for that attempt: a child that is
+        # silent for 2.5 s survives only once the watchdog is raised.
+        argv = _child(tmp_path, """
+            import time
+            time.sleep(2.5)
+            print("survived")
+        """)
+
+        def escalate(attempt, env):
+            if attempt >= 1:
+                env["VDB_SUPERVISE_WATCHDOG"] = "30"
+
+        res = supervise(argv, hb_path=str(tmp_path / "hb"), attempts=2,
+                        escalate=escalate, capture=True, **_fast())
+        assert res.rc == 0
+        assert res.attempts == 2
+        assert res.killed_stale == 1          # attempt 1 died at 1 s
+        assert "survived" in res.stdout
+
+    def test_partial_artifact_capture(self, tmp_path):
+        # Child prints its result line, then wedges. The custom success
+        # predicate accepts the kill because the line exists — the
+        # round-4 failure mode (late wedge zeroes the artifact) is dead.
+        argv = _child(tmp_path, """
+            import sys, time
+            print('{"metric": "x", "value": 1}', flush=True)
+            time.sleep(60)
+        """)
+        res = supervise(
+            argv, hb_path=str(tmp_path / "hb"), attempts=1,
+            capture=True,
+            success=lambda rc, out: any(
+                ln.startswith("{") for ln in out.splitlines()),
+            **_fast())
+        assert res.rc == 0
+        assert res.killed_stale == 1
+        assert '"metric": "x"' in res.stdout
+
+    def test_restart_rc_not_counted(self, tmp_path):
+        # rc=3 = planned clean-address-space handoff (pq_scale protocol):
+        # respawn without consuming an attempt. The child restarts twice
+        # then succeeds, all within attempts=1.
+        marker = tmp_path / "count"
+        argv = _child(tmp_path, """
+            import sys
+            from pathlib import Path
+            m = Path(%r)
+            n = int(m.read_text()) if m.exists() else 0
+            m.write_text(str(n + 1))
+            sys.exit(3 if n < 2 else 0)
+        """ % str(marker))
+        res = supervise(argv, hb_path=str(tmp_path / "hb"),
+                        attempts=1, restart_rc=3, **_fast())
+        assert res.rc == 0
+        assert res.attempts == 1
+        assert marker.read_text() == "3"
+
+
+class TestBenchSupervisorWiring:
+    """bench.py's driver-facing contract: the supervisor prints the LAST
+    JSON line any attempt produced (full line supersedes the early
+    headline) and exits 0."""
+
+    def test_bench_partial_line_logic(self):
+        res = SuperviseResult(rc=0, attempts=2, all_stdout=[
+            "",                                        # attempt 1: wedged
+            '{"value": 1}\n{"value": 2, "full": true}\n',
+        ])
+        line = None
+        for out in res.all_stdout:
+            for ln in out.splitlines():
+                if ln.startswith("{"):
+                    line = ln
+        assert line == '{"value": 2, "full": true}'

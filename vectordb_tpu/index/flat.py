@@ -213,6 +213,19 @@ class FlatIndex(Index):
         # elo_max = 0), exact over the stored values; uncertified rows
         # and unsupported shapes take the blockwise dequantizing scan.
         self.storage = storage
+        # Host rows live in the STORAGE dtype for bf16 (r5, the 10M
+        # recovery lever): the packed capacity array halves (25.8 GB vs
+        # 51.5 GB at 16.7M x 768) and device hydration puts the rows
+        # directly instead of casting a tens-of-GB f32 array first.
+        # Values are identical — bf16 storage always held exactly the
+        # bf16-representable value set; only the container narrows.
+        # int8 keeps f32 host rows (codes + scales are derived per sync);
+        # subclasses that train/repack on f32 host rows (IVF) reset this.
+        if storage == "bf16":
+            import ml_dtypes
+            self._host_dtype = np.dtype(ml_dtypes.bfloat16)
+        else:
+            self._host_dtype = np.dtype(np.float32)
         # With a jax.sharding.Mesh, the packed arrays live sharded over the
         # mesh's row axis and searches run the distributed per-shard scan +
         # top-k merge (parallel/distributed.py). CRUD semantics unchanged.
@@ -233,7 +246,7 @@ class FlatIndex(Index):
         self._capacity = 0
         self._len = 0
         # host-side packed storage (source of truth)
-        self._vectors: Optional[np.ndarray] = None   # f32[capacity, d]
+        self._vectors: Optional[np.ndarray] = None   # host_dtype[capacity, d]
         self._valid: Optional[np.ndarray] = None     # bool[capacity]
         self._sq_norms: Optional[np.ndarray] = None  # f32[capacity]
         self._norms: Optional[np.ndarray] = None     # f32[capacity]
@@ -340,15 +353,16 @@ class FlatIndex(Index):
         file. Files from crashed processes are NOT reaped automatically
         — the directory may be shared by another live index."""
         if self._host_backing is None:
-            return np.zeros((rows, dim), dtype=np.float32)
+            return np.zeros((rows, dim), dtype=self._host_dtype)
         import os
         if self._backing_uid is None:
             import uuid
             self._backing_uid = f"{os.getpid()}_{uuid.uuid4().hex[:8]}"
         os.makedirs(self._host_backing, exist_ok=True)
+        ext = "f32" if self._host_dtype == np.float32 else "bf16"
         path = os.path.join(self._host_backing,
-                            f"rows_{self._backing_uid}_{rows}x{dim}.f32")
-        mm = np.memmap(path, dtype=np.float32, mode="w+",
+                            f"rows_{self._backing_uid}_{rows}x{dim}.{ext}")
+        mm = np.memmap(path, dtype=self._host_dtype, mode="w+",
                        shape=(rows, dim))
         self._vectors_path = path
         return mm
@@ -551,14 +565,16 @@ class FlatIndex(Index):
             # quantize CHUNK-WISE straight into the packed storage: a
             # whole-matrix `self._quantize(mat)` materializes a second
             # (n, d) f32 (48 GB at 16M x 768) on top of the caller's
-            # matrix and the storage itself
+            # matrix and the storage itself. Norms come from the f32
+            # quantized chunk (identical values; the packed array may be
+            # bf16, where einsum would be wrong-dtype arithmetic).
             for lo in range(0, n, _QUANT_CHUNK):
-                self._vectors[lo:min(lo + _QUANT_CHUNK, n)] = \
-                    self._quantize(mat[lo:lo + _QUANT_CHUNK])
-            sq = np.einsum("ij,ij->i", self._vectors[:n],
-                           self._vectors[:n]).astype(np.float32)
-            self._sq_norms[:n] = sq
-            self._norms[:n] = np.sqrt(sq)
+                sub = self._quantize(mat[lo:lo + _QUANT_CHUNK])
+                self._vectors[lo:lo + len(sub)] = sub
+                ssq = np.einsum("ij,ij->i", sub, sub).astype(np.float32)
+                self._sq_norms[lo:lo + len(sub)] = ssq
+                self._norms[lo:lo + len(sub)] = np.sqrt(ssq)
+            sq = self._sq_norms[:n]
             self._valid[:n] = True
             self._id_of_slot[:n] = ids
             self._slot_of_id = {int(ids[j]): j for j in range(n)}
@@ -751,9 +767,11 @@ class FlatIndex(Index):
             scales = None
             if self.storage == "bf16":
                 import ml_dtypes
-                # host-side cast: 2-byte transfer per element (values
-                # were already quantized at insert)
-                rows = self._vectors.astype(ml_dtypes.bfloat16)
+                # host rows already live in bf16 (r5): put directly —
+                # no tens-of-GB cast pass before the sharded transfer
+                rows = self._vectors
+                if rows.dtype != ml_dtypes.bfloat16:
+                    rows = rows.astype(ml_dtypes.bfloat16)
             elif self.storage == "int8":
                 # host-side requantization (exact — values were pow2-
                 # quantized at insert): 1-byte codes + a f32 scale per
@@ -805,8 +823,12 @@ class FlatIndex(Index):
             return dev
         if self.storage == "bf16":
             import ml_dtypes
-            # host-side cast: a 2-byte transfer and no f32 device temp
-            db16 = jnp.asarray(self._vectors.astype(ml_dtypes.bfloat16))
+            # host rows already live in bf16 (r5): a 2-byte transfer with
+            # no cast pass and no f32 device temp
+            rows16 = self._vectors
+            if rows16.dtype != ml_dtypes.bfloat16:
+                rows16 = rows16.astype(ml_dtypes.bfloat16)
+            db16 = jnp.asarray(rows16)
             dev = {
                 "db": db16,
                 "sq_norms": jnp.asarray(self._sq_norms),
@@ -1118,12 +1140,14 @@ class FlatIndex(Index):
     # -- introspection helpers (used by persistence / benchmarks) -----------
 
     def packed_arrays(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """(vectors[capacity,d], valid[capacity], id_of_slot[capacity]) host copies."""
+        """(vectors[capacity,d], valid[capacity], id_of_slot[capacity])
+        host copies. Vectors come back as f32 regardless of the host
+        container dtype (bf16 storage keeps rows in bf16 on the host)."""
         with self._lock:
             if self._vectors is None:
                 return (np.zeros((0, 0), np.float32), np.zeros(0, bool),
                         np.zeros(0, np.int64))
-            return (self._vectors.copy(), self._valid.copy(),
+            return (self._vectors.astype(np.float32), self._valid.copy(),
                     self._id_of_slot.copy())
 
     def __repr__(self) -> str:

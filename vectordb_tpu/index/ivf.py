@@ -70,6 +70,13 @@ class IvfFlatIndex(FlatIndex):
         # multiply only shifts exponents), so distances stay exact over
         # the stored values and 16M x 768 fits one chip with ANN speed.
         super().__init__(metric, search_mode="exact", storage=storage)
+        # IVF's training/repack/refine paths allocate and read f32 host
+        # rows (the comment above documents the contract); keep the host
+        # mirror in f32 regardless of the device storage dtype — the
+        # base class's bf16 host-container optimization targets the
+        # plain-FlatIndex 10M recovery lane.
+        import numpy as _np
+        self._host_dtype = _np.dtype(_np.float32)
         self._want_mirrors = False
         if nlist is not None and nlist < 2:
             raise ValueError("nlist must be >= 2")
