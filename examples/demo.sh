@@ -71,4 +71,28 @@ echo; echo "=== 9. GET /health and GET /metrics ==="
 curl -s "$BASE/health" | pretty
 curl -s "$BASE/metrics" | pretty
 
+kill $SERVER_PID 2>/dev/null || true
+wait $SERVER_PID 2>/dev/null || true
+
+echo; echo "=== 10. recall knob x filter (HNSW server), beyond the reference ==="
+ADDR2="${ADDR2:-127.0.0.1:3790}"
+BASE2="http://$ADDR2"
+PYTHONPATH="$REPO_DIR:${PYTHONPATH:-}" python3 -m vectordb_tpu --index hnsw serve --addr "$ADDR2" &
+SERVER_PID=$!
+trap 'kill $SERVER_PID 2>/dev/null || true' EXIT
+for i in $(seq 1 60); do
+  curl -sf "$BASE2/health" >/dev/null 2>&1 && break
+  sleep 0.5
+done
+curl -sf "$BASE2/health" >/dev/null || { echo "hnsw server did not come up"; exit 1; }
+for i in $(seq 0 19); do
+  cat=$([ $((i % 2)) -eq 0 ] && echo even || echo odd)
+  curl -s -X POST "$BASE2/vectors" -H 'Content-Type: application/json' \
+    -d "{\"id\": \"p$i\", \"vector\": [$i.0, 1.0], \"metadata\": {\"parity\": \"$cat\"}}" >/dev/null
+done
+echo "ef=64 + parity=odd filter (graph traversal rides the mask):"
+curl -s -X POST "$BASE2/search" -H 'Content-Type: application/json' \
+  -d '{"vector": [6.1, 1.0], "k": 3, "ef": 64,
+       "filter": {"op": "eq", "field": "parity", "value": "odd"}}' | pretty
+
 echo; echo "=== demo complete ==="

@@ -669,17 +669,90 @@ class TestDeviceRerank:
             assert np.allclose([d for _, d in w], [d for _, d in g],
                                rtol=1e-5, atol=1e-5)
 
-    def test_device_rerank_requires_resident_rows(self, rng, tmp_path):
+    def test_bogus_rerank_mode_rejected(self):
         with pytest.raises(ValueError):
             PqFlatIndex(DistanceMetric.EUCLIDEAN, rerank="bogus")
+
+    @pytest.mark.parametrize("metric", [DistanceMetric.EUCLIDEAN,
+                                        DistanceMetric.DOT_PRODUCT,
+                                        DistanceMetric.COSINE])
+    def test_gathered_rerank_matches_host(self, rng, tmp_path, metric):
+        """rerank="device" + host_backing takes the GATHERED lane (r5):
+        host gathers candidate rows from the memmap, the device computes
+        exact distances + top-k. Results must match the host re-rank
+        id-for-id with distances to f32 tolerance."""
+        n, d = 3000, 16
+        db = _clustered(rng, n, d, n_centers=8)
+        if metric is DistanceMetric.COSINE:
+            db = db + 2.0
+        ids = np.arange(n, dtype=np.int64)
+        host = PqFlatIndex(metric, m=4, ksub=16, refine=64,
+                           rerank="host", seed=0,
+                           host_backing=str(tmp_path / "h"))
+        dev = PqFlatIndex(metric, m=4, ksub=16, refine=64,
+                          rerank="device", seed=0,
+                          host_backing=str(tmp_path / "d"))
+        host.bulk_load_matrix(ids, db)
+        dev.bulk_load_matrix(ids, db)
+        host.train()
+        dev.train()
+        assert dev._rerank_venue() == "gathered"
+        q = np.ascontiguousarray(db[:33] + 0.001)   # non-pow2: pad path
+        want = host.search_batch(q, 5)
+        got = dev.search_batch(q, 5)
+        for w, g in zip(want, got):
+            assert [i for i, _ in w] == [i for i, _ in g]
+            assert np.allclose([dd for _, dd in w], [dd for _, dd in g],
+                               rtol=1e-5, atol=1e-5)
+
+    def test_gathered_rerank_filter_and_delete(self, rng, tmp_path):
+        """Filter masks and post-scan deletes flow through the gathered
+        lane's ok-mask exactly like the host path."""
+        n, d = 2000, 8
+        db = _clustered(rng, n, d, n_centers=4)
+        ids = np.arange(n, dtype=np.int64)
         idx = PqFlatIndex(DistanceMetric.EUCLIDEAN, m=4, ksub=16,
-                          rerank="device",
-                          host_backing=str(tmp_path / "rows"))
-        db = _clustered(rng, 1500, 16, n_centers=8)
-        idx.bulk_load_matrix(np.arange(1500, dtype=np.int64), db)
+                          refine=32, rerank="device", seed=0,
+                          host_backing=str(tmp_path / "g"))
+        idx.bulk_load_matrix(ids, db)
         idx.train()
-        with pytest.raises(IndexOpError):
-            idx.search_batch(db[:2], 3)
+        mask = np.zeros(idx.capacity, bool)
+        evens = np.array([idx.slot_of(int(i)) for i in ids[::2]])
+        mask[evens] = True
+        res = idx.search_batch(db[:8] + 0.0005, 5, slot_mask=mask)
+        for row in res:
+            assert row, "filtered search returned nothing"
+            assert all(i % 2 == 0 for i, _ in row)
+        idx.remove(4)
+        res = idx.search_batch(np.ascontiguousarray(db[4:5]), 3)
+        assert all(i != 4 for i, _ in res[0])
+
+    def test_gathered_rerank_many_blocks(self, rng, tmp_path):
+        """Queries spanning multiple _RERANK_QBLOCK blocks exercise the
+        depth-2 pipeline + the padded tail block."""
+        from vectordb_tpu.index import pq as pqmod
+        n, d = 1500, 8
+        db = _clustered(rng, n, d, n_centers=4)
+        ids = np.arange(n, dtype=np.int64)
+        idx = PqFlatIndex(DistanceMetric.EUCLIDEAN, m=4, ksub=16,
+                          refine=32, rerank="device", seed=0,
+                          host_backing=str(tmp_path / "m"))
+        idx.bulk_load_matrix(ids, db)
+        idx.train()
+        href = PqFlatIndex(DistanceMetric.EUCLIDEAN, m=4, ksub=16,
+                           refine=32, rerank="host", seed=0)
+        href.bulk_load_matrix(ids, db)
+        href.train()
+        old = pqmod._RERANK_QBLOCK
+        pqmod._RERANK_QBLOCK = 16
+        try:
+            q = np.ascontiguousarray(db[:50] + 0.001)  # 3 blocks + tail
+            got = idx.search_batch(q, 4)
+            want = href.search_batch(q, 4)
+        finally:
+            pqmod._RERANK_QBLOCK = old
+        for w, g in zip(want, got):
+            assert [i for i, _ in w] == [i for i, _ in g]
 
     def test_rerank_topk_op_shapes(self, rng):
         import jax.numpy as jnp

@@ -512,23 +512,45 @@ class _PqCodesCore:
         """Largest refine pool the scan program supports."""
         return min(self._scan_chunk(), _MAX_REFINE)
 
-    def _device_rerank_active(self) -> bool:
-        """Resolve the re-rank venue (lock held). Deterministic in
-        (config, capacity, backend) — see _pq_init."""
+    def _rerank_venue(self) -> str:
+        """Resolve where the exact re-rank runs (lock held). Deterministic
+        in (config, capacity, backend) — see _pq_init. Three lanes:
+
+        * "mirror": rows are HBM-resident — gather + distances + top-k
+          all on chip (ops/pq.pq_rerank_topk), (Q, k) D2H only.
+        * "gathered": no HBM row copy exists (host_backing, or rows past
+          _RERANK_DEV_ROW_BYTES) — the host gathers the (Qb, r, d)
+          candidate rows (disk memmap / page cache), ships them, and the
+          chip computes exact distances + top-k
+          (ops/pq.pq_rerank_gathered) while the host gathers the next
+          block — the r5 extension that stops the 33.5M beyond-RAM lane
+          from host-computing distances.
+        * "host": the original NumPy path (the mesh lane, non-TPU
+          backends, and rerank="host").
+        """
         if self.rerank_mode == "host":
-            return False
-        if self._mesh is not None or self._host_backing is not None:
+            return "host"
+        if self._mesh is not None:
             if self.rerank_mode == "device":
                 raise IndexOpError(
-                    "rerank='device' needs device-resident rows (no "
-                    "mesh, no host_backing)")
-            return False
+                    "rerank='device' is single-chip only (the sharded "
+                    "path re-ranks on host after the shard merge)")
+            return "host"
+        if (self._host_backing is not None
+                or self._capacity * (self._dim or 0) * 4
+                > _RERANK_DEV_ROW_BYTES):
+            if self.rerank_mode == "device":
+                return "gathered"
+            import jax
+            return ("gathered" if jax.default_backend() == "tpu"
+                    else "host")
         if self.rerank_mode == "device":
-            return True
+            return "mirror"
         import jax
-        return (jax.default_backend() == "tpu"
-                and self._capacity * (self._dim or 0) * 4
-                <= _RERANK_DEV_ROW_BYTES)
+        return "mirror" if jax.default_backend() == "tpu" else "host"
+
+    def _device_rerank_active(self) -> bool:
+        return self._rerank_venue() == "mirror"
 
     def _pq_fallback_search(self, queries: np.ndarray, k: int, **fb):
         """Exact-scan fallback while untrained / for out-of-envelope r.
@@ -703,8 +725,13 @@ class _PqCodesCore:
             scan_scores = np.concatenate(svs)
             slots = np.concatenate(sls).astype(np.int64)
             with annotate("vdb/pq.rerank"):
-                res = self._rerank(queries, scan_scores, slots, k_req,
-                                   tick0, lv0, slot_mask=mk)
+                if self._rerank_venue() == "gathered":
+                    res = self._rerank_gathered(queries, scan_scores,
+                                                slots, k_req, tick0, lv0,
+                                                slot_mask=mk)
+                else:
+                    res = self._rerank(queries, scan_scores, slots,
+                                       k_req, tick0, lv0, slot_mask=mk)
         if res is not None and mk is not None:
             res = self._fill_masked_short(res, queries, k_req, mk, lv0)
         if res is not None:
@@ -774,6 +801,84 @@ class _PqCodesCore:
                     row.append((int(ids[qi, j]), float(dv[qi, j])))
                 out.append(row)
             a += got
+        return out
+
+    def _rerank_gathered(self, queries: np.ndarray,
+                         scan_scores: np.ndarray, slots: np.ndarray,
+                         k_req: int, tick0: int, lv0: int,
+                         slot_mask: Optional[np.ndarray] = None
+                         ) -> Optional[List[List[Tuple[int, float]]]]:
+        """Pipelined gathered-device re-rank (venue "gathered"): per
+        query block, the host gathers the candidate rows + consistency
+        mask under the lock (the one part that must touch host state),
+        submits the exact-distance + top-k program, and gathers the NEXT
+        block while the device computes — disk IO and H2D/compute
+        overlap instead of serializing with the host einsum/sort.
+
+        Same contract as ``_rerank``: candidates mutated after ``tick0``
+        are dropped (the ok mask the device receives), distances are
+        exact f32 over the gathered snapshot rows, and the id mapping
+        uses the ids gathered under the same lock hold as the rows —
+        old candidacy meets old values by construction. Returns None if
+        the slot layout repacked mid-flight.
+
+        Blocks are padded to a fixed ``_RERANK_QBLOCK`` so every
+        dispatch reuses ONE compiled signature per (r, k, metric)."""
+        import jax
+
+        from ..ops.pq import pq_rerank_gathered
+        metric = self._metric
+        q_total, r = slots.shape
+        out: List[List[Tuple[int, float]]] = []
+        pending: list = []            # (dists_dev, pos_dev, ids, got)
+
+        def collect_one(entry) -> None:
+            dv_dev, pos_dev, ids, got = entry
+            dv = np.asarray(jax.device_get(dv_dev))[:got]
+            pos = np.asarray(jax.device_get(pos_dev))[:got]
+            for qi in range(got):
+                row: List[Tuple[int, float]] = []
+                for j in range(dv.shape[1]):
+                    dvj = float(dv[qi, j])
+                    if not np.isfinite(dvj):
+                        break
+                    row.append((int(ids[qi, pos[qi, j]]), dvj))
+                out.append(row)
+
+        blk = _RERANK_QBLOCK
+        for a in range(0, q_total, blk):
+            qb = queries[a:a + blk]
+            sl = slots[a:a + blk]
+            got = len(qb)
+            with self._lock:
+                if self.slot_layout_version != lv0:
+                    return None
+                ok = np.isfinite(scan_scores[a:a + blk])
+                ok &= self._slot_tick[sl] <= tick0
+                ok &= self._valid[sl]
+                if slot_mask is not None:
+                    ok &= slot_mask[sl]
+                # THE disk gather (host_backing: page cache / disk) —
+                # runs while the previous block computes on device
+                rows = np.ascontiguousarray(self._vectors[sl],
+                                            np.float32)
+                ids = self._id_of_slot[sl]
+            if got < blk:             # fixed jit signature: pad the tail
+                pad = blk - got
+                qb = np.concatenate(
+                    [qb, np.zeros((pad, qb.shape[1]), np.float32)])
+                rows = np.concatenate(
+                    [rows, np.zeros((pad, r, rows.shape[2]),
+                                    np.float32)])
+                ok = np.concatenate([ok, np.zeros((pad, r), bool)])
+            dv_dev, pos_dev = pq_rerank_gathered(
+                jnp.asarray(qb), jnp.asarray(rows), jnp.asarray(ok),
+                metric, k_req)
+            pending.append((dv_dev, pos_dev, ids, got))
+            if len(pending) >= 2:     # depth-2: one block in flight
+                collect_one(pending.pop(0))
+        for entry in pending:
+            collect_one(entry)
         return out
 
     def _rerank(self, queries: np.ndarray, scan_scores: np.ndarray,

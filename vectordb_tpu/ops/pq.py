@@ -647,6 +647,46 @@ def pq_rerank_topk(queries, rows, slots, scan_scores, valid,
     return out_d.reshape(q, k), out_s.reshape(q, k)
 
 
+@functools.partial(jax.jit, static_argnames=("metric", "k"))
+def pq_rerank_gathered(queries, rows, ok, metric: DistanceMetric, k: int):
+    """Exact f32 re-rank of HOST-GATHERED candidate rows ON DEVICE — the
+    ``host_backing`` / beyond-HBM lane of the device re-rank.
+
+    ``pq_rerank_topk`` needs the full row matrix resident in HBM; at
+    33.5M x 768 the rows live in a 103 GB disk memmap, so the host must
+    gather the (Q, r, d) candidate rows anyway (OS page cache serves
+    them). What still moves off the host is everything AFTER the gather:
+    the exact f32 distances + top-k run on chip, the host's einsum/sort
+    (the measured dominant re-rank cost on this single-core host)
+    disappears, and the caller pipelines the next block's disk gather
+    under this block's H2D + compute.
+
+    Args: queries (Qb, d) f32 · rows (Qb, r, d) f32 gathered candidate
+    rows · ok (Qb, r) bool (scan-finite & not-mutated & valid & filter —
+    the caller's snapshot-consistency mask). Distances use the same
+    direct forms as the host path (difference form for euclidean, no
+    |q|^2+|x|^2-2qx cancellation). Returns (dists (Qb, k) f32 ascending,
+    +inf tail; pos (Qb, k) int32 positions INTO the r candidate axis —
+    the caller maps positions to ids with its host-side snapshot).
+    """
+    if metric is DistanceMetric.EUCLIDEAN:
+        diff = rows - queries[:, None, :]
+        dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
+    elif metric is DistanceMetric.DOT_PRODUCT:
+        dist = -jnp.einsum("qrd,qd->qr", rows, queries,
+                           precision=jax.lax.Precision.HIGHEST)
+    else:
+        dots = jnp.einsum("qrd,qd->qr", rows, queries,
+                          precision=jax.lax.Precision.HIGHEST)
+        qn = jnp.sqrt(jnp.sum(queries * queries, axis=1))[:, None]
+        xn = jnp.sqrt(jnp.sum(rows * rows, axis=-1))
+        denom = jnp.maximum(qn * xn, 1e-30)
+        dist = 1.0 - jnp.clip(dots / denom, -1.0, 1.0)
+    dist = jnp.where(ok, dist.astype(jnp.float32), jnp.inf)
+    neg, pos = jax.lax.top_k(-dist, k)
+    return -neg, pos.astype(jnp.int32)
+
+
 def pq_distortion(rows, codebook, codes):
     """Mean squared reconstruction error (host-side diagnostic)."""
     import numpy as np
