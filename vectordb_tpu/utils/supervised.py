@@ -159,12 +159,26 @@ def supervise(
     base_env[HB_ENV] = hb_path
     result = SuperviseResult(rc=1, attempts=0)
     ok = success or (lambda rc, out: rc == 0)
+    import inspect
+    esc_takes_result = False
+    if escalate is not None:
+        try:
+            esc_takes_result = len(
+                inspect.signature(escalate).parameters) >= 3
+        except (TypeError, ValueError):
+            pass
     attempt = 0
     restarts = 0
     while attempt < attempts:
         cur_env = dict(base_env)
         if escalate is not None:
-            escalate(attempt, cur_env)
+            # a 3-arg escalate also sees the partial result so far (the
+            # per-attempt stdout), letting it pick a retry strategy based
+            # on how far earlier attempts got
+            if esc_takes_result:
+                escalate(attempt, cur_env, result)
+            else:
+                escalate(attempt, cur_env)
         cur_watchdog = float(cur_env.get("VDB_SUPERVISE_WATCHDOG",
                                          watchdog))
         Heartbeat(hb_path).beat()
