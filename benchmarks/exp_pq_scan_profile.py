@@ -44,12 +44,17 @@ CHUNK = 16384
 
 
 def timed(label, fn, *args, iters=3):
-    out = fn(*args)
-    jax.block_until_ready(out)
+    """device_get, not block_until_ready: through this platform's relay
+    block_until_ready can return without a host-visible round trip, so a
+    fetch of (a piece of) the result is the only honest sync."""
+    def force(out):
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        jax.device_get(leaf.ravel()[:1] if leaf.ndim else leaf)
+    force(fn(*args))
     ts = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        force(fn(*args))
         ts.append(time.perf_counter() - t0)
     t = min(ts)
     print(f"{label:42s} {t*1e3:9.1f} ms", flush=True)

@@ -158,3 +158,46 @@ def test_pq_scan_rejects_bad_shapes():
         pq_scan_topr(qs, jnp.zeros((64, 2), jnp.uint8), jnp.asarray(bd),
                      jnp.asarray(cnorm), jnp.ones((64,), bool),
                      DistanceMetric.EUCLIDEAN, r=64, chunk=32)
+
+
+class TestPallasDecode:
+    """The VMEM one-hot decode kernel (ops/pq.pq_decode_rows) must be
+    bitwise-equal to the XLA one-hot decode: both select bf16-valued
+    codewords exactly (one nonzero per output element)."""
+
+    def _setup(self, n=2048, m=96, d=768, ksub=256, seed=0):
+        rng = np.random.default_rng(seed)
+        cb = rng.standard_normal((m, ksub, d // m)).astype(np.float32)
+        cb = cb.astype(jnp.bfloat16).astype(np.float32)
+        bd, spg = pack_codebook(cb)
+        codes = rng.integers(0, ksub, (n, m), dtype=np.uint8)
+        cnorm = np.sum(cb * cb, axis=-1).astype(np.float32)
+        g = bd.shape[0]
+        return (jnp.asarray(codes), jnp.asarray(bd).astype(jnp.bfloat16),
+                jnp.asarray(cnorm).reshape(g, spg, ksub),
+                jnp.arange(ksub, dtype=jnp.uint8))
+
+    def test_decode_bitwise_equal(self):
+        from vectordb_tpu.ops.pq import (_decode_block,
+                                         _decode_block_pallas,
+                                         pq_decode_rows)
+        codes, bd_bf, cnorm_g, iota_k = self._setup()
+        dec0, rsq0 = _decode_block(codes, bd_bf, cnorm_g, iota_k)
+        dec1 = pq_decode_rows(codes, bd_bf, interpret=True)
+        assert bool(jnp.all(dec0 == dec1))
+        # rsq differs only by f32 summation order
+        _, rsq1 = _decode_block_pallas(codes, bd_bf, interpret=True)
+        assert float(jnp.max(jnp.abs(rsq0 - rsq1))) < 1e-2
+
+    def test_decode_small_m_grouping(self):
+        # m=16, dsub=16 -> spg=8, g=2: a different grouping geometry
+        from vectordb_tpu.ops.pq import _decode_block, pq_decode_rows
+        codes, bd_bf, cnorm_g, iota_k = self._setup(n=512, m=16, d=256)
+        dec0, _ = _decode_block(codes, bd_bf, cnorm_g, iota_k)
+        dec1 = pq_decode_rows(codes, bd_bf, interpret=True)
+        assert bool(jnp.all(dec0 == dec1))
+
+    def test_use_pallas_decode_gates_on_backend(self):
+        from vectordb_tpu.ops.pq import _use_pallas_decode
+        # CPU test backend: never engages
+        assert _use_pallas_decode(1 << 20, 96, 16384) is False

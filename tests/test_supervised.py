@@ -74,8 +74,12 @@ class TestSupervise:
             Heartbeat.from_env().beat()
             print("hello")
         """ % os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        # generous watchdog: a healthy child's interpreter start + import
+        # can exceed 1 s on this single contended host core (the 1 s
+        # default here flaked the whole suite once under a concurrent
+        # chip benchmark)
         res = supervise(argv, hb_path=str(tmp_path / "hb"),
-                        capture=True, **_fast())
+                        capture=True, **_fast(watchdog=30.0))
         assert res.rc == 0
         assert res.attempts == 1
         assert "hello" in res.stdout

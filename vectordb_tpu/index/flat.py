@@ -260,6 +260,15 @@ class FlatIndex(Index):
         # device mirror + dirty tracking
         self._device: Optional[dict] = None
         self._dirty_slots: set[int] = set()
+        # True while an UNLOCKED mirror build is reading the host arrays
+        # (prehydrate): mutations in that window must be tracked even
+        # though no mirror is installed yet, so the first locked sync
+        # re-scatters them. When False and no mirror exists, mutation
+        # paths skip dirty bookkeeping entirely — the next sync rebuilds
+        # in full anyway, and a 10M-row recovery otherwise builds a
+        # 10M-entry Python set for nothing (measured minutes of the 10M
+        # reopen apply phase).
+        self._build_inflight = False
         self._lock = threading.RLock()
         # readers that copied the device dict and released the lock; while
         # any are in flight, syncs must not donate (see _sync_device)
@@ -455,19 +464,49 @@ class FlatIndex(Index):
         n = len(ids)
         slots = np.fromiter((self._take_slot() for _ in range(n)),
                             dtype=np.int64, count=n)
-        if not quantized:
-            mat = self._quantize(mat)
-        self._vectors[slots] = mat
-        sq = np.einsum("ij,ij->i", mat, mat).astype(np.float32)
-        self._sq_norms[slots] = sq
-        self._norms[slots] = np.sqrt(sq)
-        self._valid[slots] = True
-        self._id_of_slot[slots] = ids
-        self._slot_of_id.update(
-            zip(ids.tolist(), slots.tolist()))
-        self._len += n
-        self._zero_norm_live += int((sq == 0.0).sum())
-        self._dirty_slots.update(slots.tolist())
+        try:
+            if not quantized:
+                mat = self._quantize(mat)
+            self._vectors[slots] = mat
+            sq = np.einsum("ij,ij->i", mat, mat).astype(np.float32)
+            self._sq_norms[slots] = sq
+            self._norms[slots] = np.sqrt(sq)
+            self._valid[slots] = True
+            self._id_of_slot[slots] = ids
+            self._slot_of_id.update(
+                zip(ids.tolist(), slots.tolist()))
+            self._len += n
+            self._zero_norm_live += int((sq == 0.0).sum())
+        finally:
+            # even on a partial failure, every possibly-touched slot is
+            # recorded (stale-dirty is safe; missed-dirty is not)
+            if self._device is not None or self._build_inflight:
+                self._dirty_slots.update(slots.tolist())
+            self._note_appended(slots)
+
+    def _note_appended(self, slots: np.ndarray) -> None:
+        """Subclass seam: called (lock held) with the slot array every
+        append path just touched — PQ stamps per-slot mutation ticks
+        here. Kept separate from ``_dirty_slots`` (device-mirror
+        bookkeeping, skipped when no mirror exists)."""
+
+    def reserve(self, n_rows: int, dim: Optional[int] = None) -> None:
+        """Pre-size packed storage for ``n_rows`` live rows. The
+        recovery fast path calls this with the snapshot's row count
+        before the chunked apply: growing chunk-by-chunk instead costs
+        ~log2(n/chunk) pow2 doublings, each copying (and zero-filling)
+        the whole packed array — tens of GB of memcpy at 10M x 768.
+        No-op if the capacity already suffices or the dimension is
+        still unknown."""
+        with self._lock:
+            d = dim if dim is not None else self._dim
+            if d is None:
+                return
+            if self._dim is not None and d != self._dim:
+                raise DimensionMismatchError(self._dim, d)
+            if n_rows <= self._capacity:
+                return
+            self._ensure_storage(int(d), int(n_rows))
 
     def bulk_append_matrix(self, ids: np.ndarray, mat: np.ndarray,
                             quantized: bool = False) -> None:
@@ -715,7 +754,8 @@ class FlatIndex(Index):
         self._len += 1
         if sq == 0.0:
             self._zero_norm_live += 1
-        self._dirty_slots.add(slot)
+        if self._device is not None or self._build_inflight:
+            self._dirty_slots.add(slot)
 
     def _clear_slot(self, slot: int) -> None:
         internal_id = int(self._id_of_slot[slot])
@@ -726,7 +766,8 @@ class FlatIndex(Index):
         self._slot_of_id.pop(internal_id, None)
         self._free_slots.append(slot)
         self._len -= 1
-        self._dirty_slots.add(slot)
+        if self._device is not None or self._build_inflight:
+            self._dirty_slots.add(slot)
 
     def remove(self, internal_id: int) -> None:
         with self._lock:
@@ -878,21 +919,145 @@ class FlatIndex(Index):
             if self._device is not None or self._len == 0:
                 return
             vec0 = self._vectors
+            # mutations during the unlocked build window must land in
+            # _dirty_slots (they may be read torn into the mirror); with
+            # no build in flight and no mirror, mutation paths skip the
+            # dirty bookkeeping entirely
+            self._build_inflight = True
         try:
             dev = self._build_device_full()
         except Exception:
+            with self._lock:
+                self._build_inflight = False
             return  # first search will surface the real error
         with self._lock:
+            self._build_inflight = False
             if self._device is None and self._vectors is vec0:
                 self._device = dev
+
+    def start_progressive_hydration(self, n_rows: int):
+        """Mesh-mode recovery overlap: returns a hydrator whose put
+        thread transfers each device-shard PIECE as soon as the caller's
+        ``advance(watermark)`` shows that piece's slot range fully
+        applied — H2D rides under the snapshot apply's disk IO and
+        Python decode instead of after them. Caller contract (the
+        engine's streaming recovery): storage pre-sized via ``reserve``
+        (no realloc before ``finish``), slots fill 0..n_rows-1 in order,
+        ``finish()`` called after the WAL tail replays (it assembles the
+        sharded arrays and installs the mirror; tail rows that raced a
+        piece put are in ``_dirty_slots`` and the first locked sync
+        repairs them piece-wise). Returns None when not applicable
+        (no mesh, mirror already built, or unknown dimension). Only the
+        plain flat family may use this — subclasses with extra device
+        state (PQ codes) own their mirrors."""
+        if self._mesh is None:
+            return None
+        with self._lock:
+            if (self._device is not None or self._dim is None
+                    or self._capacity == 0 or self._build_inflight):
+                return None
+            self._build_inflight = True
+            try:
+                return _ProgressiveMeshHydrator(self, int(n_rows))
+            except Exception:
+                self._build_inflight = False
+                return None
+
+    def _mesh_piece_resync(self) -> bool:
+        """Partial mirror resync for mesh mode: rebuild only the device
+        pieces whose row ranges contain dirty slots, reusing every
+        untouched piece's buffer as-is (zero copy, zero transfer). A
+        100k-row WAL tail replayed after a 10M-row recovery dirties 1 of
+        8 shard pieces; the wholesale re-put this replaces transferred
+        all of them (~26 GB again). Returns False when every piece is
+        affected (a full rebuild is the same work) or the layout is not
+        piece-decomposable — the caller then falls back to
+        _build_device_full. Lock held."""
+        import jax
+        dev = self._device
+        dirty = np.fromiter(self._dirty_slots, dtype=np.int64)
+
+        def row_range(sh):
+            sl = sh.index[0]
+            lo = sl.start if sl.start is not None else 0
+            hi = sl.stop if sl.stop is not None else self._capacity
+            return lo, hi
+
+        try:
+            shards0 = list(dev["db"].addressable_shards)
+        except Exception:
+            return False
+        hit = [bool(((dirty >= lo) & (dirty < hi)).any())
+               for lo, hi in map(row_range, shards0)]
+        if all(hit):
+            return False
+
+        piece_cache: dict = {}
+
+        def int8_piece(lo, hi):
+            if (lo, hi) not in piece_cache:
+                piece_cache[(lo, hi)] = _int8_codes_scales(
+                    self._vectors[lo:hi])
+            return piece_cache[(lo, hi)]
+
+        def make_piece(key, lo, hi):
+            if key == "sq_norms":
+                return self._sq_norms[lo:hi]
+            if key == "norms":
+                return self._norms[lo:hi]
+            if key == "valid":
+                return self._valid[lo:hi]
+            if key == "scales":
+                return int8_piece(lo, hi)[1]
+            # key == "db"
+            if self.storage == "int8":
+                return int8_piece(lo, hi)[0]
+            if self.storage == "bf16":
+                import ml_dtypes
+                rows = self._vectors[lo:hi]
+                if rows.dtype != ml_dtypes.bfloat16:
+                    rows = rows.astype(ml_dtypes.bfloat16)
+                return rows
+            return self._vectors[lo:hi]
+
+        keys = [key for key in ("db", "sq_norms", "norms", "valid",
+                                "scales") if key in dev]
+        new: dict = {}
+        for key in keys:
+            arr = dev[key]
+            pieces = []
+            for sh in arr.addressable_shards:
+                lo, hi = row_range(sh)
+                if ((dirty >= lo) & (dirty < hi)).any():
+                    pieces.append(jax.device_put(make_piece(key, lo, hi),
+                                                 sh.device))
+                else:
+                    pieces.append(sh.data)
+            new[key] = jax.make_array_from_single_device_arrays(
+                arr.shape, arr.sharding, pieces)
+        if "elo_max" in dev and self.storage == "f32":
+            # patched rows can only RAISE the residual bound (stale-high
+            # is safe — the per-shard 1-pass margin just widens)
+            from ..ops.coarse_kernel import residual_max_norm_f32
+            patched = np.ascontiguousarray(
+                self._vectors[np.sort(dirty)], dtype=np.float32)
+            dev["elo_max"] = jnp.maximum(
+                dev["elo_max"], residual_max_norm_f32(jnp.asarray(patched)))
+        dev.update(new)
+        return True
 
     def _sync_device(self) -> dict:
         """Bring the HBM mirror up to date. Called with the lock held."""
         if self._mesh is not None:
-            # sharded mode: re-put wholesale when dirty (scatter across a
-            # sharded buffer would reshard anyway); rows over the mesh axis
-            if self._device is None or self._dirty_slots:
+            # sharded mode: piece-level resync when only some shard
+            # ranges are dirty (reuses clean pieces' buffers); wholesale
+            # re-put otherwise
+            if self._device is None:
                 self._device = self._build_device_full()
+                self._dirty_slots.clear()
+            elif self._dirty_slots:
+                if not self._mesh_piece_resync():
+                    self._device = self._build_device_full()
                 self._dirty_slots.clear()
             return self._device
         if self._device is None:
@@ -1153,3 +1318,142 @@ class FlatIndex(Index):
     def __repr__(self) -> str:
         return (f"FlatIndex(metric={self._metric.value}, len={self._len}, "
                 f"dim={self._dim}, capacity={self._capacity})")
+
+
+class _ProgressiveMeshHydrator:
+    """Recovery-overlap helper for mesh-sharded FlatIndex (see
+    FlatIndex.start_progressive_hydration). A put thread transfers each
+    device-shard piece the moment the apply watermark passes that
+    piece's slot range; ``finish()`` assembles the pieces into sharded
+    arrays (jax.make_array_from_single_device_arrays — zero extra copy)
+    and installs the mirror. Reference contract: recovery hydration is
+    the TPU analogue of src/persistence/engine.rs:44-73's re-insert
+    replay; overlap has no reference counterpart (no device there)."""
+
+    def __init__(self, index: FlatIndex, n_rows: int):
+        import jax
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+        self._ix = index
+        self._n = n_rows
+        self._vec0 = index._vectors
+        self._C, self._d = index._capacity, index._dim
+        mesh, axis = index._mesh, index._row_axis
+        self._row2d = NamedSharding(mesh, P(axis, None))
+        self._row1d = NamedSharding(mesh, P(axis))
+        imap = self._row2d.addressable_devices_indices_map(
+            (self._C, self._d))
+        # [(device, lo, hi)] — put order is ascending hi so each piece
+        # becomes ready as early as possible
+        self._plan = []
+        for dev, idx in imap.items():
+            sl = idx[0]
+            lo = sl.start if sl.start is not None else 0
+            hi = sl.stop if sl.stop is not None else self._C
+            self._plan.append((dev, lo, hi))
+        self._order = sorted(range(len(self._plan)),
+                             key=lambda j: self._plan[j][2])
+        self._wm = 0
+        self._done = False
+        self._error: Optional[BaseException] = None
+        self._result: Optional[dict] = None
+        self._cv = threading.Condition()
+        self._thread = threading.Thread(
+            target=self._run, name="vdb-hydrate", daemon=True)
+        self._thread.start()
+
+    def advance(self, watermark: int) -> None:
+        """Applied-row watermark (slots [0, watermark) are final modulo
+        the WAL tail). Cheap; called once per applied chunk."""
+        with self._cv:
+            if watermark > self._wm:
+                self._wm = watermark
+                self._cv.notify_all()
+
+    def _run(self) -> None:
+        import jax
+        try:
+            pieces: dict = {}
+            for j in self._order:
+                device, lo, hi = self._plan[j]
+                need = min(hi, self._n)
+                with self._cv:
+                    while self._wm < need and not self._done:
+                        self._cv.wait(1.0)
+                pieces[j] = self._put_piece(device, lo, hi)
+            self._result = pieces
+        except BaseException as e:  # noqa: BLE001 — reported in finish
+            self._error = e
+
+    def _put_piece(self, device, lo: int, hi: int) -> dict:
+        import jax
+        ix = self._ix
+        out: dict = {}
+        if ix.storage == "int8":
+            codes, scales = _int8_codes_scales(
+                np.asarray(ix._vectors[lo:hi], np.float32))
+            out["db"] = jax.device_put(codes, device)
+            out["scales"] = jax.device_put(scales, device)
+        elif ix.storage == "bf16":
+            import ml_dtypes
+            rows = ix._vectors[lo:hi]
+            if rows.dtype != ml_dtypes.bfloat16:
+                rows = rows.astype(ml_dtypes.bfloat16)
+            out["db"] = jax.device_put(rows, device)
+        else:
+            out["db"] = jax.device_put(ix._vectors[lo:hi], device)
+        out["sq_norms"] = jax.device_put(ix._sq_norms[lo:hi], device)
+        out["norms"] = jax.device_put(ix._norms[lo:hi], device)
+        out["valid"] = jax.device_put(ix._valid[lo:hi], device)
+        return out
+
+    def finish(self) -> bool:
+        """Join the put thread, assemble + install the mirror. Returns
+        True if the mirror was installed (False: a sync built one first,
+        storage was reallocated, or a put failed — the next search then
+        pays the normal full sync). Always clears the build flag."""
+        import jax
+        with self._cv:
+            self._done = True
+            if self._n > self._wm:
+                self._wm = self._n
+            self._cv.notify_all()
+        self._thread.join()
+        ix = self._ix
+        try:
+            if self._error is not None or self._result is None:
+                return False
+            dev: dict = {}
+            keys = ["db", "sq_norms", "norms", "valid"]
+            if ix.storage == "int8":
+                keys.append("scales")
+            for key in keys:
+                if key == "db":
+                    shape, sh = (self._C, self._d), self._row2d
+                else:
+                    shape, sh = (self._C,), self._row1d
+                dev[key] = jax.make_array_from_single_device_arrays(
+                    shape, sh,
+                    [self._result[j][key]
+                     for j in range(len(self._plan))])
+            if ix.storage == "int8":
+                dev["int8_storage"] = True
+            if _pallas_enabled(ix._mesh):
+                if ix.storage == "bf16":
+                    dev["bf16_storage"] = True
+                    dev["elo_max"] = jnp.float32(0.0)
+                elif ix.storage == "int8":
+                    dev["elo_max"] = jnp.float32(0.0)
+                else:
+                    from ..ops.coarse_kernel import residual_max_norm_f32
+                    dev["elo_max"] = residual_max_norm_f32(dev["db"])
+            with ix._lock:
+                if ix._device is None and ix._vectors is self._vec0:
+                    ix._device = dev
+                    return True
+                return False
+        except Exception:
+            return False
+        finally:
+            with ix._lock:
+                ix._build_inflight = False

@@ -331,7 +331,7 @@ class IvfPqIndex(_PqCodesCore, IvfFlatIndex):
                 "nlist": self._nlist, "cpc": self._scan_cpc()}
 
     def _scan_call(self, state: dict, qb, r: int):
-        from ..ops.pq import ivfpq_scan_topr
+        from ..ops.pq import _use_pallas_decode, ivfpq_scan_topr
         return ivfpq_scan_topr(qb, state["codes"], state["bd"],
                                state["cnorm"], state["valid"],
                                state["cents"], state["csq"],
@@ -339,7 +339,10 @@ class IvfPqIndex(_PqCodesCore, IvfFlatIndex):
                                cpc=state["cpc"], span=state["span"],
                                nlist=state["nlist"],
                                recall_target=self.scan_recall,
-                               rot=self._rot_dev_arr())
+                               rot=self._rot_dev_arr(),
+                               pallas_decode=_use_pallas_decode(
+                                   self._capacity, self._m,
+                                   state["cpc"] * state["span"]))
 
     def _pq_fallback_search(self, queries: np.ndarray, k: int, **fb):
         # bypass IvfFlatIndex's path entirely: its probed refine gathers

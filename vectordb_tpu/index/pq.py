@@ -327,23 +327,16 @@ class _PqCodesCore:
         if self._trained:
             self._pq_valid_dirty = True
 
-    def _append_matrix_locked(self, ids: np.ndarray, mat: np.ndarray,
-                              quantized: bool = False) -> None:
+    def _note_appended(self, slots: np.ndarray) -> None:
         # the one seam every append path funnels through (per-item
         # add_batch prefixes, bulk_append_matrix recovery chunks) — stamp
         # ticks / PQ dirtiness for exactly the slots it touched
-        pre = set(self._dirty_slots)
-        try:
-            super()._append_matrix_locked(ids, mat,
-                                          quantized=quantized)
-        finally:
-            new = self._dirty_slots - pre
-            if new:
-                self._tick += 1
-                self._slot_tick[list(new)] = self._tick
-                if self._trained:
-                    self._pq_dirty.update(new)
-                    self._pq_valid_dirty = True
+        if len(slots):
+            self._tick += 1
+            self._slot_tick[slots] = self._tick
+            if self._trained:
+                self._pq_dirty.update(slots.tolist())
+                self._pq_valid_dirty = True
 
     def _bulk_load_fresh(self, ids: np.ndarray, items, dim: int) -> None:
         super()._bulk_load_fresh(ids, items, dim)
@@ -485,12 +478,15 @@ class _PqCodesCore:
             extra = (rot,) if rot is not None else ()
             return fn(qb, state["codes"], state["bd"], state["cnorm"],
                       state["valid"], *extra)
-        from ..ops.pq import pq_scan_topr
+        from ..ops.pq import _use_pallas_decode, pq_scan_topr
         return pq_scan_topr(qb, state["codes"], state["bd"],
                             state["cnorm"], state["valid"], self._metric,
                             r=r, chunk=self._scan_chunk(),
                             recall_target=self.scan_recall,
-                            rot=rot)
+                            rot=rot,
+                            pallas_decode=_use_pallas_decode(
+                                self._capacity, self._m,
+                                self._scan_chunk()))
 
     def _sharded_pq_scanner(self, r: int, with_rot: bool):
         # scan_recall is baked into the compiled closure, so it belongs

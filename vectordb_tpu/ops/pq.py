@@ -40,6 +40,8 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from ..distance import DistanceMetric
 
@@ -277,6 +279,101 @@ def pack_codebook(codebook, lane: int = 128):
     return bd, spg
 
 
+_DECODE_BLK = 256    # rows per decode-kernel grid step: the VMEM one-hot
+                     # is (blk, spg*ksub) bf16 = 2 MB at 256 x 4096
+
+
+def _pq_decode_pallas_kernel(codes_ref, bd_ref, out_ref, oh_ref, *,
+                             spg: int, ksub: int):
+    """One grid step: decode a (blk, m) uint8 code block against the
+    whole block-diagonal codebook (VMEM-resident, ~6 MB at m=96,
+    ksub=256). The one-hot NEVER leaves VMEM — the XLA lowering of
+    ``_decode_block`` materializes the (chunk, m, ksub) one-hot in HBM
+    (~48 KB per 96-byte code row: measured 278 ms for a 2^20-row decode
+    whose MXU floor is ~33 ms), which made every PQ scan call
+    decode-bound and Q-independent. Per group: the one-hot is built with
+    static slice writes (spg VPU compares of (blk, ksub)), then one MXU
+    matmul (blk, spg*ksub) @ (spg*ksub, spg*dsub) fills that group's
+    output columns. The output is EXACT: pq_fit rounds codewords to bf16
+    values and each output element has exactly one nonzero contribution
+    (one-hot x block-diagonal), so the f32->bf16 result carries the
+    codeword value bit-for-bit."""
+    blk = oh_ref.shape[0]
+    g = bd_ref.shape[0]
+    spgd = bd_ref.shape[2]
+    codes = codes_ref[:].astype(jnp.int32)              # (blk, m)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (blk, ksub), 1)
+    for gi in range(g):
+        for s in range(spg):
+            c = gi * spg + s
+            oh_ref[:, s * ksub:(s + 1) * ksub] = (
+                codes[:, c:c + 1] == iota).astype(jnp.bfloat16)
+        # f32 accumulator (Mosaic requires 32-bit matmul acc); the cast
+        # back is exact — one nonzero contribution per output element
+        out_ref[:, gi * spgd:(gi + 1) * spgd] = jax.lax.dot_general(
+            oh_ref[:], bd_ref[gi], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pq_decode_rows(codes, bd_bf, interpret: bool = False):
+    """(rows, m) uint8 codes -> (rows, d) bf16 decoded rows via the
+    VMEM-resident one-hot kernel. ``bd_bf`` is pack_codebook's output
+    cast to bf16 (exact — fit rounds codewords to bf16 values). The grid
+    runs over row blocks only; the packed codebook is one grid-invariant
+    VMEM block (Mosaic fetches it once). rows must divide into
+    _DECODE_BLK blocks (scan chunks are pow2)."""
+    rows, m = codes.shape
+    g, spgk, spgd = bd_bf.shape
+    spg = m // g
+    ksub = spgk // spg
+    blk = _DECODE_BLK if rows % _DECODE_BLK == 0 else rows
+    if rows % blk:
+        raise ValueError(f"rows {rows} not a multiple of blk {blk}")
+    return pl.pallas_call(
+        functools.partial(_pq_decode_pallas_kernel, spg=spg, ksub=ksub),
+        out_shape=jax.ShapeDtypeStruct((rows, g * spgd), jnp.bfloat16),
+        grid=(rows // blk,),
+        in_specs=[
+            pl.BlockSpec((blk, m), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, spgk, spgd), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((blk, g * spgd), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((blk, spgk), jnp.bfloat16)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * rows * spgk * spgd * g,
+            bytes_accessed=rows * m + g * spgk * spgd * 2
+            + rows * g * spgd * 2,
+            transcendentals=0,
+        ),
+    )(codes, bd_bf)
+
+
+def _decode_block_pallas(cc, bd_bf, interpret: bool = False):
+    """Pallas decode + VPU norms: drop-in for ``_decode_block`` on the
+    TPU backend. The decoded-row sq-norm comes from summing exact-bf16
+    coordinate squares in f32 instead of the codebook-norm table —
+    identical values modulo f32 summation order (scores are rank
+    surrogates; the exact re-rank downstream is unaffected)."""
+    decoded = pq_decode_rows(cc, bd_bf, interpret=interpret)
+    d32 = decoded.astype(jnp.float32)
+    return decoded, jnp.sum(d32 * d32, axis=1)
+
+
+def _decode_block_auto(cc, bd_bf, cnorm_g, iota_k, pallas: bool):
+    """Static dispatch between the Pallas and XLA decodes: the kernel
+    needs the (static) row count to tile into _DECODE_BLK blocks; odd
+    tails (IVF spill regions) keep the XLA path."""
+    rows = cc.shape[0]
+    if pallas and rows % _DECODE_BLK == 0:
+        return _decode_block_pallas(cc, bd_bf)
+    return _decode_block(cc, bd_bf, cnorm_g, iota_k)
+
+
 def _split_query(queries):
     """f32 queries -> (hi, lo) bf16 pair with hi + lo == q exactly (the
     flat coarse kernel's trick): two bf16 MXU passes recover the f32
@@ -310,11 +407,26 @@ def _decode_block(cc, bd_bf, cnorm_g, iota_k):
     return decoded, rsq
 
 
+def _use_pallas_decode(n_rows: int, m: int, chunk: int) -> bool:
+    """Engage the VMEM one-hot decode kernel on the TPU backend when the
+    chunk divides into decode blocks. CPU/virtual-mesh runs keep the XLA
+    decode (the kernel is interpret-tested there)."""
+    import os
+    if os.environ.get("VDB_PQ_NO_PALLAS_DECODE"):
+        return False
+    try:
+        return (jax.default_backend() == "tpu"
+                and chunk % min(_DECODE_BLK, chunk) == 0)
+    except Exception:
+        return False
+
+
 @functools.partial(jax.jit, static_argnames=("metric", "r", "chunk",
-                                             "recall_target"))
+                                             "recall_target",
+                                             "pallas_decode"))
 def pq_scan_topr(queries, codes, bd, cnorm, valid, metric: DistanceMetric,
                  r: int, chunk: int, recall_target: float = 0.95,
-                 rot=None):
+                 rot=None, pallas_decode: bool = False):
     """Streaming PQ scan -> top-r candidate ROWS per query, never decoding
     the database into HBM and never running an O(chunk*r) top-k inside
     the streaming loop.
@@ -371,7 +483,8 @@ def pq_scan_topr(queries, codes, bd, cnorm, valid, metric: DistanceMetric,
 
     def body(_, inp):
         cc, vc, b = inp
-        decoded, xsq = _decode_block(cc, bd_bf, cnorm_g, iota_k)
+        decoded, xsq = _decode_block_auto(cc, bd_bf, cnorm_g, iota_k,
+                                          pallas_decode)
         dt = decoded.T
         dots = (jnp.matmul(q_hi, dt, preferred_element_type=jnp.float32)
                 + jnp.matmul(q_lo, dt,
@@ -401,10 +514,12 @@ def pq_scan_topr(queries, codes, bd, cnorm, valid, metric: DistanceMetric,
 
 
 @functools.partial(jax.jit, static_argnames=("metric", "r", "cpc", "span",
-                                             "nlist", "recall_target"))
+                                             "nlist", "recall_target",
+                                             "pallas_decode"))
 def ivfpq_scan_topr(queries, codes, bd, cnorm, valid, cents, csq, cid_sp,
                     metric: DistanceMetric, r: int, cpc: int, span: int,
-                    nlist: int, recall_target: float = 0.85, rot=None):
+                    nlist: int, recall_target: float = 0.85, rot=None,
+                    pallas_decode: bool = False):
     """Residual-corrected streaming PQ scan over an IVF slot layout ->
     top-r candidate rows per query.
 
@@ -490,7 +605,8 @@ def ivfpq_scan_topr(queries, codes, bd, cnorm, valid, cents, csq, cid_sp,
 
     def chunk_scores(cc, vc, c0):
         """Scores for one cluster-aligned chunk starting at cluster c0."""
-        decoded, rsq = _decode_block(cc, bd_bf, cnorm_g, iota_k)
+        decoded, rsq = _decode_block_auto(cc, bd_bf, cnorm_g, iota_k,
+                                          pallas_decode)
         cen = jax.lax.dynamic_slice(cents_bf, (c0, 0), (cpc, d))
         cr = jnp.einsum("csd,cd->cs",
                         decoded.reshape(cpc, span, g * spgd), cen,
@@ -545,7 +661,8 @@ def ivfpq_scan_topr(queries, codes, bd, cnorm, valid, cents, csq, cid_sp,
     if s_rows:
         cc = jax.lax.dynamic_slice(codes, (big_m, 0), (s_rows, m))
         vc = jax.lax.dynamic_slice(valid, (big_m,), (s_rows,))
-        dec_sp, rsq_sp = _decode_block(cc, bd_bf, cnorm_g, iota_k)
+        dec_sp, rsq_sp = _decode_block_auto(cc, bd_bf, cnorm_g, iota_k,
+                                            pallas_decode)
         cid = jnp.clip(cid_sp, 0, nlist - 1)
         cen_sp = jnp.take(cents_bf, cid, axis=0)          # (S, d)
         cr_sp = jnp.einsum("sd,sd->s", dec_sp, cen_sp,

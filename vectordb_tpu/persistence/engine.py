@@ -158,6 +158,7 @@ class StorageEngine:
                       file=sys.stderr, flush=True)
 
         self._recover_mark = _mark
+        self._hydrator = None
         if self.config.index_type in ("flat", "pq"):
             # streaming apply: the 10M x 768 lane — never materializes
             # the 30 GB payload or a 10M-element object list. PQ recovers
@@ -186,7 +187,8 @@ class StorageEngine:
         # the first locked sync (FlatIndex.prehydrate)
         hydrator = None
         index = self.store.index
-        if (self.config.index_type == "flat" and len(self.store)
+        if (self._hydrator is None
+                and self.config.index_type == "flat" and len(self.store)
                 and hasattr(index, "prehydrate")):
             import threading
             hydrator = threading.Thread(target=index.prehydrate,
@@ -210,6 +212,11 @@ class StorageEngine:
                 self._apply_wal_entry(entry)
         pending.flush()
         self._recover_mark("wal replayed")
+        if self._hydrator is not None:
+            installed = self._hydrator.finish()
+            self._hydrator = None
+            self._recover_mark(
+                f"progressive hydration finished (installed={installed})")
         if hydrator is not None:
             hydrator.join()
             self._recover_mark("hydration joined")
@@ -360,10 +367,27 @@ class StorageEngine:
         try:
             metadata = reader.read_metadata()
             self._recover_mark("metadata walk")
+            if reader.count and reader.dimension:
+                # one allocation up front: chunk-by-chunk growth costs
+                # ~log2(n/chunk) pow2 doublings, each copying the whole
+                # packed array (tens of GB of memcpy at 10M x 768)
+                self.store.reserve(reader.count, reader.dimension)
+                if self.config.index_type == "flat":
+                    # mesh lane: shard pieces transfer under the apply's
+                    # disk IO / decode (FlatIndex.start_progressive_
+                    # hydration); non-mesh keeps the post-apply thread
+                    start = getattr(self.store.index,
+                                    "start_progressive_hydration", None)
+                    if start is not None:
+                        self._hydrator = start(reader.count)
+            applied = 0
             for iids, sids, rows in reader.vector_chunks(
                     self._APPLY_CHUNK):
                 self.store.restore_snapshot_chunk(iids, sids, rows,
                                                   metadata)
+                applied += len(iids)
+                if self._hydrator is not None:
+                    self._hydrator.advance(applied)
         finally:
             stop.set()
             ra.join()

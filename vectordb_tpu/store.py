@@ -702,6 +702,15 @@ class VectorStore:
         self._columnar_layout = getattr(self._index,
                                         "slot_layout_version", 0)
 
+    def reserve(self, n_rows: int, dim: "int | None" = None) -> None:
+        """Pre-size the index's packed storage for ``n_rows`` rows
+        (recovery: one allocation instead of chunk-by-chunk pow2 growth
+        — see FlatIndex.reserve). No-op on indexes without packed
+        storage."""
+        fn = getattr(self._index, "reserve", None)
+        if fn is not None:
+            fn(n_rows, dim)
+
     @property
     def next_internal_id(self) -> int:
         """The internal ID the next insert will be assigned (used by the
