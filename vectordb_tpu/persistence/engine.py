@@ -381,13 +381,23 @@ class StorageEngine:
                     if start is not None:
                         self._hydrator = start(reader.count)
             applied = 0
+            t_decode = t_apply = 0.0
+            import time as _t
+            t_mark = _t.perf_counter()
             for iids, sids, rows in reader.vector_chunks(
                     self._APPLY_CHUNK):
+                now = _t.perf_counter()
+                t_decode += now - t_mark
                 self.store.restore_snapshot_chunk(iids, sids, rows,
                                                   metadata)
+                t_mark = _t.perf_counter()
+                t_apply += t_mark - now
                 applied += len(iids)
                 if self._hydrator is not None:
                     self._hydrator.advance(applied)
+            self._recover_mark(
+                f"apply split: decode+IO {t_decode:.0f}s / "
+                f"store-apply {t_apply:.0f}s")
         finally:
             stop.set()
             ra.join()
