@@ -48,9 +48,17 @@ class NativeHttpServer:
     def __init__(self, api: Api, host: str, port: int,
                  pipeline_depth: Optional[int] = None):
         if pipeline_depth is None:
-            # env override for same-window A/Bs (benchmarks)
+            # env override for same-window A/Bs (benchmarks). Default 1:
+            # the r5 depth x clients sweep (benchmarks/http_sweep.py)
+            # measured depth 1 WITH the full-batch merge window above
+            # depth 3 at every closed-loop client count (64: 1139 vs
+            # 538 req/s ... 2048: 7412 vs 6069) — splitting a fixed
+            # client pool across D in-flight cycles divides the batch by
+            # D but only overlaps two ~25 ms RPCs, a net loss on this
+            # relay. Depth > 1 remains available for open-loop traffic
+            # or sub-ms-dispatch hosts.
             import os
-            pipeline_depth = int(os.environ.get("VDB_HTTP_DEPTH", "3"))
+            pipeline_depth = int(os.environ.get("VDB_HTTP_DEPTH", "1"))
         self._lib = get_native()
         if self._lib is None:
             raise RuntimeError("native core unavailable")
@@ -345,22 +353,35 @@ class NativeHttpServer:
         try:
             while self._running:
                 busy = self._completions.unfinished_tasks > 0
-                wait_ms = 1 if busy else 500
                 n = self._lib.vdb_http_next_jobs(self._handle, self._buf,
-                                                 _BUF_CAP, wait_ms)
+                                                 _BUF_CAP,
+                                                 1 if busy else 500)
                 if n < 0:
                     break
                 if n == 0:
                     continue
                 raw = ctypes.string_at(self._buf, n)
-                if not busy:
+                # post-drain merge window. Unpipelined: a short
+                # straggler-catch (~cycle/10, ≤3 ms). Pipelined: a FULL
+                # batching window of ~cycle/depth — next_jobs returns at
+                # the first arriving job, and submitting such dribbles
+                # fragments the fixed pool of closed-loop clients into
+                # undersized device batches (measured 327 req/s at
+                # depth 3 vs 589 at depth 1 with 64 clients: each
+                # submit is its own ~25 ms relay RPC, so batch size IS
+                # throughput; with the window, each in-flight cycle
+                # carries ~clients/depth requests instead)
+                if busy:
+                    catch = min(
+                        max(self._last_cycle / self._depth, 0.001), 0.03)
+                else:
                     catch = min(self._last_cycle / 10.0, 0.003)
-                    if catch > 0.0005:
-                        time.sleep(catch)
-                        n2 = self._lib.vdb_http_next_jobs(
-                            self._handle, self._buf, _BUF_CAP, 0)
-                        if n2 > 0:
-                            raw += ctypes.string_at(self._buf, n2)
+                if catch > 0.0005:
+                    time.sleep(catch)
+                    n2 = self._lib.vdb_http_next_jobs(
+                        self._handle, self._buf, _BUF_CAP, 0)
+                    if n2 > 0:
+                        raw += ctypes.string_at(self._buf, n2)
                 try:
                     new_pending = self._submit_batch(self._parse_jobs(raw))
                 except Exception:
