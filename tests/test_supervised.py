@@ -109,8 +109,10 @@ class TestSupervise:
                 time.sleep(3)
             print("done")
         """ % os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        # watchdog 2 s (still < the 3 s silence the budget must excuse):
+        # interpreter start under a loaded single core can exceed 1 s
         res = supervise(argv, hb_path=str(tmp_path / "hb"),
-                        capture=True, **_fast())
+                        capture=True, **_fast(watchdog=2.0))
         assert res.rc == 0
         assert res.killed_stale == 0
         assert "done" in res.stdout
