@@ -25,7 +25,13 @@ def _child(tmp_path, body: str) -> list:
 
 
 def _fast(**kw):
-    kw.setdefault("watchdog", 1.0)
+    # 5 s default watchdog: tight enough that a sleep(60) wedge dies
+    # fast, loose enough that a child's interpreter start on a loaded
+    # single core (>1 s measured under concurrent chip benchmarks)
+    # doesn't get killed mid-startup. Tests that REQUIRE a first-attempt
+    # staleness kill of a briefly-silent child pass watchdog=1.0
+    # explicitly and make the child silent long past any start latency.
+    kw.setdefault("watchdog", 5.0)
     kw.setdefault("poll", 0.2)
     kw.setdefault("backoff", lambda a: 0.0)
     return kw
@@ -86,33 +92,33 @@ class TestSupervise:
 
     def test_wedged_child_killed_and_retried(self, tmp_path):
         # Child never beats -> every attempt dies to the watchdog.
+        # startup_grace=1: the grace would otherwise (correctly) give a
+        # never-beating child 30 s; this test wants fast kills.
         argv = _child(tmp_path, """
             import time
             time.sleep(60)
         """)
         res = supervise(argv, hb_path=str(tmp_path / "hb"),
-                        attempts=2, **_fast())
+                        attempts=2, startup_grace=1.0, **_fast())
         assert res.rc == 1
         assert res.attempts == 2
         assert res.killed_stale == 2
 
     def test_phase_budget_prevents_kill(self, tmp_path):
-        # Child declares a 30 s budget, then is silent for 3 s — far past
-        # the 1 s watchdog. Without the declared budget this dies
+        # Child declares a 60 s budget, then is silent for 8 s — past
+        # the 5 s watchdog. Without the declared budget this dies
         # (previous test); with it, it survives and completes.
         argv = _child(tmp_path, """
             import os, sys, time
             sys.path.insert(0, %r)
             from vectordb_tpu.utils.supervised import Heartbeat
             hb = Heartbeat.from_env()
-            with hb.phase(30):
-                time.sleep(3)
+            with hb.phase(60):
+                time.sleep(8)
             print("done")
         """ % os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-        # watchdog 2 s (still < the 3 s silence the budget must excuse):
-        # interpreter start under a loaded single core can exceed 1 s
         res = supervise(argv, hb_path=str(tmp_path / "hb"),
-                        capture=True, **_fast(watchdog=2.0))
+                        capture=True, **_fast())
         assert res.rc == 0
         assert res.killed_stale == 0
         assert "done" in res.stdout
@@ -142,8 +148,11 @@ class TestSupervise:
             if attempt >= 1:
                 env["KNOB"] = "on"
 
+        # quick-exit child, no staleness semantics under test: a wide
+        # watchdog rides out >5 s interpreter starts under load
         res = supervise(argv, hb_path=str(tmp_path / "hb"),
-                        attempts=3, escalate=escalate, **_fast())
+                        attempts=3, escalate=escalate,
+                        **_fast(watchdog=30.0))
         assert res.rc == 0
         assert res.attempts == 2
         assert seen == [0, 1]
@@ -151,19 +160,22 @@ class TestSupervise:
     def test_escalated_watchdog_env(self, tmp_path):
         # VDB_SUPERVISE_WATCHDOG in the escalated env raises the
         # supervisor's own threshold for that attempt: a child that is
-        # silent for 2.5 s survives only once the watchdog is raised.
+        # silent for 8 s survives only once the watchdog is raised
+        # (the silence comfortably exceeds attempt 1's 1 s watchdog even
+        # with slow interpreter start, and sits under attempt 2's 60 s).
         argv = _child(tmp_path, """
             import time
-            time.sleep(2.5)
+            time.sleep(8)
             print("survived")
         """)
 
         def escalate(attempt, env):
             if attempt >= 1:
-                env["VDB_SUPERVISE_WATCHDOG"] = "30"
+                env["VDB_SUPERVISE_WATCHDOG"] = "60"
 
         res = supervise(argv, hb_path=str(tmp_path / "hb"), attempts=2,
-                        escalate=escalate, capture=True, **_fast())
+                        escalate=escalate, capture=True,
+                        startup_grace=1.0, **_fast(watchdog=1.0))
         assert res.rc == 0
         assert res.attempts == 2
         assert res.killed_stale == 1          # attempt 1 died at 1 s
@@ -174,10 +186,13 @@ class TestSupervise:
         # predicate accepts the kill because the line exists — the
         # round-4 failure mode (late wedge zeroes the artifact) is dead.
         argv = _child(tmp_path, """
-            import sys, time
+            import os, sys, time
+            sys.path.insert(0, %r)
+            from vectordb_tpu.utils.supervised import Heartbeat
             print('{"metric": "x", "value": 1}', flush=True)
-            time.sleep(60)
-        """)
+            Heartbeat.from_env().beat()   # ends the startup grace
+            time.sleep(60)                # ... then wedges
+        """ % os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
         res = supervise(
             argv, hb_path=str(tmp_path / "hb"), attempts=1,
             capture=True,
@@ -201,8 +216,10 @@ class TestSupervise:
             m.write_text(str(n + 1))
             sys.exit(3 if n < 2 else 0)
         """ % str(marker))
+        # quick-exit children (see test_escalation_env_reaches_child)
         res = supervise(argv, hb_path=str(tmp_path / "hb"),
-                        attempts=1, restart_rc=3, **_fast())
+                        attempts=1, restart_rc=3,
+                        **_fast(watchdog=30.0))
         assert res.rc == 0
         assert res.attempts == 1
         assert marker.read_text() == "3"

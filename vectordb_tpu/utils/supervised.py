@@ -133,6 +133,7 @@ def supervise(
     restart_rc: Optional[int] = None,
     backoff: Callable[[int], float] = lambda a: min(30.0 * (a + 1), 180.0),
     success: Optional[Callable[[int, str], bool]] = None,
+    startup_grace: Optional[float] = None,
     log=None,
 ) -> SuperviseResult:
     """Run ``argv`` as a child under a heartbeat watchdog; retry on
@@ -153,6 +154,13 @@ def supervise(
     - ``success(rc, stdout)``: custom completion predicate; default is
       ``rc == 0``. With ``capture=True`` a harness can accept a killed
       child whose stdout already carries the result line.
+    - ``startup_grace``: staleness allowance until the child's FIRST
+      beat (detected as the heartbeat file's mtime moving past the
+      supervisor's own pre-spawn beat). Interpreter start on a loaded
+      single core measures >5 s here; killing a child mid-startup is a
+      deterministic retry-of-the-same-failure. Defaults to
+      ``max(watchdog, 30 s)``; a child that never beats at all is
+      killed at ``max(limit, grace)``.
     """
     log = log or (lambda msg: print(msg, file=sys.stderr, flush=True))
     base_env = dict(os.environ if env is None else env)
@@ -181,7 +189,13 @@ def supervise(
                 escalate(attempt, cur_env)
         cur_watchdog = float(cur_env.get("VDB_SUPERVISE_WATCHDOG",
                                          watchdog))
+        grace = (startup_grace if startup_grace is not None
+                 else max(cur_watchdog, 30.0))
         Heartbeat(hb_path).beat()
+        try:
+            spawn_mark = os.path.getmtime(hb_path)
+        except OSError:
+            spawn_mark = None
         proc = subprocess.Popen(
             list(argv), env=cur_env,
             stdout=subprocess.PIPE if capture else None,
@@ -193,10 +207,15 @@ def supervise(
                 rc = proc.wait(timeout=poll)
             except subprocess.TimeoutExpired:
                 try:
-                    age = time.time() - os.path.getmtime(hb_path)
+                    mtime = os.path.getmtime(hb_path)
+                    age = time.time() - mtime
                 except OSError:
-                    age = 0.0
+                    mtime, age = None, 0.0
                 limit = _declared_budget(hb_path, cur_watchdog)
+                if spawn_mark is not None and mtime == spawn_mark:
+                    # the child has not beaten yet: allow startup_grace
+                    # (interpreter start under load is not a wedge)
+                    limit = max(limit, grace)
                 if age > limit:
                     log(f"[supervise] heartbeat stale {age:.0f}s "
                         f"(limit {limit:.0f}s): killing pid {proc.pid} "
