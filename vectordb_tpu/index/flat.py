@@ -975,6 +975,12 @@ class FlatIndex(Index):
         _build_device_full. Lock held."""
         import jax
         dev = self._device
+        if len(self._dirty_slots) * 4 > self._capacity:
+            # most slots dirty: a wholesale rebuild transfers barely
+            # more and skips the per-piece bookkeeping (and the f32
+            # lane's patched-rows residual pass over a near-capacity
+            # gather)
+            return False
         dirty = np.fromiter(self._dirty_slots, dtype=np.int64)
 
         def row_range(sh):
