@@ -515,14 +515,22 @@ class _PqCodesCore:
         * "mirror": rows are HBM-resident — gather + distances + top-k
           all on chip (ops/pq.pq_rerank_topk), (Q, k) D2H only.
         * "gathered": no HBM row copy exists (host_backing, or rows past
-          _RERANK_DEV_ROW_BYTES) — the host gathers the (Qb, r, d)
-          candidate rows (disk memmap / page cache), ships them, and the
-          chip computes exact distances + top-k
-          (ops/pq.pq_rerank_gathered) while the host gathers the next
-          block — the r5 extension that stops the 33.5M beyond-RAM lane
-          from host-computing distances.
-        * "host": the original NumPy path (the mesh lane, non-TPU
-          backends, and rerank="host").
+          _RERANK_DEV_ROW_BYTES) and rerank="device" was requested
+          explicitly — the host gathers the (Qb, r, d) candidate rows
+          (disk memmap / page cache), ships them, and the chip computes
+          exact distances + top-k (ops/pq.pq_rerank_gathered) while the
+          host gathers the next block. MEASURED r5 at 2^25 x 768 on the
+          relayed chip (benchmarks/pq25_rerank_ab.py, same caches, same
+          recall at every point): the host venue beats it 3.2-4.6x
+          (936/757/429 vs 290/168/94 QPS at refine 32/64/128, Q=4096) —
+          with the Pallas VMEM decode the scan is cheap enough that
+          shipping the gathered rows through the ~25 ms-per-dispatch
+          relay dominates the host BLAS it replaces. So "auto" resolves
+          to HOST here; "device" keeps the gathered lane for hosts whose
+          H2D is not relay-priced.
+        * "host": the NumPy re-rank over the gathered rows (the mesh
+          lane, non-TPU backends, beyond-mirror capacities, and
+          rerank="host").
         """
         if self.rerank_mode == "host":
             return "host"
@@ -535,10 +543,7 @@ class _PqCodesCore:
         if (self._host_backing is not None
                 or self._capacity * (self._dim or 0) * 4
                 > _RERANK_DEV_ROW_BYTES):
-            if self.rerank_mode == "device":
-                return "gathered"
-            import jax
-            return ("gathered" if jax.default_backend() == "tpu"
+            return ("gathered" if self.rerank_mode == "device"
                     else "host")
         if self.rerank_mode == "device":
             return "mirror"
