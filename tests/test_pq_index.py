@@ -870,3 +870,14 @@ def test_calibrate_refine_rejects_bad_target():
     idx = PqFlatIndex(DistanceMetric.EUCLIDEAN, m=4, ksub=16)
     with pytest.raises(Exception):
         idx.calibrate_refine(0.0)
+
+
+def test_auto_venue_resolves_host_on_backing(tmp_path):
+    """rerank="auto" + host_backing resolves to HOST — the measured r5
+    policy (benchmarks/pq25_rerank_ab.py: host beats the gathered device
+    re-rank 3.2-4.6x at 2^25 because shipping (Q, r, d) gathered rows
+    through the relay outweighs the host BLAS it replaces). The gathered
+    lane stays reachable via rerank="device" (previous test)."""
+    idx = PqFlatIndex(DistanceMetric.EUCLIDEAN, seed=0,
+                      host_backing=str(tmp_path / "rows"))
+    assert idx._rerank_venue() == "host"
